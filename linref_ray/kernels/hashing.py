@@ -1,0 +1,126 @@
+"""Text hashing kernels: MinHash, SimHash, rolling fingerprints, shingles.
+
+Standard public constructions (Broder '97 MinHash, Charikar '02 SimHash,
+Rabin-Karp rolling hash) implemented vectorized for per-batch use inside
+``map_batches``. These back the dedup and fingerprinting pipelines over the
+``documents`` table — capabilities beyond the reference library, required by
+the large-scale-training-pipeline part of the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit FNV-1a hashes of tokens (no PYTHONHASHSEED dependence)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in t.encode("utf-8", "ignore"):
+            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of word k-shingles via a polynomial rolling combination."""
+    words = text.lower().split()
+    if len(words) < k:
+        words = words + [""] * (k - len(words))
+    wh = _hash_tokens_u64(words).astype(np.int64) % _MERSENNE
+    n = len(wh) - k + 1
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        acc = (acc * 1000003 + wh[j : j + n]) % _MERSENNE
+    return np.unique(acc.astype(np.uint64))
+
+
+def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) parameters for num_perm universal-hash permutations."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature: min over shingles of (a·x + b) mod p, per permutation."""
+    if len(shingles) == 0:
+        return np.full(len(a), _MERSENNE, dtype=np.int64)
+    x = shingles.astype(np.int64) % _MERSENNE
+    # (num_perm, n_shingles) — use object->int64 safe modmul via Python ints
+    # is too slow; 61-bit modulus keeps products within float-unsafe range, so
+    # do the multiply in uint128 chunks via splitting.
+    vals = (_modmul(a[:, None], x[None, :]) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def _modmul(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a*x) mod 2^61-1 without overflow: split a into hi/lo 31-bit halves."""
+    a = a.astype(np.uint64)
+    x = x.astype(np.uint64)
+    lo = a & np.uint64(0x7FFFFFFF)
+    hi = a >> np.uint64(31)
+    # a*x = hi*2^31*x + lo*x; reduce each term mod 2^61-1.
+    t1 = (hi * x) % np.uint64(_MERSENNE)
+    t1 = (t1 << np.uint64(31)) % np.uint64(_MERSENNE)
+    t2 = (lo * x) % np.uint64(_MERSENNE)
+    return ((t1 + t2) % np.uint64(_MERSENNE)).astype(np.int64)
+
+
+def lsh_bands(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Hash each band of a signature to one uint64 bucket key."""
+    rows = len(sig) // bands
+    out = np.empty(bands, dtype=np.uint64)
+    for bi in range(bands):
+        h = np.uint64(0xCBF29CE484222325)
+        for v in sig[bi * rows : (bi + 1) * rows]:
+            h = np.uint64((int(h) ^ (int(v) & 0xFFFFFFFFFFFFFFFF)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[bi] = h
+    return out
+
+
+def simhash(text: str, ngram: int = 3) -> np.uint64:
+    """64-bit SimHash over character n-grams."""
+    s = " " + text.lower() + " "
+    grams = [s[i : i + ngram] for i in range(max(1, len(s) - ngram + 1))]
+    hashes = _hash_tokens_u64(grams)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    score = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for bit in np.flatnonzero(score > 0):
+        out |= np.uint64(1) << np.uint64(bit)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distance between uint64 arrays (popcount via table)."""
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)).view(np.uint8)
+    table = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    return table[x.reshape(-1, 8)].sum(axis=1)
+
+
+def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> np.ndarray:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hashes of
+    byte windows, keeping hashes ≡ 0 (mod keep_mod) — a content-defined
+    sample that is robust to local edits."""
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = len(data)
+    if n < window:
+        data = np.pad(data, (0, window - n))
+        n = window
+    base = np.uint64(257)
+    powers = np.empty(window, dtype=np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):  # mod 2^64 wraparound is the hash ring
+        for i in range(1, window):
+            powers[i] = powers[i - 1] * base
+    m = n - window + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(window):
+        acc += data[j : j + m].astype(np.uint64) * powers[window - 1 - j]
+    kept = acc[acc % np.uint64(keep_mod) == 0]
+    return np.unique(kept)

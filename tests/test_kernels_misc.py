@@ -1,0 +1,213 @@
+"""Tests for profiles, decay, distribute, cells, codec, hashing kernels."""
+
+import numpy as np
+import pytest
+
+from linref_ray.kernels import codec
+from linref_ray.kernels.cells import (
+    cell_of_points,
+    cell_size,
+    cover_bbox,
+    grid_of_points,
+)
+from linref_ray.kernels.decay import resolve_decay
+from linref_ray.kernels.distribute import distribute_group
+from linref_ray.kernels.hashing import (
+    hamming64,
+    lsh_bands,
+    minhash_params,
+    minhash_signature,
+    rolling_fingerprint,
+    shingle_hashes,
+    simhash,
+)
+from linref_ray.kernels.profile import PROFILE_REGISTRY, resolve_profile
+
+
+class TestProfiles:
+    @pytest.mark.parametrize("name", list(PROFILE_REGISTRY))
+    def test_total_integral_is_one(self, name):
+        p = resolve_profile(name)
+        assert p.integral(0.0, 1.0) == pytest.approx(1.0)
+
+    @pytest.mark.parametrize("name", list(PROFILE_REGISTRY))
+    def test_symmetric_halves(self, name):
+        p = resolve_profile(name)
+        assert p.integral(0.0, 0.5) == pytest.approx(p.integral(0.5, 1.0))
+
+    def test_triangular_quarters(self):
+        p = resolve_profile("triangular")
+        assert p.integral(0.0, 0.25) == pytest.approx(0.125)
+        assert p.integral(0.25, 0.5) == pytest.approx(0.375)
+
+    def test_additivity(self):
+        for name in PROFILE_REGISTRY:
+            p = resolve_profile(name)
+            total = p.integral(0.1, 0.9)
+            parts = p.integral(0.1, 0.4) + p.integral(0.4, 0.9)
+            assert parts == pytest.approx(total)
+
+
+class TestDecay:
+    def test_zero_distance_is_one(self):
+        for name in ("linear", "exponential", "gaussian", "flat"):
+            assert resolve_decay(name, 3)(0) == 1.0
+
+    def test_linear_values(self):
+        f = resolve_decay("linear", 3)
+        assert f(1) == pytest.approx(0.75)
+        assert f(3) == pytest.approx(0.25)
+
+    def test_flat(self):
+        f = resolve_decay("flat", 2)
+        assert f(2) == 1.0
+
+
+class TestDistribute:
+    def test_no_decay_is_normalized_count(self):
+        # 3 targets, 2 sources each matching one target.
+        ti = np.array([0, 2])
+        si = np.array([0, 1])
+        w = np.array([1.0, 1.0])
+        out = distribute_group(
+            ti, si, w, 3, 2, np.ones(2), target_lengths=np.ones(3),
+            decay_size=0,
+        )
+        np.testing.assert_allclose(out.ravel(), [1.0, 0.0, 1.0])
+
+    def test_conservation(self):
+        """Σ distributed == Σ source data (the HIN invariant,
+        reference ``tests/test_integration.py:333-369``)."""
+        rng = np.random.default_rng(0)
+        n, m = 20, 7
+        ti = rng.integers(0, n, 15)
+        si = rng.integers(0, m, 15)
+        w = rng.random(15)
+        data = rng.random(m)
+        lengths = rng.random(n) + 0.5
+        for decay in ("linear", "gaussian", "flat"):
+            out = distribute_group(
+                ti, si, w, n, m, data, target_lengths=lengths,
+                decay_size=2, decay_func=decay,
+            )
+            # Sources with at least one pair entry distribute fully.
+            active = np.zeros(m, dtype=bool)
+            active[si] = True
+            assert out.sum() == pytest.approx(data[active].sum())
+
+    def test_forward_direction(self):
+        ti = np.array([2])
+        si = np.array([0])
+        w = np.array([1.0])
+        out = distribute_group(
+            ti, si, w, 5, 1, np.ones(1), target_lengths=np.ones(5),
+            decay_size=1, decay_func="linear", direction="forward",
+        )
+        # 'forward': row i receives arr[i+step] → row 1 gets the shifted
+        # share (reference relate.py:1476 row-offset convention).
+        assert out[1, 0] > 0
+        assert out[3, 0] == 0
+
+    def test_length_normalize_favors_long(self):
+        ti = np.array([0])
+        si = np.array([0])
+        w = np.array([1.0])
+        out = distribute_group(
+            ti, si, w, 2, 1, np.ones(1), target_lengths=np.array([1.0, 9.0]),
+            decay_size=1, decay_func="flat",
+        )
+        assert out[1, 0] > out[0, 0]
+
+
+class TestCells:
+    def test_point_cell_stable(self):
+        c1 = cell_of_points(np.array([1.0]), np.array([2.0]), 8)
+        c2 = cell_of_points(np.array([1.0]), np.array([2.0]), 8)
+        assert c1[0] == c2[0]
+
+    def test_distinct_cells(self):
+        g = cell_size(8)
+        c = cell_of_points(np.array([0.0, g * 1.5]), np.array([0.0, 0.0]), 8)
+        assert c[0] != c[1]
+
+    def test_negative_coords(self):
+        c = cell_of_points(np.array([-5.0, 5.0]), np.array([-5.0, 5.0]), 8)
+        assert c[0] != c[1]
+
+    def test_cover_contains_point_cell(self):
+        rows, cells = cover_bbox(
+            np.array([0.0]), np.array([0.0]), np.array([10.0]), np.array([3.0]),
+            8, pad=0.5,
+        )
+        pc = cell_of_points(np.array([7.0]), np.array([2.0]), 8)[0]
+        assert pc in set(cells.tolist())
+        assert set(rows.tolist()) == {0}
+
+    def test_grid_matches_floor(self):
+        ix, iy = grid_of_points(np.array([-0.1, 3.9]), np.array([4.1, -7.2]), 10)
+        g = cell_size(10)
+        assert ix.tolist() == [int(np.floor(-0.1 / g)), int(np.floor(3.9 / g))]
+
+
+class TestCodec:
+    def test_raw_roundtrip(self):
+        px = codec.reference_pixels("img-1", 8, 6)
+        data = codec.encode_image(px, "raw")
+        out, fmt = codec.decode_image(data)
+        assert fmt == "raw"
+        np.testing.assert_array_equal(out, px)
+        assert codec.psnr(out, px) == np.inf
+
+    def test_qz_lossy_psnr_above_40(self):
+        px = codec.reference_pixels("img-2", 16, 16)
+        out, fmt = codec.decode_image(codec.encode_image(px, "qz"))
+        assert fmt == "qz"
+        p = codec.psnr(out, px)
+        assert 40.0 <= p < np.inf
+
+    def test_psnr_batch(self):
+        a = codec.reference_pixels("a", 4, 4).ravel()
+        b = codec.reference_pixels("b", 4, 4).ravel()
+        flat_a = np.concatenate([a, a])
+        flat_b = np.concatenate([a, b])
+        out = codec.psnr_batch(flat_a, flat_b, np.array([a.size, b.size]))
+        assert out[0] == np.inf
+        assert out[1] < 30
+
+    def test_real_formats_stubbed(self):
+        px = codec.reference_pixels("x", 4, 4)
+        with pytest.raises(NotImplementedError):
+            codec.encode_image(px, "jpeg")
+
+
+class TestHashing:
+    def test_minhash_similarity_ordering(self):
+        a, b = minhash_params(64)
+        t1 = "the quick brown fox jumps over the lazy dog again and again"
+        t2 = "the quick brown fox jumps over the lazy cat again and again"
+        t3 = "completely different text about ray data pipelines at scale"
+        s1 = minhash_signature(shingle_hashes(t1, 3), a, b)
+        s2 = minhash_signature(shingle_hashes(t2, 3), a, b)
+        s3 = minhash_signature(shingle_hashes(t3, 3), a, b)
+        sim12 = (s1 == s2).mean()
+        sim13 = (s1 == s3).mean()
+        assert sim12 > sim13
+
+    def test_lsh_band_match_for_identical(self):
+        a, b = minhash_params(64)
+        s = minhash_signature(shingle_hashes("hello world " * 5, 3), a, b)
+        assert (lsh_bands(s, 8) == lsh_bands(s.copy(), 8)).all()
+
+    def test_simhash_near_vs_far(self):
+        h1 = simhash("the quick brown fox jumps over the lazy dog")
+        h2 = simhash("the quick brown fox jumps over the lazy dogs")
+        h3 = simhash("zzz completely unrelated content 12345")
+        assert hamming64(np.array([h1]), np.array([h2]))[0] < hamming64(
+            np.array([h1]), np.array([h3])
+        )[0]
+
+    def test_rolling_fingerprint_overlap_for_shared_content(self):
+        base = "shared content block that is long enough to fingerprint " * 4
+        f1 = rolling_fingerprint(base + " suffix one")
+        f2 = rolling_fingerprint("prefix two " + base)
+        assert len(np.intersect1d(f1, f2)) > 0
