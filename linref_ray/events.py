@@ -1,0 +1,177 @@
+"""Stateless per-batch event operations (SURVEY §2.2).
+
+Every op here is a zero-copy-Arrow ``map_batches`` transform — no shuffle, no
+state, columns not involved pass through untouched. These mirror the
+reference's vectorized measure math (linref ``events/modify.py:182-304``,
+``ext/base.py:596-638,1239-1307``) expressed as ``pyarrow.compute`` kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from linref_ray.lrs import LRS
+
+
+def _set(tbl: pa.Table, name: str, arr) -> pa.Table:
+    idx = tbl.schema.get_field_index(name)
+    if idx == -1:
+        return tbl.append_column(name, arr)
+    return tbl.set_column(idx, name, arr)
+
+
+def extend(ds: ray.data.Dataset, lrs: LRS, d0: float = 0.0, d1: float = 0.0):
+    """beg -= d0, end += d1; point events upgrade to linear
+    (``events/modify.py:182-225``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if lrs.is_point:
+            loc = pc.cast(t[lrs.loc_col], pa.float64())
+            t = _set(t, lrs.beg_col or "beg", pc.subtract(loc, d0))
+            t = _set(t, lrs.end_col or "end", pc.add(loc, d1))
+            return t
+        t = _set(t, lrs.beg_col, pc.subtract(pc.cast(t[lrs.beg_col], pa.float64()), d0))
+        t = _set(t, lrs.end_col, pc.add(pc.cast(t[lrs.end_col], pa.float64()), d1))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def shift(ds: ray.data.Dataset, lrs: LRS, delta: float):
+    """All measures += delta (``events/modify.py:227-258``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c in (lrs.beg_col, lrs.end_col, lrs.loc_col):
+            if c and c in t.column_names:
+                t = _set(t, c, pc.add(pc.cast(t[c], pa.float64()), delta))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def round_measures(
+    ds: ray.data.Dataset, lrs: LRS, decimals: int = 0, factor: float | None = None
+):
+    """Round measures to decimals or nearest multiple of ``factor``
+    (``events/modify.py:260-304``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c in (lrs.beg_col, lrs.end_col, lrs.loc_col):
+            if c and c in t.column_names:
+                v = pc.cast(t[c], pa.float64())
+                if factor is not None:
+                    v = pc.multiply(
+                        pc.round(pc.divide(v, factor)), factor
+                    )
+                else:
+                    v = pc.round(v, ndigits=decimals)
+                t = _set(t, c, v)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def point_to_linear(
+    ds: ray.data.Dataset, lrs: LRS, beg_col: str = "beg", end_col: str = "end"
+):
+    """Copy loc → beg/end columns (``ext/base.py:1239-1307``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        loc = pc.cast(t[lrs.loc_col], pa.float64())
+        t = _set(t, beg_col, loc)
+        t = _set(t, end_col, loc)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def set_monotonic(ds: ray.data.Dataset, lrs: LRS):
+    """Swap beg/end so beg <= end (``events/base.py:657-673``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = pc.cast(t[lrs.beg_col], pa.float64())
+        e = pc.cast(t[lrs.end_col], pa.float64())
+        t = _set(t, lrs.beg_col, pc.min_element_wise(b, e))
+        t = _set(t, lrs.end_col, pc.max_element_wise(b, e))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def drop_invalid(ds: ray.data.Dataset, lrs: LRS):
+    """Drop rows with nulls in key/measure columns (``ext/base.py:596-638``)."""
+    cols = lrs.required_cols()
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in cols:
+            v = pc.is_valid(t[c])
+            if pa.types.is_floating(t.schema.field(c).type):
+                v = pc.and_(v, pc.invert(pc.is_nan(t[c])))
+            mask = v if mask is None else pc.and_(mask, v)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def select_group(ds: ray.data.Dataset, lrs: LRS, key_value):
+    """Filter to one route key (``events/selection.py:146-294``)."""
+    values = key_value if isinstance(key_value, tuple) else (key_value,)
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = None
+        for c, v in zip(lrs.key_col, values):
+            m = pc.equal(t[c], v)
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lengths(ds: ray.data.Dataset, lrs: LRS, out_col: str = "length"):
+    """Derived length column (``events/base.py:125-132``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _set(
+            t,
+            out_col,
+            pc.subtract(
+                pc.cast(t[lrs.end_col], pa.float64()),
+                pc.cast(t[lrs.beg_col], pa.float64()),
+            ),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_bearing(
+    ds: ray.data.Dataset,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    out_col: str = "bearing",
+    cardinal_col: str | None = None,
+    n_winds: int = 8,
+):
+    """First→last vertex bearing + optional compass label
+    (``utility/direction.py:7-76``)."""
+    from linref_ray.kernels.geometry import bearing, cardinal_direction
+
+    def fn(t: pa.Table) -> pa.Table:
+        xs = t[xs_col]
+        ys = t[ys_col]
+        x0 = pc.list_element(xs, 0).to_numpy(zero_copy_only=False)
+        y0 = pc.list_element(ys, 0).to_numpy(zero_copy_only=False)
+        xl = np.array([v[-1] for v in xs.to_pylist()])
+        yl = np.array([v[-1] for v in ys.to_pylist()])
+        b = bearing(x0, y0, xl, yl)
+        t = _set(t, out_col, pa.array(b))
+        if cardinal_col:
+            t = _set(
+                t, cardinal_col, pa.array(cardinal_direction(b, n_winds))
+            )
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,101 @@
+"""Partitioned hash join built on the engine's union + pid-groupby pattern.
+
+``ray.data.Dataset.join`` (2.49) fails when an input contains the
+zero-column empty blocks that ``groupby().map_groups`` emits for empty
+partitions — which is every relation/aggregate output here. This helper is
+the portable explicit-hash-join pattern instead: pad both sides to a common
+schema, tag, union, one hash shuffle on the key, then a per-partition pandas
+merge. Empty partitions produce empty typed output from our own kernel, so
+the result is safe to feed anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from linref_ray.partition import DEFAULT_NUM_PARTITIONS
+
+_JPID = "__jpid"
+_JSIDE = "__jside"
+
+
+def _pa_type(t) -> pa.DataType:
+    """Ray Schema types may be numpy dtypes / Python classes for pandas
+    blocks; coerce to a pyarrow DataType."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (str, object):
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except Exception:
+        return pa.string()
+
+
+def _schema_dict(ds: ray.data.Dataset) -> dict[str, pa.DataType]:
+    s = ds.schema()
+    return {n: _pa_type(t) for n, t in zip(s.names, s.types)}
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    how: str = "left",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Join two datasets on one key column (left/inner/outer)."""
+    lsch = _schema_dict(left)
+    rsch = _schema_dict(right)
+    overlap = (set(lsch) & set(rsch)) - {on}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    all_cols = {**lsch, **{k: v for k, v in rsch.items() if k not in lsch}}
+
+    def prep(side: int, sch: dict[str, pa.DataType]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for name, typ in all_cols.items():
+                if name in t.column_names:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            out = pa.table(cols)
+            h = pd.util.hash_array(t[on].to_numpy(zero_copy_only=False))
+            out = out.append_column(
+                _JPID, pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+            )
+            return out.append_column(
+                _JSIDE, pa.array(np.full(n, side, dtype=np.int8))
+            )
+
+        return fn
+
+    lp = left.map_batches(prep(0, lsch), batch_format="pyarrow")
+    rp = right.map_batches(prep(1, rsch), batch_format="pyarrow")
+
+    left_names = list(lsch)
+    right_only = [c for c in rsch if c not in lsch]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        l = df[df[_JSIDE] == 0][left_names]
+        r = df[df[_JSIDE] == 1][[on] + right_only]
+        out = l.merge(r, how=how, on=on)
+        # Outer joins upcast missing ints to float NaN; restore nullable ints
+        # so the output schema stays stable across partitions.
+        target = pa.schema([(c, all_cols[c]) for c in left_names + right_only])
+        for c in target.names:
+            if pa.types.is_integer(target.field(c).type) and out[c].dtype.kind == "f":
+                out[c] = out[c].astype("Int64")
+        return pa.Table.from_pandas(out, schema=target, preserve_index=False)
+
+    return (
+        lp.union(rp)
+        .groupby(_JPID)
+        .map_groups(kernel, batch_format="pyarrow")
+    )

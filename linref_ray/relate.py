@@ -1,0 +1,718 @@
+"""The relation core: overlay / intersect as a distributed pair table.
+
+Replaces the reference's sparse (n_left × n_right) relationship matrix
+(linref ``events/relate.py:194-214``, grouped wrapper ``:1821-1919``, chunked
+wrapper ``:1921-1956``) with a Ray-Data-native plan:
+
+    left  ─ map_batches(canonicalize + __pid) ─┐
+                                               ├─ union ─ groupby(__pid)
+    right ─ map_batches(canonicalize + __pid) ─┘        └ map_groups(sweep)
+                                                              │
+                                               pairs(left_id, right_id, weight,
+                                                     route_key, positions,
+                                                     carried value cols)
+
+- ONE hash shuffle co-partitions both sides by route key; the per-partition
+  kernel handles *all* routes in the partition with vectorized numpy (the
+  reference's per-group ``sp.block_diag`` assembly becomes simply "emit pair
+  rows") — O(nnz) instead of the reference's O(n·m) dense broadcast.
+- Aggregations become ``groupby(target_id)`` over the slim pair table, with
+  order-sensitive aggregators using a carried within-route position column.
+- Source values are carried through the sweep (``left_cols`` /
+  ``right_cols``) so no second join is needed to attach data.
+- Skew: for mega-routes pass ``bucket_size`` — rows are replicated into
+  measure buckets, the partition key becomes (route, bucket), and overlay
+  weights are window-clipped per bucket so bucket contributions sum exactly
+  to the unsharded weight (additivity tested at the kernel level). Closure
+  ``*_mod`` edge tests need whole-route runs and are not supported on the
+  salted path (documented partitioning assumption).
+
+Parity invariants mirrored from ``relate.py``: overlap clipped at 0, zero
+length normalization → 0, group mismatch → no pair, profile weights multiply
+a has-overlap mask.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from linref_ray.kernels.intervals import (
+    intersect_linear_linear_pairs,
+    intersect_point_linear_pairs,
+    intersect_point_point_pairs,
+    iter_group_segments,
+    modified_edges_sorted,
+    overlay_pairs,
+)
+from linref_ray.kernels.profile import resolve_profile
+from linref_ray.lrs import LRS
+from linref_ray.partition import (
+    BUCKET,
+    DEFAULT_NUM_PARTITIONS,
+    IDCOL,
+    KEYCOL,
+    PID,
+    SIDE,
+    add_partition_cols,
+    salted_partition_rows,
+)
+
+WEIGHT = "weight"
+LPOS = "__lpos"
+RPOS = "__rpos"
+LEFT_ID = "left_id"
+RIGHT_ID = "right_id"
+ROUTE_KEY = "route_key"
+
+
+def _prepare_side(
+    ds: ray.data.Dataset,
+    lrs: LRS,
+    side: int,
+    id_col: str,
+    carry: Sequence[str],
+    num_partitions: int,
+    carry_schema: dict[str, pa.DataType],
+    bucket_size: float | None,
+) -> ray.data.Dataset:
+    """Canonicalize one side: measures → beg/end/loc, key/pid/side/id cols."""
+    is_point = lrs.is_point
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        if is_point:
+            loc = pc.cast(tbl[lrs.loc_col], pa.float64())
+            cols["beg"] = loc
+            cols["end"] = loc
+            cols["loc"] = loc
+        else:
+            cols["beg"] = pc.cast(tbl[lrs.beg_col], pa.float64())
+            cols["end"] = pc.cast(tbl[lrs.end_col], pa.float64())
+            if lrs.loc_col and lrs.loc_col in tbl.column_names:
+                cols["loc"] = pc.cast(tbl[lrs.loc_col], pa.float64())
+            else:
+                cols["loc"] = pa.nulls(n, pa.float64())
+        for name, typ in carry_schema.items():
+            if name in carry and name in tbl.column_names:
+                cols[name] = pc.cast(tbl[name], typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        out = pa.table(cols)
+        for kc in lrs.key_col:
+            out = out.append_column(f"__k_{kc}", tbl[kc])
+        out = add_partition_cols(
+            out,
+            tuple(f"__k_{kc}" for kc in lrs.key_col),
+            num_partitions,
+            side=side,
+        )
+        out = out.append_column(IDCOL, pc.cast(tbl[id_col], pa.int64()))
+        out = out.drop_columns([f"__k_{kc}" for kc in lrs.key_col])
+        if bucket_size is not None:
+            begs = out["beg"].to_numpy(zero_copy_only=False)
+            ends = out["end"].to_numpy(zero_copy_only=False)
+            keys = out[KEYCOL].to_numpy(zero_copy_only=False)
+            rows, buckets, pid = salted_partition_rows(
+                begs, ends, keys, bucket_size, num_partitions
+            )
+            out = out.take(pa.array(rows))
+            out = out.set_column(
+                out.schema.get_field_index(PID), PID, pa.array(pid)
+            )
+            out = out.append_column(BUCKET, pa.array(buckets))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _np(tbl: pa.Table, col: str) -> np.ndarray:
+    return tbl[col].to_numpy(zero_copy_only=False)
+
+
+def _make_sweep_kernel(
+    method: str,
+    left_lrs: LRS,
+    right_lrs: LRS,
+    carry_left: Sequence[str],
+    carry_right: Sequence[str],
+    kwargs: dict,
+    bucket_size: float | None,
+):
+    """Build the per-partition multi-route sweep kernel (pyarrow in/out)."""
+    profile = resolve_profile(kwargs.get("profile")) if method == "overlay" else None
+    normalize = kwargs.get("normalize", True)
+    norm_by = kwargs.get("norm_by", "right")
+    enforce_edges = kwargs.get("enforce_edges", True)
+    l_point = left_lrs.is_point
+    r_point = right_lrs.is_point
+    l_closed = left_lrs.closed
+    r_closed = right_lrs.closed
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        empty = {
+            LEFT_ID: np.empty(0, np.int64),
+            RIGHT_ID: np.empty(0, np.int64),
+            ROUTE_KEY: pa.array([], pa.string()),
+            WEIGHT: np.empty(0, np.float64),
+            LPOS: np.empty(0, np.int64),
+            RPOS: np.empty(0, np.int64),
+        }
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: v for k, v in empty.items()},
+                    **{
+                        c: pa.nulls(0, tbl.schema.field(c).type)
+                        for c in (*carry_left, *carry_right)
+                    },
+                }
+            )
+        key = _np(tbl, KEYCOL)
+        side = _np(tbl, SIDE)
+        beg = _np(tbl, beg_col := "beg")
+        end = _np(tbl, "end")
+        loc = _np(tbl, "loc")
+        buckets = _np(tbl, BUCKET) if bucket_size is not None else None
+        # Sort: route (and bucket), then side, then standard (beg, end).
+        sort_cols = [end, beg, side, key]
+        if buckets is not None:
+            sort_cols = [end, beg, side, buckets, key]
+        order = np.lexsort(sort_cols)
+        key_s = key[order]
+        side_s = side[order]
+        beg_s = beg[order]
+        end_s = end[order]
+        loc_s = loc[order]
+        bucket_s = buckets[order] if buckets is not None else None
+
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        out_w: list[np.ndarray] = []
+        out_lp: list[np.ndarray] = []
+        out_rp: list[np.ndarray] = []
+        seg_key = (
+            key_s
+            if bucket_s is None
+            else np.char.add(key_s.astype(str), bucket_s.astype(str))
+        )
+        for a, z in iter_group_segments(seg_key):
+            split = a + int(np.searchsorted(side_s[a:z], 1))
+            ls = slice(a, split)
+            rs = slice(split, z)
+            nl, nr = split - a, z - split
+            if nl == 0 or nr == 0:
+                continue
+            window = None
+            if bucket_s is not None:
+                b = float(bucket_s[a]) * bucket_size
+                window = (b, b + bucket_size)
+            if method == "overlay":
+                li, ri, w = overlay_pairs(
+                    beg_s[ls], end_s[ls], beg_s[rs], end_s[rs],
+                    normalize=normalize, norm_by=norm_by, profile=profile,
+                    window=window,
+                )
+            else:  # intersect — dispatch on point/linear like relate.py:394-412
+                if window is not None:
+                    raise ValueError(
+                        "salted buckets are not supported for intersect "
+                        "(closure edge tests need whole-route runs)"
+                    )
+                if l_point and r_point:
+                    li, ri = intersect_point_point_pairs(loc_s[ls], loc_s[rs])
+                elif l_point:
+                    li, ri = intersect_point_linear_pairs(
+                        loc_s[ls], beg_s[rs], end_s[rs], r_closed,
+                        enforce_edges,
+                        modified_edges_sorted(beg_s[rs], end_s[rs], r_closed),
+                    )
+                    # kernel returns (point_pos, interval_pos) == (li, ri)
+                elif r_point:
+                    pi, ii = intersect_point_linear_pairs(
+                        loc_s[rs], beg_s[ls], end_s[ls], l_closed,
+                        enforce_edges,
+                        modified_edges_sorted(beg_s[ls], end_s[ls], l_closed),
+                    )
+                    li, ri = ii, pi
+                else:
+                    li, ri = intersect_linear_linear_pairs(
+                        beg_s[ls], end_s[ls], beg_s[rs], end_s[rs],
+                        l_closed, r_closed, enforce_edges,
+                        modified_edges_sorted(beg_s[ls], end_s[ls], l_closed),
+                        modified_edges_sorted(beg_s[rs], end_s[rs], r_closed),
+                    )
+                w = np.ones(len(li), dtype=np.float64)
+            if len(li):
+                out_l.append(li + a)
+                out_r.append(ri + split)
+                out_w.append(w)
+                out_lp.append(li)
+                out_rp.append(ri)
+        if not out_l:
+            return kernel(tbl.slice(0, 0))
+        gl = np.concatenate(out_l)
+        gr = np.concatenate(out_r)
+        take_l = pa.array(order[gl])
+        take_r = pa.array(order[gr])
+        cols = {
+            LEFT_ID: tbl[IDCOL].take(take_l),
+            RIGHT_ID: tbl[IDCOL].take(take_r),
+            ROUTE_KEY: tbl[KEYCOL].take(take_l),
+            WEIGHT: pa.array(np.concatenate(out_w)),
+            LPOS: pa.array(np.concatenate(out_lp)),
+            RPOS: pa.array(np.concatenate(out_rp)),
+        }
+        for c in carry_left:
+            cols[c] = tbl[c].take(take_l)
+        for c in carry_right:
+            cols[c] = tbl[c].take(take_r)
+        return pa.table(cols)
+
+    return kernel
+
+
+class Relation:
+    """Distributed analog of the reference's ``EventsRelation``.
+
+    ``target='left'`` aggregates right-side values onto left ids (the
+    reference's ``axis=1`` default); ``target='right'`` is ``axis=0``.
+    """
+
+    def __init__(
+        self,
+        left: ray.data.Dataset,
+        right: ray.data.Dataset,
+        left_lrs: LRS,
+        right_lrs: LRS | None = None,
+        id_col: str = "event_id",
+        right_id_col: str | None = None,
+        left_cols: Sequence[str] = (),
+        right_cols: Sequence[str] = (),
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        bucket_size: float | None = None,
+    ):
+        self.left = left
+        self.right = right
+        self.left_lrs = left_lrs
+        self.right_lrs = right_lrs or left_lrs
+        self.id_col = id_col
+        self.right_id_col = right_id_col or id_col
+        self.left_cols = tuple(left_cols)
+        self.right_cols = tuple(right_cols)
+        self.num_partitions = num_partitions
+        self.bucket_size = bucket_size
+        self._cache: dict = {}
+
+    # -- pair builders ----------------------------------------------------
+    def _carry_schema(self) -> dict[str, pa.DataType]:
+        from linref_ray.joins import _pa_type
+
+        out: dict[str, pa.DataType] = {}
+        ls = self.left.schema()
+        rs = self.right.schema()
+        for c in self.left_cols:
+            out[c] = _pa_type(ls.types[ls.names.index(c)])
+        for c in self.right_cols:
+            out[c] = _pa_type(rs.types[rs.names.index(c)])
+        return out
+
+    def _build(self, method: str, **kwargs) -> ray.data.Dataset:
+        cache_key = (method, tuple(sorted(kwargs.items())))
+        if cache_key in self._cache:
+            return self._cache[cache_key]
+        carry_schema = self._carry_schema()
+        bs = self.bucket_size if method == "overlay" else None
+        lp = _prepare_side(
+            self.left, self.left_lrs, 0, self.id_col, self.left_cols,
+            self.num_partitions, carry_schema, bs,
+        )
+        rp = _prepare_side(
+            self.right, self.right_lrs, 1, self.right_id_col, self.right_cols,
+            self.num_partitions, carry_schema, bs,
+        )
+        kernel = _make_sweep_kernel(
+            method, self.left_lrs, self.right_lrs,
+            self.left_cols, self.right_cols, kwargs, bs,
+        )
+        pairs = lp.union(rp).groupby(PID).map_groups(
+            kernel, batch_format="pyarrow"
+        )
+        self._cache[cache_key] = pairs
+        return pairs
+
+    def overlay(self, normalize=True, norm_by="right", profile=None):
+        """Pair table with overlay weights (``relate.py:588-651``)."""
+        if self.left_lrs.is_point or self.right_lrs.is_point:
+            raise ValueError("overlay requires linear events on both sides")
+        return self._build(
+            "overlay", normalize=normalize, norm_by=norm_by, profile=profile
+        )
+
+    def intersect(self, enforce_edges=True):
+        """Boolean intersect pair table (weight = 1.0)."""
+        return self._build("intersect", enforce_edges=enforce_edges)
+
+    def _method_pairs(self, method: str | None, **kwargs):
+        # Mirrors relate.py:394-412: point events force 'intersect'.
+        if method is None:
+            method = (
+                "intersect"
+                if (self.left_lrs.is_point or self.right_lrs.is_point)
+                else "overlay"
+            )
+        if method == "overlay":
+            return self.overlay(**kwargs)
+        return self.intersect(**kwargs)
+
+    # -- aggregators ------------------------------------------------------
+    def _tid(self, target: str) -> tuple[str, str, str]:
+        if target == "left":
+            return LEFT_ID, RIGHT_ID, RPOS
+        if target == "right":
+            return RIGHT_ID, LEFT_ID, LPOS
+        raise ValueError("target must be 'left' or 'right'")
+
+    def count(self, target="left", out_col="count", **kwargs):
+        tid, _, _ = self._tid(target)
+        pairs = self.intersect(**kwargs)
+        out = pairs.groupby(tid).aggregate(Count(alias_name=out_col))
+        return out.rename_columns({tid: self.id_col})
+
+    def sum(
+        self, col, target="left", method=None, conserve=False,
+        out_col=None, **kwargs,
+    ):
+        """Weighted sum (``relate.py:1023-1099``), incl. ``conserve``."""
+        tid, sid, _ = self._tid(target)
+        out_col = out_col or f"sum_{col}"
+        pairs = self._method_pairs(method, **kwargs)
+        if conserve:
+            # Normalize each source event's weights to sum 1.0
+            # (``relate.py:1077-1089``). Partitioning by source id makes the
+            # per-source totals local — no join needed.
+            def norm_kernel(t: pa.Table) -> pa.Table:
+                sids = _np(t, sid)
+                w = _np(t, WEIGHT).astype(np.float64)
+                order = np.argsort(sids, kind="stable")
+                sids_s = sids[order]
+                starts = np.concatenate([[True], sids_s[1:] != sids_s[:-1]])
+                run_start = np.flatnonzero(starts)
+                bounds = np.concatenate([run_start, [len(sids_s)]])
+                totals = np.add.reduceat(w[order], bounds[:-1])
+                run_of = np.cumsum(starts) - 1
+                tot_per_row = np.empty(len(w))
+                tot_per_row[order] = totals[run_of]
+                safe = np.where(tot_per_row == 0, np.inf, tot_per_row)
+                out = t.set_column(
+                    t.schema.get_field_index(WEIGHT), WEIGHT, pa.array(w / safe)
+                )
+                return out
+
+            pairs = self._agg_by_target(pairs, sid, norm_kernel)
+
+        def mul(t: pa.Table) -> pa.Table:
+            wv = pc.multiply(
+                pc.cast(t[col], pa.float64()),
+                t[WEIGHT],
+            )
+            return t.append_column("__wv", wv)
+
+        out = (
+            pairs.map_batches(mul, batch_format="pyarrow")
+            .groupby(tid)
+            .aggregate(Sum("__wv", alias_name=out_col))
+        )
+        return out.rename_columns({tid: self.id_col})
+
+    def mean(self, col, target="left", method=None, out_col=None, **kwargs):
+        """Weighted mean, NaN for no matches (``relate.py:1101-1169``)."""
+        tid, _, _ = self._tid(target)
+        out_col = out_col or f"mean_{col}"
+        pairs = self._method_pairs(method, **kwargs)
+
+        def mul(t: pa.Table) -> pa.Table:
+            wv = pc.multiply(pc.cast(t[col], pa.float64()), t[WEIGHT])
+            return t.append_column("__wv", wv)
+
+        out = (
+            pairs.map_batches(mul, batch_format="pyarrow")
+            .groupby(tid)
+            .aggregate(
+                Sum("__wv", alias_name="__num"), Sum(WEIGHT, alias_name="__den")
+            )
+        )
+
+        def div(t: pa.Table) -> pa.Table:
+            den = t["__den"].to_numpy(zero_copy_only=False)
+            num = t["__num"].to_numpy(zero_copy_only=False)
+            val = np.divide(
+                num, den, out=np.full(len(t), np.nan), where=den != 0
+            )
+            return pa.table({tid: t[tid], out_col: pa.array(val)})
+
+        return out.map_batches(div, batch_format="pyarrow").rename_columns(
+            {tid: self.id_col}
+        )
+
+    def _agg_by_target(self, pairs, tid: str, kernel, num_partitions=None):
+        """Partition pairs by hash(tid) and run a multi-target numpy kernel."""
+        nparts = num_partitions or self.num_partitions
+
+        def add_pid(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            h = pd.util.hash_array(t[tid].to_numpy(zero_copy_only=False))
+            return t.append_column(
+                "__apid", pa.array((h % np.uint64(nparts)).astype(np.int64))
+            )
+
+        return (
+            pairs.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("__apid")
+            .map_groups(kernel, batch_format="pyarrow")
+        )
+
+    def first(self, col, target="left", out_col=None, **kwargs):
+        return self._single(col, 0, target, out_col or f"first_{col}", **kwargs)
+
+    def last(self, col, target="left", out_col=None, **kwargs):
+        return self._single(col, -1, target, out_col or f"last_{col}", **kwargs)
+
+    def _single(self, col, index, target, out_col, **kwargs):
+        """i-th matching value in within-route source order
+        (``relate.py:756-878``; order = carried position column)."""
+        tid, _, pos_col = self._tid(target)
+        pairs = self.intersect(**kwargs)
+        id_col = self.id_col
+
+        def kernel(t: pa.Table) -> pa.Table:
+            tids = _np(t, tid)
+            pos = _np(t, pos_col)
+            order = np.lexsort([pos, tids])
+            tids_s = pos_s = None
+            tids_s = tids[order]
+            starts = np.concatenate(
+                [[True], tids_s[1:] != tids_s[:-1]]
+            )
+            run_start = np.flatnonzero(starts)
+            run_end = np.concatenate([run_start[1:], [len(tids_s)]])
+            pick = run_start + index if index >= 0 else run_end + index
+            valid = (pick >= run_start) & (pick < run_end)
+            take = pa.array(order[pick[valid]])
+            return pa.table(
+                {
+                    id_col: pa.array(tids_s[run_start[valid]]),
+                    out_col: t[col].take(take),
+                }
+            )
+
+        return self._agg_by_target(pairs, tid, kernel)
+
+    def mode(self, col, target="left", method=None, out_col=None, **kwargs):
+        """Weight-summed argmax per target; ties → smallest value
+        (``relate.py:1171-1290``: argmax over ascending unique values)."""
+        tid, _, _ = self._tid(target)
+        out_col = out_col or f"mode_{col}"
+        pairs = self._method_pairs(method, **kwargs)
+        id_col = self.id_col
+
+        def kernel(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.select([tid, col, WEIGHT]).to_pandas()
+            score = (
+                df.groupby([tid, col], sort=True)[WEIGHT].sum().reset_index()
+            )
+            # Stable: within tid, values ascending; idxmax picks first max.
+            best = score.loc[score.groupby(tid)[WEIGHT].idxmax()]
+            return pa.table(
+                {id_col: pa.array(best[tid].to_numpy()),
+                 out_col: pa.Array.from_pandas(best[col])}
+            )
+
+        return self._agg_by_target(pairs, tid, kernel)
+
+    def collect_list(
+        self, col, target="left", unique=False, out_col=None, **kwargs
+    ):
+        """All matching values per target as a list column
+        (``relate.py:880-967``), in within-route source order."""
+        tid, _, pos_col = self._tid(target)
+        out_col = out_col or f"{'set' if unique else 'list'}_{col}"
+        pairs = self.intersect(**kwargs)
+        id_col = self.id_col
+
+        def kernel(t: pa.Table) -> pa.Table:
+            tids = _np(t, tid)
+            pos = _np(t, pos_col)
+            vals = t[col].combine_chunks() if isinstance(
+                t[col], pa.ChunkedArray
+            ) else t[col]
+            order = np.lexsort([pos, tids])
+            tids_s = tids[order]
+            starts = np.concatenate([[True], tids_s[1:] != tids_s[:-1]])
+            run_start = np.flatnonzero(starts)
+            offsets = np.concatenate([run_start, [len(tids_s)]]).astype(np.int32)
+            taken = vals.take(pa.array(order))
+            lists = pa.ListArray.from_arrays(pa.array(offsets), taken)
+            out_ids = tids_s[run_start]
+            if unique:
+                lists = pc.list_distinct(lists)
+            return pa.table({id_col: pa.array(out_ids), out_col: lists})
+
+        return self._agg_by_target(pairs, tid, kernel)
+
+    def value_counts(self, col, target="left", **kwargs):
+        """Long-format (id, value, n) counts (``relate.py:969-1018``)."""
+        tid, _, _ = self._tid(target)
+        pairs = self.intersect(**kwargs)
+        out = pairs.groupby([tid, col]).aggregate(Count(alias_name="n"))
+        return out.rename_columns({tid: self.id_col})
+
+    def distribute(
+        self,
+        col=None,
+        target="left",
+        method=None,
+        decay_size=0,
+        decay_func="linear",
+        direction="both",
+        length_normalize=True,
+        out_col="distributed",
+        **kwargs,
+    ):
+        """Sliding-window smoothing (``relate.py:1292-1521``).
+
+        Implemented as a dedicated one-shuffle pipeline: targets + sources are
+        co-partitioned by route, and the per-route kernel builds the relation
+        and runs the banded distribute in one pass. Neighbor semantics are
+        row offsets in within-route standard order; routes must not be
+        measure-sharded for this operator (route-atomic partitioning).
+        """
+        from linref_ray.kernels.distribute import distribute_group
+
+        if target != "left":
+            raise NotImplementedError("distribute currently targets left")
+        tgt_lrs, src_lrs = self.left_lrs, self.right_lrs
+        if method is None:
+            method = (
+                "intersect" if (tgt_lrs.is_point or src_lrs.is_point) else "overlay"
+            )
+        carry_schema = self._carry_schema()
+        lp = _prepare_side(
+            self.left, tgt_lrs, 0, self.id_col, self.left_cols,
+            self.num_partitions, carry_schema, None,
+        )
+        rp = _prepare_side(
+            self.right, src_lrs, 1, self.right_id_col, self.right_cols,
+            self.num_partitions, carry_schema, None,
+        )
+        id_col = self.id_col
+        l_closed, r_closed = tgt_lrs.closed, src_lrs.closed
+        l_point, r_point = tgt_lrs.is_point, src_lrs.is_point
+        enforce_edges = kwargs.get("enforce_edges", True)
+        normalize = kwargs.get("normalize", True)
+        norm_by = kwargs.get("norm_by", "right")
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     out_col: pa.array([], pa.float64())}
+                )
+            key = _np(tbl, KEYCOL)
+            side = _np(tbl, SIDE)
+            beg = _np(tbl, "beg")
+            end = _np(tbl, "end")
+            loc = _np(tbl, "loc")
+            ids = _np(tbl, IDCOL)
+            data = (
+                pc.cast(tbl[col], pa.float64()).to_numpy(zero_copy_only=False)
+                if col is not None
+                else np.ones(len(tbl))
+            )
+            order = np.lexsort([end, beg, side, key])
+            out_ids: list[np.ndarray] = []
+            out_vals: list[np.ndarray] = []
+            key_s = key[order]
+            side_s = side[order]
+            for a, z in iter_group_segments(key_s):
+                seg = order[a:z]
+                split = a + int(np.searchsorted(side_s[a:z], 1))
+                lseg, rseg = order[a:split], order[split:z]
+                nl, nr = len(lseg), len(rseg)
+                if nl == 0:
+                    continue
+                if nr == 0:
+                    out_ids.append(ids[lseg])
+                    out_vals.append(np.zeros(nl))
+                    continue
+                if method == "overlay":
+                    li, ri, w = overlay_pairs(
+                        beg[lseg], end[lseg], beg[rseg], end[rseg],
+                        normalize=normalize, norm_by=norm_by,
+                    )
+                else:
+                    if l_point and r_point:
+                        li, ri = intersect_point_point_pairs(loc[lseg], loc[rseg])
+                    elif r_point:
+                        pi, ii = intersect_point_linear_pairs(
+                            loc[rseg], beg[lseg], end[lseg], l_closed,
+                            enforce_edges,
+                            modified_edges_sorted(beg[lseg], end[lseg], l_closed),
+                        )
+                        li, ri = ii, pi
+                    else:
+                        li, ri = intersect_linear_linear_pairs(
+                            beg[lseg], end[lseg], beg[rseg], end[rseg],
+                            l_closed, r_closed, enforce_edges,
+                            modified_edges_sorted(beg[lseg], end[lseg], l_closed),
+                            modified_edges_sorted(beg[rseg], end[rseg], r_closed),
+                        )
+                    w = np.ones(len(li))
+                res = distribute_group(
+                    li, ri, w, nl, nr, data[rseg],
+                    target_lengths=end[lseg] - beg[lseg],
+                    decay_size=decay_size, decay_func=decay_func,
+                    direction=direction, length_normalize=length_normalize,
+                )
+                out_ids.append(ids[lseg])
+                out_vals.append(res[:, 0])
+            if not out_ids:
+                return kernel(tbl.slice(0, 0))
+            return pa.table(
+                {
+                    id_col: pa.array(np.concatenate(out_ids)),
+                    out_col: pa.array(np.concatenate(out_vals)),
+                }
+            )
+
+        return lp.union(rp).groupby(PID).map_groups(
+            kernel, batch_format="pyarrow"
+        )
+
+
+def attach(
+    target: ray.data.Dataset,
+    agg: ray.data.Dataset,
+    on: str = "event_id",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Left join aggregate results back onto the target dataset.
+
+    Target ids are unique (the reference assigns the aggregated numpy array
+    straight back onto the frame); unmatched rows get nulls. Uses the
+    engine's partitioned hash join (see :mod:`linref_ray.joins` for why not
+    ``Dataset.join``).
+    """
+    from linref_ray.joins import hash_join
+
+    return hash_join(target, agg, on=on, how="left", num_partitions=num_partitions)

@@ -1,0 +1,252 @@
+"""Ray-level relation tests: the canonical reference fixtures run through the
+full distributed pipeline (prepare → union → pid shuffle → sweep kernel →
+aggregate), asserting exact parity with the expected matrices from
+``linref/tests/test_events_relate.py``.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from linref_ray.lrs import LRS
+from linref_ray.relate import Relation, attach
+
+LIN = LRS(key_col=("route",), beg_col="beg", end_col="end", closed="right")
+PT = LRS(key_col=("route",), beg_col=None, end_col=None, loc_col="loc", closed="right")
+
+
+@pytest.fixture
+def canonical(ray_session):
+    left = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "route": ["1", "1", "2"],
+            "beg": [0.0, 10.0, 20.0],
+            "end": [10.0, 20.0, 30.0],
+            "lval": [100.0, 200.0, 300.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "route": ["1", "1", "2"],
+            "beg": [5.0, 15.0, 25.0],
+            "end": [15.0, 25.0, 35.0],
+            "rval": [1.0, 2.0, 4.0],
+        }
+    )
+    return rd.from_pandas(left), rd.from_pandas(right)
+
+
+def pairs_dict(ds):
+    df = ds.to_pandas()
+    return {
+        (int(l), int(r)): float(w)
+        for l, r, w in zip(df.left_id, df.right_id, df.weight)
+    }
+
+
+class TestOverlayPipeline:
+    def test_raw_pairs(self, canonical):
+        l, r = canonical
+        rel = Relation(l, r, LIN, num_partitions=4)
+        d = pairs_dict(rel.overlay(normalize=False))
+        assert d == {(0, 0): 5.0, (1, 0): 5.0, (1, 1): 5.0, (2, 2): 5.0}
+
+    def test_normalized(self, canonical):
+        l, r = canonical
+        rel = Relation(l, r, LIN, num_partitions=4)
+        d = pairs_dict(rel.overlay())
+        assert d == {(0, 0): 0.5, (1, 0): 0.5, (1, 1): 0.5, (2, 2): 0.5}
+
+    def test_salted_bucket_parity(self, canonical):
+        """Salted path (bucket_size) must reproduce the plain pair weights —
+        summing window-clipped replicas."""
+        l, r = canonical
+        plain = pairs_dict(Relation(l, r, LIN, num_partitions=4).overlay())
+        salted_ds = Relation(
+            l, r, LIN, num_partitions=4, bucket_size=7.0
+        ).overlay()
+        df = salted_ds.to_pandas()
+        acc = df.groupby(["left_id", "right_id"]).weight.sum()
+        got = {(int(a), int(b)): float(v) for (a, b), v in acc.items()}
+        assert set(got) == set(plain)
+        for k in plain:
+            assert got[k] == pytest.approx(plain[k])
+
+    def test_sum_aggregate(self, canonical):
+        l, r = canonical
+        rel = Relation(l, r, LIN, right_cols=["rval"], num_partitions=4)
+        out = (
+            rel.sum("rval", target="left", out_col="s")
+            .to_pandas()
+            .set_index("event_id")
+            .s
+        )
+        # left0: 0.5*1; left1: 0.5*1 + 0.5*2; left2: 0.5*4
+        assert out[0] == pytest.approx(0.5)
+        assert out[1] == pytest.approx(1.5)
+        assert out[2] == pytest.approx(2.0)
+
+    def test_sum_conserve(self, canonical):
+        """conserve=True: each source's full value lands
+        (``relate.py:1077-1089``)."""
+        l, r = canonical
+        rel = Relation(l, r, LIN, right_cols=["rval"], num_partitions=4)
+        out = rel.sum("rval", conserve=True, out_col="s").to_pandas()
+        # Each right event's weights across lefts normalized to 1 → total
+        # distributed == total rval of matched sources (1 + 2 + 4).
+        assert out.s.sum() == pytest.approx(7.0)
+
+    def test_mean_aggregate(self, canonical):
+        l, r = canonical
+        rel = Relation(l, r, LIN, right_cols=["rval"], num_partitions=4)
+        out = (
+            rel.mean("rval", out_col="m").to_pandas().set_index("event_id").m
+        )
+        assert out[1] == pytest.approx((0.5 * 1 + 0.5 * 2) / 1.0)
+
+    def test_count(self, canonical):
+        l, r = canonical
+        rel = Relation(l, r, LIN, num_partitions=4)
+        out = rel.count().to_pandas().set_index("event_id")["count"]
+        assert out[0] == 1 and out[1] == 2 and out[2] == 1
+
+    def test_attach_join_back(self, canonical):
+        l, r = canonical
+        rel = Relation(l, r, LIN, right_cols=["rval"], num_partitions=4)
+        agg = rel.sum("rval", out_col="s")
+        joined = attach(l, agg, on="event_id", num_partitions=4).to_pandas()
+        assert len(joined) == 3
+        assert joined.set_index("event_id").s[1] == pytest.approx(1.5)
+
+
+class TestIntersectPipeline:
+    def test_point_linear_counts(self, ray_session):
+        pts = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1, 2, 3],
+                    "route": ["1", "1", "1", "2"],
+                    "loc": [5.0, 10.0, 30.0, 5.0],
+                }
+            )
+        )
+        lines = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1, 2],
+                    "route": ["1", "1", "2"],
+                    "beg": [0.0, 10.0, 0.0],
+                    "end": [10.0, 20.0, 10.0],
+                }
+            )
+        )
+        rel = Relation(
+            pts, lines, PT, LRS(key_col=("route",), closed="both"),
+            num_partitions=4,
+        )
+        d = {
+            (int(a), int(b))
+            for a, b in zip(*(lambda df: (df.left_id, df.right_id))(
+                rel.intersect().to_pandas()
+            ))
+        }
+        # loc 5 in [0,10]; loc 10 in both (closed='both'); loc 30 in none;
+        # route-2 loc 5 only in route-2 line.
+        assert d == {(0, 0), (1, 0), (1, 1), (3, 2)}
+
+    def test_first_last_list(self, ray_session):
+        pts = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0],
+                    "route": ["1"],
+                    "loc": [5.0],
+                }
+            )
+        )
+        lines = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [10, 11, 12],
+                    "route": ["1", "1", "1"],
+                    "beg": [0.0, 2.0, 4.0],
+                    "end": [10.0, 12.0, 14.0],
+                    "name": ["a", "b", "c"],
+                }
+            )
+        )
+        rel = Relation(
+            pts, lines, PT, LRS(key_col=("route",), closed="both"),
+            right_cols=["name"], num_partitions=4,
+        )
+        first = rel.first("name").to_pandas()
+        last = rel.last("name").to_pandas()
+        assert first.first_name.tolist() == ["a"]
+        assert last.last_name.tolist() == ["c"]
+        lst = rel.collect_list("name").to_pandas()
+        assert list(lst.list_name.tolist()[0]) == ["a", "b", "c"]
+
+    def test_mode_and_value_counts(self, ray_session):
+        pts = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [0], "route": ["1"], "loc": [5.0]}
+            )
+        )
+        lines = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [10, 11, 12],
+                    "route": ["1"] * 3,
+                    "beg": [0.0, 0.0, 0.0],
+                    "end": [10.0, 10.0, 10.0],
+                    "cat": ["x", "y", "y"],
+                }
+            )
+        )
+        rel = Relation(
+            pts, lines, PT, LRS(key_col=("route",), closed="both"),
+            right_cols=["cat"], num_partitions=4,
+        )
+        mode = rel.mode("cat").to_pandas()
+        assert mode.mode_cat.tolist() == ["y"]
+        vc = rel.value_counts("cat").to_pandas()
+        got = {(r.cat): int(r.n) for r in vc.itertuples()}
+        assert got == {"x": 1, "y": 2}
+
+    def test_distribute_conservation(self, ray_session):
+        """HIN invariant: Σ distributed == number of crashes
+        (reference ``tests/test_integration.py:333-369``)."""
+        segs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": range(10),
+                    "route": ["1"] * 6 + ["2"] * 4,
+                    "beg": [0.0, 1, 2, 3, 4, 5, 0, 1, 2, 3],
+                    "end": [1.0, 2, 3, 4, 5, 6, 1, 2, 3, 4],
+                }
+            )
+        )
+        crashes = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": range(7),
+                    "route": ["1", "1", "1", "2", "2", "2", "2"],
+                    "loc": [0.5, 2.5, 4.5, 0.5, 1.5, 2.5, 3.5],
+                }
+            )
+        )
+        rel = Relation(
+            segs,
+            crashes,
+            LRS(key_col=("route",), closed="left_mod"),
+            LRS(key_col=("route",), beg_col=None, end_col=None, loc_col="loc"),
+            num_partitions=4,
+        )
+        out = rel.distribute(
+            decay_size=2, decay_func="linear", out_col="score"
+        ).to_pandas()
+        assert len(out) == 10
+        assert out.score.sum() == pytest.approx(7.0)
