@@ -1,44 +1,542 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image→snap→overlay→tile pipeline at sf0.001
+scale. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the correctness gate. Ray is initialised by the
+driver BEFORE this module is imported — nothing here calls ``ray.init``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Driver tables are mapped deterministically into the LRS shape (both in the
+Ray callables and the SQL so the comparison is apples-to-apples):
+
+    events.parquet → linear events:  route_id = user_id % 32 (as string),
+        beg = value * 10, end = beg + 1 + (event_id % 8)
+    events.parquet (odd ids) → point events: loc = value * 20
+    lineitem.parquet → volume table for aggregate queries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from linref_ray import synth
+from linref_ray.lrs import LRS
+
+NPARTS = int(os.environ.get("LINREF_RAY_PARTITIONS", "16"))
+
+LIN = LRS(key_col=("route_id",), beg_col="beg", end_col="end", closed="right")
+PT = LRS(key_col=("route_id",), beg_col=None, end_col=None, loc_col="loc",
+         closed="right")
+
+# ---------------------------------------------------------------------------
+# Deterministic mappings of the driver tables into LRS shape
+# ---------------------------------------------------------------------------
+
+
+def _events_linear(sf_dir: str, parity: int | None = None) -> rd.Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value", "event_type"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        route = pc.cast(pc.bit_wise_and(t["user_id"], 31), pa.string())
+        beg = pc.multiply(t["value"], 10.0)
+        end = pc.add(
+            beg,
+            pc.add(1.0, pc.cast(pc.bit_wise_and(t["event_id"], 7), pa.float64())),
+        )
+        out = (
+            t.append_column("route_id", route)
+            .append_column("beg", beg)
+            .append_column("end", end)
+        )
+        if parity is not None:
+            out = out.filter(
+                pc.equal(pc.bit_wise_and(out["event_id"], 1), parity)
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _events_points(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1))
+        route = pc.cast(pc.bit_wise_and(t["user_id"], 31), pa.string())
+        loc = pc.multiply(t["value"], 20.0)
+        return t.append_column("route_id", route).append_column("loc", loc)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_EVENTS = """
+with e as (
+  select event_id, cast(user_id % 32 as varchar) as route_id,
+         value * 10 as beg, value * 10 + 1 + (event_id % 8) as "end",
+         value, event_type
+  from events
+),
+l as (select * from e where event_id % 2 = 0),
+r as (select * from e where event_id % 2 = 1),
+p as (select event_id, cast(user_id % 32 as varchar) as route_id,
+             value * 20 as loc from events where event_id % 2 = 1)
+"""
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _round_cols(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
+    """Round float columns to fixed decimals — applied identically in the SQL
+    oracles so distributed-summation float noise cannot break value-hash
+    parity."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c, k in cols.items():
+            idx = t.schema.get_field_index(c)
+            t = t.set_column(idx, c, pc.round(t[c], ndigits=k))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_overlay_raw(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        num_partitions=NPARTS,
+    )
+    pairs = rel.overlay(normalize=False)
+    out = pairs.select_columns(["left_id", "right_id", "weight"]).rename_columns(
+        {"weight": "ovl"}
+    )
+    return _round_cols(out, {"ovl": 6})
+
+
+def _q_overlay_norm_sum(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        right_cols=["value"], num_partitions=NPARTS,
+    )
+    return _round_cols(rel.sum("value", target="left", out_col="wsum"), {"wsum": 6})
+
+
+def _q_overlay_mean(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        right_cols=["value"], num_partitions=NPARTS,
+    )
+    return _round_cols(rel.mean("value", target="left", out_col="wmean"), {"wmean": 6})
+
+
+def _q_overlay_conserve(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        right_cols=["value"], num_partitions=NPARTS,
+    )
+    return _round_cols(rel.sum("value", target="left", conserve=True, out_col="csum"), {"csum": 6})
+
+
+def _q_intersect_count(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_points(sf_dir), _events_linear(sf_dir, 0), PT, LIN,
+        num_partitions=NPARTS,
+    )
+    return rel.count(target="left", out_col="n")
+
+
+def _q_intersect_mode(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_points(sf_dir), _events_linear(sf_dir, 0), PT, LIN,
+        right_cols=["event_type"], num_partitions=NPARTS,
+    )
+    return rel.mode("event_type", target="left", out_col="mode_type")
+
+
+def _q_value_counts(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_points(sf_dir), _events_linear(sf_dir, 0), PT, LIN,
+        right_cols=["event_type"], num_partitions=NPARTS,
+    )
+    return rel.value_counts("event_type", target="left")
+
+
+def _q_dissolve(sf_dir: str):
+    from linref_ray import modify as md
+
+    ds = _events_linear(sf_dir, None)
+    out = md.dissolve(ds, LIN, num_partitions=NPARTS)
+    return out.select_columns(["route_id", "beg", "end", "n_events"])
+
+
+def _q_resegment(sf_dir: str):
+    from linref_ray import modify as md
+
+    ds = _events_linear(sf_dir, 0)
+    out = md.resegment(ds, LIN, length=2.0, fill="cut")
+    return out.select_columns(["event_id", "beg", "end"])
+
+
+def _q_find_inside(sf_dir: str):
+    from linref_ray import modify as md
+
+    ds = _events_linear(sf_dir, None)
+    out = md.flag_inside(ds, LIN, enforce_edges=False)
+    return out.select_columns(["event_id", "inside"])
+
+
+def _q_duplicated(sf_dir: str):
+    from linref_ray import modify as md
+
+    ds = _events_linear(sf_dir, None)
+    out = md.flag_duplicated(ds, LIN, keep="first", out_col="is_dup")
+    return out.select_columns(["event_id", "is_dup"])
+
+
+def _q_extend_round(sf_dir: str):
+    from linref_ray import events as ev
+
+    ds = _events_linear(sf_dir, 0)
+    out = ev.round_measures(ev.extend(ds, LIN, 0.5, 0.5), LIN, factor=0.5)
+    return out.select_columns(["event_id", "beg", "end"])
+
+
+def _q_integrate(sf_dir: str):
+    from linref_ray import modify as md
+
+    a = _events_linear(sf_dir, 0)
+    b = _events_linear(sf_dir, 1)
+    out = md.integrate([a, b], [LIN, LIN], num_partitions=NPARTS)
+    return out.select_columns(["route_id", "beg", "end"])
+
+
+def _q_tpch_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_price",
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+        )
+
+    out = (
+        ds.map_batches(rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_disc_price": 2})
+
+
+def _q_tile_histogram(sf_dir: str):
+    """Points from the events table binned into grid cells (res 10)."""
+    from linref_ray.spatial import tile_histogram
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.multiply(t["value"], 7.0)
+        y = pc.cast(pc.multiply(t["user_id"], 3), pa.float64())
+        return t.append_column("x", x).append_column("y", y)
+
+    return tile_histogram(
+        ds.map_batches(fn, batch_format="pyarrow"), res=10
+    )
+
+
+def _q_knn(sf_dir: str):
+    from linref_ray.similarity import knn_brute_force
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_cols(knn_brute_force(emb, query_ids=(0, 1, 2), k=5), {"cosine": 6})
+
+
+def _q_dedup_exact(sf_dir: str):
+    from linref_ray.dedup import exact_dedup
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+def _q_token_stats(sf_dir: str):
+    from linref_ray.text import token_stats
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return token_stats(docs)
+
+
+def _q_langid(sf_dir: str):
+    from linref_ray.text import language_id
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return language_id(docs)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from linref_ray.dedup import minhash_near_duplicates
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_near_duplicates(docs, threshold=0.6)
+
+
+def _q_simhash(sf_dir: str):
+    from linref_ray.dedup import simhash_signatures
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_signatures(docs)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: images → invariants → geotag → snap → event join → tiles."""
+    from linref_ray.images import image_pipeline
+
+    routes = synth.make_routes(16, seed=42)
+    events = rd.from_arrow(synth.make_events(routes, density=0.05))
+    images = rd.from_arrow(synth.make_images(500))
+    per_event, tiles, snapped = image_pipeline(
+        images, routes, events,
+        buffer=6.0, cell_res=6, num_partitions=8, snap_concurrency=2,
+    )
+    return per_event
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "overlay_raw": _q_overlay_raw,
+        "overlay_norm_sum": _q_overlay_norm_sum,
+        "overlay_mean": _q_overlay_mean,
+        "overlay_conserve": _q_overlay_conserve,
+        "intersect_count": _q_intersect_count,
+        "intersect_mode": _q_intersect_mode,
+        "value_counts": _q_value_counts,
+        "dissolve": _q_dissolve,
+        "resegment": _q_resegment,
+        "find_inside": _q_find_inside,
+        "duplicated": _q_duplicated,
+        "extend_round": _q_extend_round,
+        "integrate": _q_integrate,
+        "tpch_pricing": _q_tpch_pricing,
+        "tile_histogram": _q_tile_histogram,
+        "knn": _q_knn,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "langid": _q_langid,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "overlay_raw": _SQL_EVENTS + """
+select l.event_id as left_id, r.event_id as right_id,
+       round(least(l."end", r."end") - greatest(l.beg, r.beg), 6) as ovl
+from l join r on l.route_id = r.route_id
+ and l.beg < r."end" and r.beg < l."end"
+ and least(l."end", r."end") > greatest(l.beg, r.beg)
+""",
+        "overlay_norm_sum": _SQL_EVENTS + """
+select l.event_id, round(sum(
+  (least(l."end", r."end") - greatest(l.beg, r.beg))
+  / (r."end" - r.beg) * r.value), 6) as wsum
+from l join r on l.route_id = r.route_id
+ and l.beg < r."end" and r.beg < l."end"
+ and least(l."end", r."end") > greatest(l.beg, r.beg)
+group by l.event_id
+""",
+        "overlay_mean": _SQL_EVENTS + """
+select l.event_id, round(sum(
+  (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)
+  * r.value) / sum(
+  (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)), 6)
+  as wmean
+from l join r on l.route_id = r.route_id
+ and l.beg < r."end" and r.beg < l."end"
+ and least(l."end", r."end") > greatest(l.beg, r.beg)
+group by l.event_id
+""",
+        "overlay_conserve": _SQL_EVENTS + """
+, w as (
+  select l.event_id as lid, r.event_id as rid, r.value,
+         (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)
+         as wt
+  from l join r on l.route_id = r.route_id
+   and l.beg < r."end" and r.beg < l."end"
+   and least(l."end", r."end") > greatest(l.beg, r.beg)
+), t as (select rid, sum(wt) as tot from w group by rid)
+select w.lid as event_id, round(sum(w.wt / t.tot * w.value), 6) as csum
+from w join t on w.rid = t.rid
+group by w.lid
+""",
+        # closed='right': loc > beg and loc <= end
+        "intersect_count": _SQL_EVENTS + """
+select p.event_id, count(*) as n
+from p join l on p.route_id = l.route_id
+ and p.loc > l.beg and p.loc <= l."end"
+group by p.event_id
+""",
+        "intersect_mode": _SQL_EVENTS + """
+, m as (
+  select p.event_id, e2.event_type, count(*) as c
+  from p join (select l.*, ev.event_type from l
+               join events ev on ev.event_id = l.event_id) e2
+    on p.route_id = e2.route_id and p.loc > e2.beg and p.loc <= e2."end"
+  group by p.event_id, e2.event_type
+)
+select event_id, event_type as mode_type
+from (select m.*, row_number() over (
+        partition by event_id order by c desc, event_type asc) as rk from m)
+where rk = 1
+""",
+        "value_counts": _SQL_EVENTS + """
+select p.event_id, e2.event_type, count(*) as n
+from p join (select l.*, ev.event_type from l
+             join events ev on ev.event_id = l.event_id) e2
+  on p.route_id = e2.route_id and p.loc > e2.beg and p.loc <= e2."end"
+group by p.event_id, e2.event_type
+""",
+        "dissolve": _SQL_EVENTS + """
+, s as (
+  select route_id, beg, "end",
+         case when beg = lag("end") over (
+             partition by route_id order by beg, "end") then 0 else 1 end as brk
+  from e
+), runs as (
+  select route_id, beg, "end",
+         sum(brk) over (partition by route_id order by beg, "end"
+                        rows unbounded preceding) as run_id
+  from s
+)
+select route_id, min(beg) as beg, max("end") as "end",
+       count(*) as n_events
+from runs group by route_id, run_id
+""",
+        "resegment": _SQL_EVENTS + """
+select l.event_id,
+       l.beg + (gs.g - 1) * 2.0 as beg,
+       least(l.beg + gs.g * 2.0, l."end") as "end"
+from l, lateral (
+  select unnest(generate_series(1,
+      cast(ceil((l."end" - l.beg) / 2.0) as bigint))) as g) gs
+""",
+        "find_inside": _SQL_EVENTS + """
+select e.event_id,
+       exists (select 1 from e e2
+               where e2.route_id = e.route_id
+                 and e2.beg < e.beg and e2."end" > e."end") as inside
+from e
+""",
+        "duplicated": _SQL_EVENTS + """
+select event_id,
+       row_number() over (partition by route_id, beg, "end"
+                          order by event_id) > 1 as is_dup
+from e
+""",
+        "extend_round": _SQL_EVENTS + """
+select event_id, round((beg - 0.5) / 0.5) * 0.5 as beg,
+       round(("end" + 0.5) / 0.5) * 0.5 as "end"
+from l
+""",
+        "integrate": _SQL_EVENTS + """
+, edges as (
+  select route_id, beg as v from e union
+  select route_id, "end" as v from e
+), grid as (
+  select route_id, v as beg,
+         lead(v) over (partition by route_id order by v) as "end"
+  from edges
+)
+select g.route_id, g.beg, g."end"
+from grid g
+where g."end" is not null
+  and exists (select 1 from e
+              where e.route_id = g.route_id
+                and e.beg < g."end" and e."end" > g.beg)
+""",
+        "tpch_pricing": """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       count(*) as n_rows
+from lineitem group by l_returnflag, l_linestatus
+""",
+        "tile_histogram": """
+select cast(floor(value * 7.0 / 1.0) as bigint) as ix,
+       cast(floor(user_id * 3 / 1.0) as bigint) as iy,
+       count(*) as n
+from events group by 1, 2
+""",
+        "knn": """
+with q as (select vec_id as query_id, embedding as qe from embeddings
+           where vec_id in (0, 1, 2)),
+d as (select q.query_id, e.vec_id,
+             list_cosine_similarity(cast(q.qe as double[]), cast(e.embedding as double[])) as cosine
+      from q, embeddings e where e.vec_id != q.query_id)
+select query_id, vec_id, round(cosine, 6) as cosine
+from (select d.*, row_number() over (
+        partition by query_id order by cosine desc, vec_id asc) as rk from d)
+where rk <= 5
+""",
+        "dedup_exact": """
+select min(doc_id) as doc_id, count(*) as n_copies
+from documents group by text
+""",
+        "token_stats": """
+select doc_id, length(text) as n_chars,
+       length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+         as n_tokens
+from documents
+""",
+        # langid / minhash_dedup / simhash: heuristic & hash pipelines —
+        # rows-only checks (not ANSI-SQL-expressible).
+    }

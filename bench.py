@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": {...}}
+
+``--scaling`` runs the same bench in two fresh processes
+(RAY_GRAFT_CPUS=8 then 32) and reports both times + scaling efficiency —
+the sandbox evidence for the N→4N cluster criterion (BASELINE.md).
+
+This script OWNS its Ray session (the only place besides tests allowed to).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+    from linref_ray import synth
+    from linref_ray.images import image_pipeline
+
+    # Scale the image corpus with the sf level (sf0.1 → 120k 32×32 images).
+    n_images = max(2_000, int(float(sf) * 1_200_000)) if sf else 20_000
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # Warm the page cache so we measure compute + shuffle, not cold reads.
+    rd.read_parquet(f"{sf_dir}/events.parquet").count()
+    rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # 1. Flagship: image corpus → invariants → geotag → snap → join → tiles.
+    t0 = time.time()
+    routes = synth.make_routes(64, seed=42)
+    events = rd.from_arrow(synth.make_events(routes, density=0.05))
+    images = synth.images_dataset(
+        n_images, w=32, h=32, num_blocks=max(num_cpus * 4, 16)
+    )
+    per_event, tiles, snapped = image_pipeline(
+        images,
+        routes,
+        events,
+        buffer=6.0,
+        cell_res=6,
+        num_partitions=max(num_cpus * 2, 16),
+        snap_concurrency=max(num_cpus // 2, 2),
+    )
+    n_snap = snapped.count()
+    n_tiles = tiles.count()
+    timings["flagship_images"] = time.time() - t0
+    rows["flagship_images"] = n_images
+
+    # 2. Events overlay + weighted aggregate over the driver events table.
+    t0 = time.time()
+    out = entry_mod._q_overlay_norm_sum(sf_dir)
+    n = out.count()
+    timings["overlay_sum"] = time.time() - t0
+    rows["overlay_sum"] = n
+
+    # 3. Point-in-interval intersect count.
+    t0 = time.time()
+    n = entry_mod._q_intersect_count(sf_dir).count()
+    timings["intersect_count"] = time.time() - t0
+    rows["intersect_count"] = n
+
+    # 4. Dissolve over the full events derivation.
+    t0 = time.time()
+    n = entry_mod._q_dissolve(sf_dir).count()
+    timings["dissolve"] = time.time() - t0
+    rows["dissolve"] = n
+
+    # 5. TPC-H-style pricing aggregate over lineitem.
+    t0 = time.time()
+    n = entry_mod._q_tpch_pricing(sf_dir).count()
+    timings["tpch_pricing"] = time.time() - t0
+    rows["tpch_pricing"] = n
+
+    ray.shutdown()
+
+    total = sum(timings.values())
+    result = {
+        "metric": "linref_ray headline pipelines (images+overlay+aggregates)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows_per_sec": {
+            "flagship_images": round(n_images / timings["flagship_images"], 1),
+        },
+        "extra": {"snapped": n_snap, "tiles": n_tiles},
+    }
+    return result
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (fresh ray.init at 8 vs 32 cpus)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "speedup": round(t_lo / t_hi, 3),
+                "scaling_efficiency": round(eff, 3),
+                "queries_8": results[lo]["queries"],
+                "queries_32": results[hi]["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

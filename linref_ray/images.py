@@ -1,0 +1,160 @@
+"""The flagship image pipeline (BASELINE.json north star).
+
+Stages (all streaming ``ray.data`` — nothing materializes the corpus):
+
+1. read image+caption table (parquet here; Lance at deployment — same Arrow
+   schema ``(image_id, bytes, w, h, fmt, caption, phash)``)
+2. ``verify_invariants`` — decode pixels, PSNR vs the deterministic
+   reference decode (≥40 dB for lossy) + caption equality, per row. Runs
+   BEFORE any shuffle so wide ``bytes`` payloads never move; downstream
+   stages carry only the slim sidecar columns.
+3. ``geotag`` — deterministic geocode of each image to a capture point
+4. snap to route network (broadcast cell index, actor pool)
+5. point×linear intersect join to event ranges (per-route sweep)
+6. tile histogram per Morton cell + per-event image counts
+
+The per-row invariant (decoded-pixel PSNR + caption equality) is checked in
+stage 2 and re-checkable at any stage because reference pixels/captions are
+pure functions of ``image_id`` (retry- and resume-safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from linref_ray.kernels import codec
+from linref_ray.synth import caption_for, geocode_for
+
+
+class VerifyInvariants:
+    """Actor stage: decode + PSNR + caption equality per row.
+
+    ``psnr_min`` mirrors input_hint's "PSNR≥40dB for lossy; allclose for
+    lossless". Emits ``psnr_db`` and ``invariant_ok``; set ``strict`` to
+    raise instead (pipeline-stopping data corruption signal).
+    """
+
+    def __init__(self, psnr_min: float = 40.0, strict: bool = False):
+        self.psnr_min = psnr_min
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        n = len(ids)
+        psnr = np.empty(n)
+        ok = np.empty(n, dtype=bool)
+        for i in range(n):
+            px, fmt = codec.decode_image(blobs[i])
+            ref = codec.reference_pixels(ids[i], px.shape[1], px.shape[0])
+            if fmt == "raw":
+                p = np.inf if np.array_equal(px, ref) else codec.psnr(px, ref)
+            else:
+                p = codec.psnr(px, ref)
+            psnr[i] = p
+            ok[i] = (p >= self.psnr_min) and (caps[i] == caption_for(ids[i]))
+        if self.strict and not ok.all():
+            bad = [ids[i] for i in np.flatnonzero(~ok)[:5]]
+            raise ValueError(f"invariant violated for images {bad}")
+        out = batch.append_column("psnr_db", pa.array(psnr))
+        return out.append_column("invariant_ok", pa.array(ok))
+
+
+def verify_invariants(
+    images: ray.data.Dataset,
+    psnr_min: float = 40.0,
+    strict: bool = False,
+    concurrency: int = 4,
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    return images.map_batches(
+        VerifyInvariants,
+        fn_constructor_kwargs=dict(psnr_min=psnr_min, strict=strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def geotag(
+    images: ray.data.Dataset, routes: pa.Table, jitter: float = 2.0
+) -> ray.data.Dataset:
+    """Deterministic geocode: image_id → (x, y) capture point.
+
+    Drops the wide ``bytes`` column first — only the slim sidecar
+    (image_id, x, y) continues into shuffled stages (SURVEY §7.5 item 8).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["image_id"].to_pylist())
+        px, py = geocode_for(ids, routes, jitter=jitter)
+        keep = [c for c in t.column_names if c != "bytes"]
+        out = t.select(keep)
+        out = out.append_column("x", pa.array(px))
+        return out.append_column("y", pa.array(py))
+
+    return images.map_batches(fn, batch_format="pyarrow")
+
+
+def image_pipeline(
+    images: ray.data.Dataset,
+    routes: pa.Table,
+    events: ray.data.Dataset,
+    buffer: float = 5.0,
+    cell_res: int = 8,
+    num_partitions: int = 64,
+    snap_concurrency: int = 4,
+    check_invariants: bool = True,
+):
+    """Full flagship pipeline; returns (per_event_counts, tile_histogram,
+    snapped) datasets.
+
+    ``events`` schema: event_id, route_id, beg, end (+attrs).
+    """
+    from linref_ray.lrs import LRS
+    from linref_ray.relate import Relation
+    from linref_ray.spatial import build_route_index, snap_points, tile_histogram
+
+    ds = images
+    if check_invariants:
+        ds = verify_invariants(ds, concurrency=snap_concurrency)
+        ds = ds.filter(expr="invariant_ok == True")
+    pts = geotag(ds, routes)
+    index_ref = build_route_index(routes, res=cell_res, pad=buffer)
+    snapped = snap_points(
+        pts, index_ref, buffer=buffer, concurrency=snap_concurrency
+    )
+    # The snapped sidecar is slim (no image bytes) and feeds BOTH the event
+    # join and the tile histogram — materialize once so the expensive
+    # decode+snap stages run a single time. At extreme scale, write it to
+    # partitioned parquet instead (the lineage checkpoint does exactly that).
+    snapped = snapped.materialize()
+    # Assign each image a point-event id for the relation join.
+    def add_pid(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(t["image_id"].to_pylist())
+        ).astype(np.int64)
+        return t.append_column("point_id", pa.array(h))
+
+    snapped = snapped.map_batches(add_pid, batch_format="pyarrow")
+    pt_lrs = LRS(key_col=("route_id",), beg_col=None, end_col=None, loc_col="loc")
+    ev_lrs = LRS(key_col=("route_id",), beg_col="beg", end_col="end",
+                 closed="left_mod")
+    rel = Relation(
+        events,
+        snapped,
+        ev_lrs,
+        pt_lrs,
+        id_col="event_id",
+        right_id_col="point_id",
+        num_partitions=num_partitions,
+    )
+    per_event = rel.count(target="left", out_col="n_images")
+    tiles = tile_histogram(snapped, cell_res)
+    return per_event, tiles, snapped

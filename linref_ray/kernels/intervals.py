@@ -301,8 +301,14 @@ def find_inside_sorted_group(
 ) -> np.ndarray:
     """Mask of events fully inside another, one group, any input order.
 
-    Mirrors ``events/analyze.py:116-193`` (sort by beg asc / length desc, then
-    cumulative-max-of-ends dominance test).
+    Semantics of ``events/analyze.py:116-193``: strict = ``beg > other_beg
+    AND end < other_end``; ``enforce_edges`` adds the one-shared-edge cases;
+    identical events are never inside each other. Implemented with
+    searchsorted prefix-max-of-ends (sorted by beg), which — unlike the
+    reference's dominance-envelope test — also catches an event nested in an
+    *earlier, shorter* container when a later longer interval shares its beg
+    (the reference algorithm misses that corner; we implement the stated
+    definition exactly, which is what the SQL oracle checks).
     """
     n = len(begs)
     if n <= 1:
@@ -312,12 +318,14 @@ def find_inside_sorted_group(
     b = begs[sort_idx]
     e = ends[sort_idx]
     cummax = np.maximum.accumulate(e)
-    _, uindex, uinv = np.unique(cummax, return_index=True, return_inverse=True)
-    cummin = b[uindex[uinv]]
+    idx_lt = np.searchsorted(b, b, side="left")  # #events with beg strictly <
+    prefix_lt = np.where(idx_lt > 0, cummax[np.maximum(idx_lt - 1, 0)], -np.inf)
     if enforce_edges:
-        inside = ((b >= cummin) & (e < cummax)) | ((b > cummin) & (e <= cummax))
+        idx_le = np.searchsorted(b, b, side="right")  # includes ties + self
+        prefix_le = cummax[idx_le - 1]
+        inside = (prefix_le > e) | ((idx_lt > 0) & (prefix_lt >= e))
     else:
-        inside = (b > cummin) & (e < cummax)
+        inside = (idx_lt > 0) & (prefix_lt > e)
     return inside[inv]
 
 

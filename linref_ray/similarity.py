@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline: the query matrix is tiny and
+broadcast (captured in the batch closure → shipped once per task by Ray's
+closure serialization); each batch computes one numpy matmul and emits only
+its local top-k per query, so the final exact top-k reduction sees ≤
+k × n_batches rows. An IVF-style bucketed variant rides the same kernel with
+a coarse-quantizer cell column as the partition key (scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def knn_brute_force(
+    embeddings: ray.data.Dataset,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine top-k of each query id against the full table.
+
+    Output: (query_id, vec_id, cosine), self-matches excluded, ties broken
+    by ascending vec_id (matches the SQL oracle's ORDER BY).
+    """
+    id_set = pa.array(list(query_ids), pa.int64())
+    q_tbl = embeddings.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(pa.compute.cast(t[id_col], pa.int64()), value_set=id_set)
+        ),
+        batch_format="pyarrow",
+    ).select_columns([id_col, vec_col])
+    q_pa = pa.concat_tables(
+        ray.get(q_tbl.to_arrow_refs()), promote_options="default"
+    )
+    q_ids = np.asarray(q_pa[id_col].to_pylist(), dtype=np.int64)
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    qm = _to_matrix(q_pa[vec_col])[order]
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = mn @ qn.T  # (batch, n_queries)
+        out_q, out_v, out_c = [], [], []
+        for j in range(len(q_ids)):
+            c = cos[:, j].copy()
+            c[ids == q_ids[j]] = -np.inf  # exclude self
+            take = min(k, len(c))
+            part = np.argpartition(-c, take - 1)[:take]
+            keep = part[np.isfinite(c[part])]
+            out_q.append(np.full(len(keep), q_ids[j]))
+            out_v.append(ids[keep])
+            out_c.append(c[keep])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    partial = embeddings.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=4096
+    )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        c = t["cosine"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return t
+        order = np.lexsort([v, -c, q])
+        q_s = q[order]
+        starts = np.concatenate([[True], q_s[1:] != q_s[:-1]])
+        run_of = np.cumsum(starts) - 1
+        start_idx = np.flatnonzero(starts)
+        pos_in_run = np.arange(len(q_s)) - start_idx[run_of]
+        sel = order[pos_in_run < k]
+        return pa.table(
+            {
+                "query_id": pa.array(q[sel]),
+                "vec_id": pa.array(v[sel]),
+                "cosine": pa.array(c[sel]),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 16,
+    lsh_planes: int = 12,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Vectors hash to a sign-pattern bucket (Charikar SimHash for vectors);
+    exact cosine is verified within buckets. Emits (id_a, id_b, cosine) with
+    id_a < id_b. Recall is per-bucket (standard LSH trade-off) — multiple
+    plane sets can be OR-ed for higher recall.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def bucket(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col])
+        d = m.shape[1]
+        if d not in planes_by_dim:
+            planes_by_dim[d] = np.random.Generator(
+                np.random.PCG64(seed)
+            ).normal(size=(d, lsh_planes))
+        signs = (m @ planes_by_dim[d]) > 0
+        code = (signs * (1 << np.arange(lsh_planes))).sum(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                "__bucket": pa.array(code.astype(np.int64)),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = mn @ mn.T
+        a, b = np.triu_indices(len(ids), k=1)
+        hit = cos[a, b] >= threshold
+        ia, ib = ids[a[hit]], ids[b[hit]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {
+                "id_a": pa.array(lo),
+                "id_b": pa.array(hi),
+                "cosine": pa.array(cos[a[hit], b[hit]]),
+            }
+        )
+
+    return (
+        embeddings.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )

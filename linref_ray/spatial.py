@@ -1,0 +1,426 @@
+"""Spatial layer: cell-indexed point→route snapping, tiles, intersections.
+
+Replaces the reference's GEOS STRtree spatial joins (linref
+``ext/base.py:3056-3171`` project, ``ext/spatial.py:562-743`` intersection
+pairs/nodes) with the engine's cell-keyed design:
+
+- The route network is the SMALL side (routes ≪ points/images at any scale),
+  so it is broadcast once: ``build_route_index`` flattens every route into
+  per-segment arrays plus a Morton-cell → segment hash, ``ray.put`` ships it
+  to the object store once, and ``SnapPoints`` — an actor-pool
+  ``map_batches`` class — reads it in ``__init__`` (once per actor, never
+  per batch). No shuffle at all for the snap.
+- For a route set too large to broadcast, the documented alternative is the
+  cell-keyed shuffle (explode routes to cells, join points on cell) — the
+  same kernels apply; this module implements the broadcast path as the
+  realistic one for the 10^12-image north star.
+- Tile histograms are a ``groupby(cell)`` over slim (cell,) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from linref_ray.kernels.cells import cell_of_points, cell_size, cover_bbox
+from linref_ray.kernels.geometry import cumdist
+
+
+class RouteIndex:
+    """Flattened segment arrays + cell→segments hash for a route network."""
+
+    def __init__(self, routes: pa.Table, res: int = 8, pad: float = 5.0):
+        xs = routes["xs"].to_pylist()
+        ys = routes["ys"].to_pylist()
+        ms = routes["ms"].to_pylist()
+        self.route_ids = np.asarray(routes["route_id"].to_pylist())
+        ax, ay, bx, by, m0, m1, ridx = [], [], [], [], [], [], []
+        for i, (x, y, m) in enumerate(zip(xs, ys, ms)):
+            x = np.asarray(x)
+            y = np.asarray(y)
+            m = np.asarray(m)
+            ax.append(x[:-1])
+            ay.append(y[:-1])
+            bx.append(x[1:])
+            by.append(y[1:])
+            m0.append(m[:-1])
+            m1.append(m[1:])
+            ridx.append(np.full(len(x) - 1, i, dtype=np.int64))
+        self.ax = np.concatenate(ax)
+        self.ay = np.concatenate(ay)
+        self.bx = np.concatenate(bx)
+        self.by = np.concatenate(by)
+        self.m0 = np.concatenate(m0)
+        self.m1 = np.concatenate(m1)
+        self.ridx = np.concatenate(ridx)
+        self.res = res
+        self.pad = pad
+        rows, cells = cover_bbox(
+            self.ax, self.ay, self.bx, self.by, res, pad=pad
+        )
+        order = np.argsort(cells, kind="stable")
+        cells_s = cells[order]
+        self._cell_keys, starts = np.unique(cells_s, return_index=True)
+        self._cell_offsets = np.concatenate([starts, [len(cells_s)]])
+        self._cell_segs = rows[order]
+
+    def candidates(self, cell_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(query_row, segment_id) candidate pairs for an array of cells."""
+        pos = np.searchsorted(self._cell_keys, cell_ids)
+        pos = np.clip(pos, 0, len(self._cell_keys) - 1)
+        hit = self._cell_keys[pos] == cell_ids
+        lo = np.where(hit, self._cell_offsets[pos], 0)
+        hi = np.where(hit, self._cell_offsets[pos + 1], 0)
+        counts = hi - lo
+        qi = np.repeat(np.arange(len(cell_ids), dtype=np.int64), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        si = (
+            np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(offs[:-1], counts)
+            + np.repeat(lo, counts)
+        )
+        return qi, self._cell_segs[si]
+
+
+def build_route_index(
+    routes: pa.Table | ray.data.Dataset, res: int = 8, pad: float = 5.0
+):
+    """Build + broadcast the route index; returns an ObjectRef.
+
+    Routes are collected to the driver — they are the small side by design
+    (document: a 1M-segment network is ~100 MB of arrays). ``ray.put`` ONCE;
+    every snap actor reads the same object-store copy (zero per-task
+    re-shipping).
+    """
+    if isinstance(routes, ray.data.Dataset):
+        routes = pa.concat_tables(
+            ray.get(routes.to_arrow_refs()), promote_options="default"
+        )
+    return ray.put(RouteIndex(routes, res=res, pad=pad))
+
+
+class SnapPoints:
+    """Actor-pool ``map_batches`` stage: snap (x, y) points to the nearest
+    route within ``buffer``, yielding ``route_id, loc (M), snap_dist``.
+
+    The reference analog is ``df.lr.project`` (``ext/base.py:3056-3171``):
+    ``sjoin_nearest(max_distance=buffer)`` + vectorized locate. Nearest-match
+    dedup is deterministic: (distance, route index, segment index).
+    """
+
+    def __init__(
+        self,
+        index_ref,
+        buffer: float = 5.0,
+        x_col: str = "x",
+        y_col: str = "y",
+        keep_unmatched: bool = False,
+    ):
+        self.idx: RouteIndex = ray.get(index_ref)
+        self.buffer = buffer
+        self.x_col = x_col
+        self.y_col = y_col
+        self.keep_unmatched = keep_unmatched
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.idx
+        x = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(x)
+        if idx.pad < self.buffer:
+            raise ValueError("route index pad must cover the snap buffer")
+        cells = cell_of_points(x, y, idx.res)
+        qi, si = idx.candidates(cells)
+        best_d = np.full(n, np.inf)
+        best_m = np.full(n, np.nan)
+        best_r = np.full(n, -1, dtype=np.int64)
+        if len(qi):
+            axp, ayp = idx.ax[si], idx.ay[si]
+            vx = idx.bx[si] - axp
+            vy = idx.by[si] - ayp
+            seg2 = vx * vx + vy * vy
+            t = np.divide(
+                (x[qi] - axp) * vx + (y[qi] - ayp) * vy,
+                seg2,
+                out=np.zeros_like(seg2),
+                where=seg2 > 0,
+            )
+            t = np.clip(t, 0.0, 1.0)
+            dx = x[qi] - (axp + t * vx)
+            dy = y[qi] - (ayp + t * vy)
+            d = np.sqrt(dx * dx + dy * dy)
+            m = idx.m0[si] + t * (idx.m1[si] - idx.m0[si])
+            # Deterministic argmin per point: (distance, route, segment).
+            order = np.lexsort([si, idx.ridx[si], d, qi])
+            qi_s = qi[order]
+            firsts = np.concatenate([[True], qi_s[1:] != qi_s[:-1]])
+            pick = order[firsts]
+            ok = d[pick] <= self.buffer
+            pick = pick[ok]
+            best_d[qi[pick]] = d[pick]
+            best_m[qi[pick]] = m[pick]
+            best_r[qi[pick]] = idx.ridx[si[pick]]
+        matched = best_r >= 0
+        rid = np.where(matched, idx.route_ids[np.maximum(best_r, 0)], None)
+        out = batch.append_column("route_id", pa.array(rid, pa.string()))
+        out = out.append_column(
+            "loc", pa.array(np.where(matched, best_m, np.nan))
+        )
+        out = out.append_column(
+            "snap_dist", pa.array(np.where(matched, best_d, np.nan))
+        )
+        if not self.keep_unmatched:
+            out = out.filter(pa.array(matched))
+        return out
+
+
+def snap_points(
+    points: ray.data.Dataset,
+    index_ref,
+    buffer: float = 5.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    concurrency: int = 4,
+    batch_size: int = 8192,
+    keep_unmatched: bool = False,
+) -> ray.data.Dataset:
+    """The snap stage as an actor pool (index built once per actor)."""
+    return points.map_batches(
+        SnapPoints,
+        fn_constructor_kwargs=dict(
+            index_ref=index_ref,
+            buffer=buffer,
+            x_col=x_col,
+            y_col=y_col,
+            keep_unmatched=keep_unmatched,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def assign_cells(
+    ds: ray.data.Dataset,
+    res: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "cell",
+    grid_cols: bool = True,
+) -> ray.data.Dataset:
+    """Add Morton cell id (+ SQL-friendly integer ix/iy) per point."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = t.append_column(out_col, pa.array(cell_of_points(x, y, res)))
+        if grid_cols:
+            g = cell_size(res)
+            out = out.append_column(
+                "ix", pa.array(np.floor(x / g).astype(np.int64))
+            )
+            out = out.append_column(
+                "iy", pa.array(np.floor(y / g).astype(np.int64))
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tile_histogram(
+    ds: ray.data.Dataset,
+    res: int,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Per-cell point counts — the raster-tile↔route-segment histogram.
+
+    Select only the tiny (ix, iy) columns before the shuffle.
+    """
+    with_cells = assign_cells(ds, res, x_col, y_col)
+    from ray.data.aggregate import Count
+
+    return (
+        with_cells.select_columns(["ix", "iy"])
+        .groupby(["ix", "iy"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def intersection_pairs(
+    routes: pa.Table, res: int = 8
+) -> pa.Table:
+    """Route×route crossing points (reference ``ext/spatial.py:562-743``).
+
+    Cell-bucketed candidate generation + exact segment-segment intersection,
+    deduped by (i<j) and cell ownership of the intersection point. Runs on
+    the driver for a broadcastable network (routes are the small side); the
+    same kernel body is reusable inside a cell-keyed ``map_groups`` when the
+    network itself is distributed.
+
+    Returns a table ``(route_a, route_b, x, y)``.
+    """
+    idx = RouteIndex(routes, res=res, pad=0.0)
+    rows_a, rows_b = [], []
+    xs_out, ys_out = [], []
+    # Candidate segment pairs per cell.
+    for ci in range(len(idx._cell_keys)):
+        lo, hi = idx._cell_offsets[ci], idx._cell_offsets[ci + 1]
+        segs = idx._cell_segs[lo:hi]
+        if len(segs) < 2:
+            continue
+        a, b = np.triu_indices(len(segs), k=1)
+        sa, sb = segs[a], segs[b]
+        keep = idx.ridx[sa] != idx.ridx[sb]
+        sa, sb = sa[keep], sb[keep]
+        if not len(sa):
+            continue
+        # Exact segment intersection (vectorized cross products).
+        p0x, p0y = idx.ax[sa], idx.ay[sa]
+        p1x, p1y = idx.bx[sa], idx.by[sa]
+        q0x, q0y = idx.ax[sb], idx.ay[sb]
+        q1x, q1y = idx.bx[sb], idx.by[sb]
+        rx, ry = p1x - p0x, p1y - p0y
+        sx, sy = q1x - q0x, q1y - q0y
+        denom = rx * sy - ry * sx
+        ok = denom != 0
+        t = np.where(
+            ok, ((q0x - p0x) * sy - (q0y - p0y) * sx) / np.where(ok, denom, 1), -1
+        )
+        u = np.where(
+            ok, ((q0x - p0x) * ry - (q0y - p0y) * rx) / np.where(ok, denom, 1), -1
+        )
+        hit = ok & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        if not hit.any():
+            continue
+        px = p0x[hit] + t[hit] * rx[hit]
+        py = p0y[hit] + t[hit] * ry[hit]
+        # Cell-ownership dedup: count the intersection only in its own cell.
+        own = cell_of_points(px, py, idx.res) == idx._cell_keys[ci]
+        if not own.any():
+            continue
+        ra = idx.ridx[sa[hit]][own]
+        rb = idx.ridx[sb[hit]][own]
+        lo_r = np.minimum(ra, rb)
+        hi_r = np.maximum(ra, rb)
+        rows_a.append(lo_r)
+        rows_b.append(hi_r)
+        xs_out.append(px[own])
+        ys_out.append(py[own])
+    if not rows_a:
+        return pa.table(
+            {
+                "route_a": pa.array([], pa.string()),
+                "route_b": pa.array([], pa.string()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+            }
+        )
+    ra = np.concatenate(rows_a)
+    rb = np.concatenate(rows_b)
+    px = np.concatenate(xs_out)
+    py = np.concatenate(ys_out)
+    # Dedup identical crossing points reported by touching segments.
+    stacked = np.column_stack([ra, rb, np.round(px, 9), np.round(py, 9)])
+    _, uniq = np.unique(stacked, axis=0, return_index=True)
+    uniq = np.sort(uniq)
+    return pa.table(
+        {
+            "route_a": pa.array(idx.route_ids[ra[uniq]]),
+            "route_b": pa.array(idx.route_ids[rb[uniq]]),
+            "x": pa.array(px[uniq]),
+            "y": pa.array(py[uniq]),
+        }
+    )
+
+
+def cluster_events(
+    ds: ray.data.Dataset,
+    lrs,
+    max_gap: float = 0.0,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Connected components of the extend-by-gap self-overlap graph
+    (reference ``ext/base.py:2846-2970``).
+
+    Per-route components are local (computed in one pass inside the relation
+    kernel); the edge list is tiny relative to rows, so the cross-partition
+    merge is a driver-side union-find over per-route label ranges — the
+    documented exception where a global graph op cannot stay shuffle-local.
+    Adds a ``cluster`` int64 column.
+    """
+    from linref_ray.events import extend as extend_op
+    from linref_ray.joins import hash_join
+    from linref_ray.kernels.intervals import iter_group_segments
+    from linref_ray.partition import KEYCOL, PID, add_partition_cols
+
+    ext = extend_op(ds, lrs, max_gap / 2, max_gap / 2)
+
+    def part(t: pa.Table) -> pa.Table:
+        return add_partition_cols(t, lrs.key_col, num_partitions)
+
+    id_col = "event_id"
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "__ckey": pa.array([], pa.string()),
+                    "__cpos": pa.array([], pa.int64()),
+                }
+            )
+        key = tbl[KEYCOL].to_numpy(zero_copy_only=False)
+        beg = tbl[lrs.beg_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        end = tbl[lrs.end_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort([end, beg, key])
+        out_key, out_pos, out_id = [], [], []
+        for a, z in iter_group_segments(key[order]):
+            seg = order[a:z]
+            b, e = beg[seg], end[seg]
+            # Sorted sweep: new component when beg > running max end
+            # (touching counts as connected, matching intersect
+            # enforce_edges=True semantics).
+            runmax = np.maximum.accumulate(e)
+            breaks = np.concatenate([[False], b[1:] > runmax[:-1]])
+            comp = np.cumsum(breaks)
+            out_id.append(ids[seg])
+            out_key.append(np.repeat(key[seg[0]], len(seg)))
+            out_pos.append(comp)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "__ckey": pa.array(np.concatenate(out_key)),
+                "__cpos": pa.array(np.concatenate(out_pos)),
+            }
+        )
+
+    local = (
+        ext.map_batches(part, batch_format="pyarrow")
+        .groupby(PID)
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+    # Assign global ids: (route, local component) → dense int. The distinct
+    # (route, comp) list is small (≤ events); aggregate it, label on driver.
+    distinct = local.groupby(["__ckey", "__cpos"]).count().drop_columns(["count()"])
+    ddf = distinct.to_pandas()
+    ddf = ddf.sort_values(["__ckey", "__cpos"]).reset_index(drop=True)
+    ddf["cluster"] = np.arange(len(ddf), dtype=np.int64)
+    labels = ray.data.from_pandas(ddf)
+
+    def key_of(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["__ckey"], pc.cast(t["__cpos"], pa.string()), "#"
+        )
+        return t.append_column("__ck2", k).drop_columns(["__ckey", "__cpos"])
+
+    lab2 = labels.map_batches(key_of, batch_format="pyarrow")
+    loc2 = local.map_batches(key_of, batch_format="pyarrow")
+    return hash_join(loc2, lab2, on="__ck2", how="left",
+                     num_partitions=num_partitions).drop_columns(["__ck2"])

@@ -1,0 +1,208 @@
+"""Deterministic synthetic data: route network, events, capture points, images.
+
+BASELINE.json's input is a Lance/parquet table of image+caption pairs at
+10^12 scale over a synthetic route network; in this sandbox we synthesize the
+same shapes deterministically (seeded PCG64 — identical across runs and
+workers, safe for retries and resume). No external data.
+
+Scale knobs mirror the skew the engine must handle: route lengths are
+Zipf-skewed with one mega-route (exercises the salted-bucket shuffle), and
+vertex spacing is non-uniform (exercises the m↔distance interpolation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from linref_ray.kernels import codec
+
+
+def make_routes(n_routes: int = 20, seed: int = 42) -> pa.Table:
+    """Route network: ``route_id, xs, ys, ms, len_m`` (list<double> geometry).
+
+    Random-walk polylines; route 0 is a mega-route ~20× median length. M
+    equals chord distance except every 5th route where M = 2 × distance
+    (non-trivial measure calibration).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, xs, ys, ms, lens = [], [], [], [], []
+    for i in range(n_routes):
+        n_vert = int(rng.integers(4, 12))
+        if i == 0:
+            n_vert = 60
+        ox, oy = rng.uniform(0, 500, 2)
+        steps = rng.uniform(2.0, 15.0, n_vert - 1)
+        if i == 0:
+            steps = steps * 20
+        ang0 = rng.uniform(0, 2 * np.pi)
+        angs = ang0 + np.cumsum(rng.normal(0, 0.35, n_vert - 1))
+        dx = np.cos(angs) * steps
+        dy = np.sin(angs) * steps
+        x = np.concatenate([[ox], ox + np.cumsum(dx)])
+        y = np.concatenate([[oy], oy + np.cumsum(dy)])
+        seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+        cd = np.concatenate([[0.0], np.cumsum(seg)])
+        m = cd * (2.0 if i % 5 == 4 else 1.0)
+        ids.append(f"R{i:04d}")
+        xs.append(x.tolist())
+        ys.append(y.tolist())
+        ms.append(m.tolist())
+        lens.append(float(m[-1]))
+    return pa.table(
+        {
+            "route_id": pa.array(ids),
+            "xs": pa.array(xs, pa.list_(pa.float64())),
+            "ys": pa.array(ys, pa.list_(pa.float64())),
+            "ms": pa.array(ms, pa.list_(pa.float64())),
+            "len_m": pa.array(lens),
+        }
+    )
+
+
+def make_events(
+    routes: pa.Table, density: float = 0.05, seed: int = 43
+) -> pa.Table:
+    """Linear events along each route: consecutive runs, overlaps, and gaps so
+    every operator has work (FIXTURES.md C3). ``density`` = events per measure
+    unit."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rids, begs, ends, vals, cats = [], [], [], [], []
+    eid = 0
+    cats_pool = np.array(["asphalt", "concrete", "gravel"])
+    for rid, ln in zip(
+        routes["route_id"].to_pylist(), routes["len_m"].to_pylist()
+    ):
+        n = max(2, int(ln * density))
+        edges = np.sort(rng.uniform(0, ln, n + 1))
+        b = edges[:-1].copy()
+        e = edges[1:].copy()
+        kind = rng.random(n)
+        # ~20% overlaps (extend into the next), ~20% gaps (shrink).
+        e = np.where(kind < 0.2, np.minimum(e + (e - b) * 0.5, ln), e)
+        e = np.where(kind > 0.8, b + (e - b) * 0.5, e)
+        rids.extend([rid] * n)
+        begs.extend(b.tolist())
+        ends.extend(e.tolist())
+        vals.extend(rng.uniform(10, 100, n).tolist())
+        cats.extend(cats_pool[rng.integers(0, 3, n)].tolist())
+        eid += n
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rids), dtype=np.int64)),
+            "route_id": pa.array(rids),
+            "beg": pa.array(begs, pa.float64()),
+            "end": pa.array(ends, pa.float64()),
+            "value": pa.array(vals, pa.float64()),
+            "category": pa.array(cats),
+        }
+    )
+
+
+def _image_rng(image_id: str) -> np.random.Generator:
+    seed = np.frombuffer(
+        image_id.encode()[:16].ljust(16, b"\0"), dtype=np.uint64
+    )
+    return np.random.Generator(np.random.PCG64(seed))
+
+
+def caption_for(image_id: str) -> str:
+    return f"capture {image_id} near route"
+
+
+def geocode_for(
+    image_ids: np.ndarray, routes: pa.Table, jitter: float = 2.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic capture point per image id: a position along a route
+    plus perpendicular jitter. Pure function of (id, routes) so any stage can
+    recompute it."""
+    import pandas as pd
+
+    h = pd.util.hash_array(image_ids.astype(str))
+    n_routes = len(routes)
+    ridx = (h % np.uint64(n_routes)).astype(np.int64)
+    frac = ((h // np.uint64(n_routes)) % np.uint64(10_000)).astype(
+        np.float64
+    ) / 10_000.0
+    ang = ((h // np.uint64(7)) % np.uint64(6283)).astype(np.float64) / 1000.0
+    off = ((h // np.uint64(13)) % np.uint64(1000)).astype(np.float64) / 1000.0
+    xs_off = routes["xs"].combine_chunks()
+    ys_off = routes["ys"].combine_chunks()
+    px = np.empty(len(image_ids))
+    py = np.empty(len(image_ids))
+    from linref_ray.kernels.geometry import cumdist
+
+    xs_l = xs_off.to_pylist()
+    ys_l = ys_off.to_pylist()
+    for r in np.unique(ridx):
+        m = ridx == r
+        x = np.asarray(xs_l[r])
+        y = np.asarray(ys_l[r])
+        cd = cumdist(x, y)
+        d = frac[m] * cd[-1]
+        idx = np.clip(np.searchsorted(cd, d), 1, len(cd) - 1)
+        t = (d - cd[idx - 1]) / np.maximum(cd[idx] - cd[idx - 1], 1e-12)
+        bx = x[idx - 1] + t * (x[idx] - x[idx - 1])
+        by = y[idx - 1] + t * (y[idx] - y[idx - 1])
+        px[m] = bx + np.cos(ang[m]) * off[m] * jitter
+        py[m] = by + np.sin(ang[m]) * off[m] * jitter
+    return px, py
+
+
+def images_dataset(
+    n: int,
+    w: int = 16,
+    h: int = 16,
+    seed_prefix: str = "img",
+    num_blocks: int | None = None,
+):
+    """Distributed deterministic image corpus: ``rd.range(n)`` →
+    ``map_batches`` generator. Content depends only on the row index, never
+    on partitioning — identical across runs, block sizes, and retries (the
+    property exact resume relies on). This is the 10^12-scale generation
+    path; ``make_images`` is the driver-side convenience for tests."""
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=num_blocks)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [f"{seed_prefix}-{int(i):08d}" for i in t["id"].to_pylist()]
+        return _images_table(ids, w, h)
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def _images_table(ids: list[str], w: int, h: int) -> pa.Table:
+    fmts = ["raw" if int(i.rsplit("-", 1)[1]) % 3 == 0 else "qz" for i in ids]
+    blobs, phashes = [], []
+    for iid, fmt in zip(ids, fmts):
+        px = codec.reference_pixels(iid, w, h)
+        blobs.append(codec.encode_image(px, fmt))
+        gray = px.mean(axis=2)
+        small = gray[:: max(h // 8, 1), :: max(w // 8, 1)][:8, :8]
+        bits = (small > small.mean()).ravel()
+        val = np.uint64(0)
+        for b in np.flatnonzero(bits):
+            val |= np.uint64(1) << np.uint64(int(b))
+        phashes.append(np.int64(val.astype(np.int64)))
+    return pa.table(
+        {
+            "image_id": pa.array(ids),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array([w] * len(ids), pa.int32()),
+            "h": pa.array([h] * len(ids), pa.int32()),
+            "fmt": pa.array(fmts),
+            "caption": pa.array([caption_for(i) for i in ids]),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+def make_images(
+    n: int = 1000, w: int = 16, h: int = 16, seed_prefix: str = "img"
+) -> pa.Table:
+    """Image+caption table exactly matching BASELINE.json's ``input_hint``:
+    (image_id, bytes, w, h, fmt, caption, phash). The ``phash`` column is
+    the standard public aHash (8×8 mean-threshold) construction."""
+    ids = [f"{seed_prefix}-{i:08d}" for i in range(n)]
+    return _images_table(ids, w, h)

@@ -1,0 +1,166 @@
+"""Text analysis stages: token stats, quality scoring, language ID,
+fingerprinting (training-data pipeline ops).
+
+All vectorized ``map_batches`` transforms; the language-ID stage is an actor
+pool (stopword tables + compiled regexes built once per actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars, n_tokens) — n_tokens counts single-space-separated
+    words exactly like the SQL oracle formula (length(trim) - length(replace)
+    + 1) so the two are bit-identical."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        trimmed = pc.utf8_trim(text, " ")
+        n_chars = pc.utf8_length(text)
+        without = pc.replace_substring(trimmed, " ", "")
+        n_tokens = pc.add(
+            pc.subtract(pc.utf8_length(trimmed), pc.utf8_length(without)), 1
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Heuristic quality features per doc: length, mean word length,
+    punctuation ratio, uppercase ratio, stopword ratio, repetition ratio."""
+
+    class Scorer:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[A-Za-z]+")
+            self.punct = re.compile(r"[^\w\s]")
+            self.stop = {
+                "the", "and", "of", "a", "to", "in", "is", "it", "that",
+                "for", "on", "as", "with",
+            }
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            n = len(texts)
+            out = {
+                "n_chars": np.empty(n, np.int64),
+                "mean_word_len": np.empty(n),
+                "punct_ratio": np.empty(n),
+                "upper_ratio": np.empty(n),
+                "stop_ratio": np.empty(n),
+                "rep_ratio": np.empty(n),
+            }
+            for i, s in enumerate(texts):
+                words = self.word.findall(s)
+                nw = max(len(words), 1)
+                out["n_chars"][i] = len(s)
+                out["mean_word_len"][i] = (
+                    sum(map(len, words)) / nw if words else 0.0
+                )
+                out["punct_ratio"][i] = len(self.punct.findall(s)) / max(len(s), 1)
+                out["upper_ratio"][i] = sum(c.isupper() for c in s) / max(len(s), 1)
+                out["stop_ratio"][i] = (
+                    sum(w.lower() in self.stop for w in words) / nw
+                )
+                out["rep_ratio"][i] = 1.0 - len(set(words)) / nw
+            cols = {"doc_id": t["doc_id"]}
+            cols.update({k: pa.array(v) for k, v in out.items()})
+            return pa.table(cols)
+
+    return docs.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=1024, concurrency=2,
+        num_cpus=1,
+    )
+
+
+_LANG_MARKERS = {
+    # Distinctive function words / characters per language (public knowledge).
+    "en": {"the", "and", "of", "is", "that", "with", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "dans", "pour"},
+    "es": {"el", "los", "las", "es", "en", "por", "para"},
+}
+
+
+def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Heuristic language ID: CJK-character ratio → 'zh'; otherwise argmax of
+    per-language marker-word hit ratios, default 'en'. Deterministic output
+    (doc_id, lang_pred, confidence)."""
+
+    class LangId:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+            self.cjk = re.compile(r"[一-鿿]")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            preds, confs = [], []
+            for s in texts:
+                if len(s) and len(self.cjk.findall(s)) / len(s) > 0.2:
+                    preds.append("zh")
+                    confs.append(1.0)
+                    continue
+                words = [w.lower() for w in self.word.findall(s)]
+                nw = max(len(words), 1)
+                best_lang, best_score = "en", 0.0
+                for lang, markers in _LANG_MARKERS.items():
+                    score = sum(w in markers for w in words) / nw
+                    if score > best_score:
+                        best_lang, best_score = lang, score
+                preds.append(best_lang)
+                confs.append(best_score)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "lang_pred": pa.array(preds),
+                    "confidence": pa.array(confs),
+                }
+            )
+
+    return docs.map_batches(
+        LangId, batch_format="pyarrow", batch_size=1024, concurrency=2,
+        num_cpus=1,
+    )
+
+
+def fingerprints(
+    docs: ray.data.Dataset, window: int = 16, keep_mod: int = 8
+) -> ray.data.Dataset:
+    """Winnowing-style rolling-hash fingerprints, exploded to
+    (doc_id, fingerprint) rows — join on fingerprint to find shared content."""
+    from linref_ray.kernels.hashing import rolling_fingerprint
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_fp = [], []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            fps = rolling_fingerprint(s, window=window, keep_mod=keep_mod)
+            out_id.append(np.full(len(fps), i))
+            out_fp.append(fps.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+                ),
+                "fingerprint": pa.array(
+                    np.concatenate(out_fp) if out_fp else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)

@@ -1,0 +1,236 @@
+"""Spatial layer + flagship image pipeline tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linref_ray import synth
+from linref_ray.images import geotag, image_pipeline, verify_invariants
+from linref_ray.kernels.geometry import project_point_to_polyline
+from linref_ray.lrs import LRS
+from linref_ray.spatial import (
+    RouteIndex,
+    build_route_index,
+    cluster_events,
+    intersection_pairs,
+    snap_points,
+    tile_histogram,
+)
+
+
+@pytest.fixture(scope="module")
+def routes():
+    return synth.make_routes(12, seed=42)
+
+
+class TestSynth:
+    def test_routes_deterministic(self, routes):
+        again = synth.make_routes(12, seed=42)
+        assert routes.equals(again)
+        assert len(routes) == 12
+        ms = routes["ms"].to_pylist()
+        for m in ms:
+            assert all(b >= a for a, b in zip(m, m[1:]))
+
+    def test_mega_route_skew(self, routes):
+        lens = routes["len_m"].to_pylist()
+        assert lens[0] > 5 * np.median(lens)
+
+    def test_images_schema(self):
+        t = synth.make_images(10)
+        assert t.schema.names == [
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        ]
+        assert t["bytes"].type == pa.binary()
+        assert t["phash"].type == pa.int64()
+
+
+class TestSnap:
+    def test_exact_on_route_points(self, ray_session, routes):
+        # Take known positions exactly on route polylines → snap_dist ~ 0 and
+        # loc equals the M at that position.
+        xs = routes["xs"].to_pylist()
+        ys = routes["ys"].to_pylist()
+        ms = routes["ms"].to_pylist()
+        pts, exp_route, exp_m = [], [], []
+        for i in (1, 3, 7):
+            x, y, m = map(np.asarray, (xs[i], ys[i], ms[i]))
+            pts.append((x[1], y[1]))
+            exp_route.append(routes["route_id"][i].as_py())
+            exp_m.append(m[1])
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "pid": range(3),
+                    "x": [p[0] for p in pts],
+                    "y": [p[1] for p in pts],
+                }
+            )
+        )
+        ref = build_route_index(routes, res=6, pad=10.0)
+        out = (
+            snap_points(ds, ref, buffer=10.0, concurrency=1)
+            .to_pandas()
+            .sort_values("pid")
+        )
+        assert len(out) == 3
+        # Points lie exactly on a polyline → zero snap distance; M matches
+        # the vertex M whenever the point's own route wins the tie.
+        assert (out.snap_dist <= 1e-9).all()
+        for i in range(3):
+            if out.route_id.iloc[i] == exp_route[i]:
+                assert out["loc"].iloc[i] == pytest.approx(exp_m[i])
+
+    def test_buffer_filters(self, ray_session, routes):
+        ds = rd.from_pandas(
+            pd.DataFrame({"pid": [0], "x": [1e6], "y": [1e6]})
+        )
+        ref = build_route_index(routes, res=6, pad=3.0)
+        out = snap_points(ds, ref, buffer=3.0, concurrency=1).to_pandas()
+        assert len(out) == 0
+
+    def test_matches_brute_force(self, ray_session, routes):
+        rng = np.random.default_rng(5)
+        xs = routes["xs"].to_pylist()
+        ys = routes["ys"].to_pylist()
+        ms = routes["ms"].to_pylist()
+        n = 40
+        # Scatter near route vertices to guarantee in-buffer points.
+        ridx = rng.integers(0, len(xs), n)
+        px = np.array([xs[r][1] for r in ridx]) + rng.normal(0, 1.0, n)
+        py = np.array([ys[r][1] for r in ridx]) + rng.normal(0, 1.0, n)
+        ds = rd.from_pandas(pd.DataFrame({"pid": range(n), "x": px, "y": py}))
+        ref = build_route_index(routes, res=6, pad=6.0)
+        out = (
+            snap_points(ds, ref, buffer=6.0, concurrency=2)
+            .to_pandas()
+            .set_index("pid")
+        )
+        for pid in out.index:
+            # Brute force over all routes.
+            best = (np.inf, None, np.nan)
+            for i in range(len(xs)):
+                m, d = project_point_to_polyline(
+                    np.asarray(xs[i]), np.asarray(ys[i]), np.asarray(ms[i]),
+                    px[pid], py[pid],
+                )
+                if d < best[0] - 1e-12:
+                    best = (d, routes["route_id"][i].as_py(), m)
+            assert out.loc[pid, "route_id"] == best[1]
+            assert out.loc[pid, "snap_dist"] == pytest.approx(best[0])
+            assert out.loc[pid, "loc"] == pytest.approx(best[2])
+
+
+class TestTilesIntersections:
+    def test_tile_histogram_counts(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "x": [0.5, 0.6, 100.0],
+                    "y": [0.5, 0.4, 100.0],
+                }
+            )
+        )
+        out = tile_histogram(ds, res=10).to_pandas()
+        assert out.n.sum() == 3
+        assert len(out) == 2
+
+    def test_intersection_pairs_cross(self):
+        # Two crossing straight routes + one distant route.
+        t = pa.table(
+            {
+                "route_id": ["A", "B", "C"],
+                "xs": pa.array(
+                    [[0.0, 10.0], [5.0, 5.0], [100.0, 110.0]],
+                    pa.list_(pa.float64()),
+                ),
+                "ys": pa.array(
+                    [[0.0, 0.0], [-5.0, 5.0], [100.0, 100.0]],
+                    pa.list_(pa.float64()),
+                ),
+                "ms": pa.array(
+                    [[0.0, 10.0], [0.0, 10.0], [0.0, 10.0]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        out = intersection_pairs(t, res=8).to_pandas()
+        assert len(out) == 1
+        assert out.route_a[0] == "A" and out.route_b[0] == "B"
+        assert out.x[0] == pytest.approx(5.0)
+        assert out.y[0] == pytest.approx(0.0)
+
+
+class TestCluster:
+    def test_transitive_chain(self, ray_session):
+        L = LRS(key_col=("route",), beg_col="beg", end_col="end")
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1, 2, 3, 4],
+                    "route": ["A", "A", "A", "A", "B"],
+                    "beg": [0.0, 4.0, 9.0, 20.0, 0.0],
+                    "end": [5.0, 10.0, 12.0, 25.0, 5.0],
+                }
+            )
+        )
+        out = (
+            cluster_events(ds, L, max_gap=0.0, num_partitions=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert out.loc[0, "cluster"] == out.loc[1, "cluster"] == out.loc[2, "cluster"]
+        assert out.loc[3, "cluster"] != out.loc[0, "cluster"]
+        assert out.loc[4, "cluster"] != out.loc[0, "cluster"]
+
+    def test_max_gap_links(self, ray_session):
+        L = LRS(key_col=("route",), beg_col="beg", end_col="end")
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1],
+                    "route": ["A", "A"],
+                    "beg": [0.0, 6.0],
+                    "end": [5.0, 10.0],
+                }
+            )
+        )
+        apart = cluster_events(ds, L, 0.0, 4).to_pandas().set_index("event_id")
+        assert apart.loc[0, "cluster"] != apart.loc[1, "cluster"]
+        near = cluster_events(ds, L, 2.0, 4).to_pandas().set_index("event_id")
+        assert near.loc[0, "cluster"] == near.loc[1, "cluster"]
+
+
+class TestImagePipeline:
+    def test_invariants_pass_and_detect_corruption(self, ray_session):
+        imgs = synth.make_images(30)
+        ds = rd.from_arrow(imgs)
+        out = verify_invariants(ds, concurrency=1).to_pandas()
+        assert out.invariant_ok.all()
+        assert (out[out.fmt == "qz"].psnr_db >= 40).all()
+        assert np.isinf(out[out.fmt == "raw"].psnr_db).all()
+        # Corrupt one caption → flagged.
+        bad = imgs.set_column(
+            imgs.schema.get_field_index("caption"),
+            "caption",
+            pa.array(["WRONG"] + imgs["caption"].to_pylist()[1:]),
+        )
+        out2 = verify_invariants(rd.from_arrow(bad), concurrency=1).to_pandas()
+        assert int((~out2.invariant_ok).sum()) == 1
+
+    def test_end_to_end_counts(self, ray_session):
+        routes = synth.make_routes(8, seed=42)
+        events = rd.from_arrow(synth.make_events(routes, density=0.08))
+        images = rd.from_arrow(synth.make_images(200))
+        per_event, tiles, snapped = image_pipeline(
+            images, routes, events,
+            buffer=6.0, cell_res=6, num_partitions=8, snap_concurrency=2,
+        )
+        sn = snapped.to_pandas()
+        assert len(sn) > 100  # most images geocode within jitter of a route
+        te = tiles.to_pandas()
+        assert te.n.sum() == len(sn)
+        pe = per_event.to_pandas()
+        assert pe.n_images.sum() > 0
