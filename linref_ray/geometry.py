@@ -1,0 +1,311 @@
+"""Dataset-level geometry operations over M-polyline list columns.
+
+The geometry schema is three ``list<double>`` columns (xs, ys, ms) — see
+``linref_ray.kernels.geometry`` for the kernels. This module adds the
+reference's geometry-facing operators as batch transforms:
+
+- WKT codecs for ``LINESTRING M`` (reference ``ext/base.py:2603-2674``,
+  ``geometry/utilities.py:42-56``)
+- ``build_geom_m`` — impute per-vertex M from [beg, end] proportional to
+  chord length (``ext/base.py:991-1036``)
+- ``extract_m_values`` — beg/end from first/last M (``ext/base.py:2676-2731``)
+- ``cut_geometry`` — substring route geometry to each event's [beg, end]
+  (the relation ``cut`` aggregator, ``events/relate.py:1623-1724``)
+- ``interpolate_points`` — (x, y) at each point event's loc (relation
+  ``interpolate``, ``relate.py:1523-1621``)
+- ``add_chaining`` — chain ids from geometric contiguity
+  (``ext/base.py:1114-1237``; kernel = ``geometry/merge.py``)
+- ``generate_linear_events`` — build an LRS from bare geometry
+  (``ext/base.py:1309-1477``)
+
+Route geometry is broadcast (small side) — each kernel gets the route lookup
+via a driver-built dict shipped once in the task closure.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from linref_ray.kernels.geometry import (
+    cumdist,
+    interpolate_at_m,
+    merge_chains,
+    substring_by_m,
+)
+
+_WKT_RE = re.compile(r"^\s*LINESTRING\s+M\s*\((.*)\)\s*$", re.IGNORECASE)
+
+
+def parse_wkt_m(wkt: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``LINESTRING M (x y m, …)`` → (xs, ys, ms)."""
+    m = _WKT_RE.match(wkt)
+    if not m:
+        raise ValueError(f"not a LINESTRING M WKT: {wkt[:60]!r}")
+    triples = [
+        [float(v) for v in part.split()] for part in m.group(1).split(",")
+    ]
+    arr = np.asarray(triples, dtype=np.float64)
+    if arr.shape[1] != 3:
+        raise ValueError("LINESTRING M requires x y m per vertex")
+    return arr[:, 0], arr[:, 1], arr[:, 2]
+
+
+def format_wkt_m(xs, ys, ms) -> str:
+    """(xs, ys, ms) → ``LINESTRING M (x y m, …)`` (``ext/base.py:2640-2674``)."""
+    pts = ", ".join(
+        f"{x:g} {y:g} {m:g}" for x, y, m in zip(xs, ys, ms)
+    )
+    return f"LINESTRING M ({pts})"
+
+
+def parse_geom_wkt(ds: ray.data.Dataset, wkt_col: str = "wkt") -> ray.data.Dataset:
+    """String WKT column → xs/ys/ms list columns."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        xs, ys, ms = [], [], []
+        for w in t[wkt_col].to_pylist():
+            x, y, m = parse_wkt_m(w)
+            xs.append(x.tolist())
+            ys.append(y.tolist())
+            ms.append(m.tolist())
+        lt = pa.list_(pa.float64())
+        return (
+            t.append_column("xs", pa.array(xs, lt))
+            .append_column("ys", pa.array(ys, lt))
+            .append_column("ms", pa.array(ms, lt))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def format_geom_wkt(ds: ray.data.Dataset, out_col: str = "wkt") -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        out = [
+            format_wkt_m(x, y, m)
+            for x, y, m in zip(
+                t["xs"].to_pylist(), t["ys"].to_pylist(), t["ms"].to_pylist()
+            )
+        ]
+        return t.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def build_geom_m(ds: ray.data.Dataset, beg_col="beg", end_col="end") -> ray.data.Dataset:
+    """Impute vertex M linearly in chord distance over [beg, end]
+    (``ext/base.py:991-1036``; math ``geometry/linestring_m.py:348-372``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_ms = []
+        begs = t[beg_col].to_numpy(zero_copy_only=False)
+        ends = t[end_col].to_numpy(zero_copy_only=False)
+        for x, y, b, e in zip(
+            t["xs"].to_pylist(), t["ys"].to_pylist(), begs, ends
+        ):
+            cd = cumdist(np.asarray(x), np.asarray(y))
+            total = cd[-1] if cd[-1] > 0 else 1.0
+            out_ms.append((b + (e - b) * cd / total).tolist())
+        idx = t.schema.get_field_index("ms")
+        arr = pa.array(out_ms, pa.list_(pa.float64()))
+        if idx == -1:
+            return t.append_column("ms", arr)
+        return t.set_column(idx, "ms", arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def extract_m_values(
+    ds: ray.data.Dataset, beg_col="beg", end_col="end"
+) -> ray.data.Dataset:
+    """beg/end ← first/last vertex M (``ext/base.py:2676-2731``)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        ms = t["ms"]
+        first = pc.list_element(ms, 0)
+        last = pa.array([v[-1] for v in ms.to_pylist()], pa.float64())
+        out = t
+        for name, arr in ((beg_col, first), (end_col, last)):
+            idx = out.schema.get_field_index(name)
+            out = (
+                out.append_column(name, arr)
+                if idx == -1
+                else out.set_column(idx, name, arr)
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _route_lookup(routes: pa.Table) -> dict:
+    return {
+        rid: (np.asarray(x), np.asarray(y), np.asarray(m))
+        for rid, x, y, m in zip(
+            routes["route_id"].to_pylist(),
+            routes["xs"].to_pylist(),
+            routes["ys"].to_pylist(),
+            routes["ms"].to_pylist(),
+        )
+    }
+
+
+def cut_geometry(
+    events: ray.data.Dataset,
+    routes: pa.Table,
+    key_col="route_id",
+    beg_col="beg",
+    end_col="end",
+) -> ray.data.Dataset:
+    """Substring the route geometry to each event's [beg, end] (relation
+    ``cut``): adds xs/ys/ms columns; adjacent events share exact boundary
+    coordinates (same lerp as ``substring_m_coords``)."""
+    lookup = _route_lookup(routes)
+
+    def fn(t: pa.Table) -> pa.Table:
+        xs_o, ys_o, ms_o = [], [], []
+        for rid, b, e in zip(
+            t[key_col].to_pylist(),
+            t[beg_col].to_numpy(zero_copy_only=False),
+            t[end_col].to_numpy(zero_copy_only=False),
+        ):
+            geom = lookup.get(rid)
+            if geom is None:
+                xs_o.append(None)
+                ys_o.append(None)
+                ms_o.append(None)
+                continue
+            ox, oy, om = substring_by_m(*geom, float(b), float(e))
+            xs_o.append(ox.tolist())
+            ys_o.append(oy.tolist())
+            ms_o.append(om.tolist())
+        lt = pa.list_(pa.float64())
+        return (
+            t.append_column("xs", pa.array(xs_o, lt))
+            .append_column("ys", pa.array(ys_o, lt))
+            .append_column("ms", pa.array(ms_o, lt))
+        )
+
+    return events.map_batches(fn, batch_format="pyarrow")
+
+
+def interpolate_points(
+    points: ray.data.Dataset,
+    routes: pa.Table,
+    key_col="route_id",
+    loc_col="loc",
+) -> ray.data.Dataset:
+    """(x, y) at each point event's measure (relation ``interpolate``).
+
+    Vectorized per (batch × route): rows grouped by route inside the batch,
+    one searchsorted interpolation per route segment set.
+    """
+    lookup = _route_lookup(routes)
+
+    def fn(t: pa.Table) -> pa.Table:
+        rids = np.asarray(t[key_col].to_pylist())
+        locs = t[loc_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x_out = np.full(len(t), np.nan)
+        y_out = np.full(len(t), np.nan)
+        for rid in np.unique(rids):
+            geom = lookup.get(rid)
+            if geom is None:
+                continue
+            mask = rids == rid
+            px, py = interpolate_at_m(*geom, locs[mask])
+            x_out[mask] = px
+            y_out[mask] = py
+        return t.append_column("x", pa.array(x_out)).append_column(
+            "y", pa.array(y_out)
+        )
+
+    return points.map_batches(fn, batch_format="pyarrow")
+
+
+def add_chaining(
+    fragments: ray.data.Dataset,
+    key_col: str = "route_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Chain ids from geometric contiguity per key (``ext/base.py:1114-1237``):
+    fragments whose termini touch join one chain; output adds ``chain`` and
+    ``chain_pos`` columns."""
+    from linref_ray.partition import KEYCOL, PID, add_partition_cols
+
+    def part(t: pa.Table) -> pa.Table:
+        return add_partition_cols(t, (key_col,), num_partitions)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("chain", pa.array([], pa.int64())).append_column(
+                "chain_pos", pa.array([], pa.int64())
+            ).drop_columns([PID, KEYCOL])
+        keys = np.asarray(t[key_col].to_pylist())
+        xs = t["xs"].to_pylist()
+        ys = t["ys"].to_pylist()
+        first_pts = np.array([[x[0], y[0]] for x, y in zip(xs, ys)])
+        last_pts = np.array([[x[-1], y[-1]] for x, y in zip(xs, ys)])
+        chain = np.empty(len(t), dtype=np.int64)
+        pos = np.empty(len(t), dtype=np.int64)
+        base = 0
+        for k in np.unique(keys):
+            m = keys == k
+            cid, cpos = merge_chains(first_pts[m], last_pts[m])
+            chain[m] = cid + base
+            pos[m] = cpos
+            base += cid.max() + 1 if len(cid) else 0
+        return (
+            t.append_column("chain", pa.array(chain))
+            .append_column("chain_pos", pa.array(pos))
+            .drop_columns([PID, KEYCOL])
+        )
+
+    return (
+        fragments.map_batches(part, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(PID)
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def generate_linear_events(
+    fragments: ray.data.Dataset,
+    key_col: str = "route_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Build an LRS from bare geometry (``ext/base.py:1309-1477``): chain
+    fragments per key, order them, assign cumulative [beg, end] from chord
+    lengths, and impute vertex Ms."""
+    chained = add_chaining(fragments, key_col, num_partitions)
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values([key_col, "chain", "chain_pos"])
+        begs = np.empty(len(df))
+        ends = np.empty(len(df))
+        ms_out = []
+        pos = 0
+        for (_, _), g in df.groupby([key_col, "chain"], sort=True):
+            acc = 0.0
+            for _, row in g.iterrows():
+                x = np.asarray(row["xs"])
+                y = np.asarray(row["ys"])
+                cd = cumdist(x, y)
+                begs[pos] = acc
+                ends[pos] = acc + cd[-1]
+                ms_out.append((acc + cd).tolist())
+                acc += cd[-1]
+                pos += 1
+        df["beg"] = begs
+        df["end"] = ends
+        df["ms"] = ms_out
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # Per-(key, chain) cumulative measures need chain-atomic groups — reuse
+    # the chained output's partition structure (chain ⊆ key ⊆ partition).
+    return chained.map_batches(fn, batch_format="pyarrow", batch_size=None)

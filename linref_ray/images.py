@@ -45,17 +45,34 @@ class VerifyInvariants:
         blobs = batch["bytes"].to_pylist()
         caps = batch["caption"].to_pylist()
         n = len(ids)
-        psnr = np.empty(n)
-        ok = np.empty(n, dtype=bool)
+        # Vectorized path: decode every blob to a flat pixel buffer, then one
+        # batched reference regeneration + one reduceat PSNR over the
+        # concatenation. Falls back to nothing — decode is just frombuffer.
+        flat_px = []
+        sizes = np.empty(n, dtype=np.int64)
+        whs: list[tuple[int, int]] = []
         for i in range(n):
-            px, fmt = codec.decode_image(blobs[i])
-            ref = codec.reference_pixels(ids[i], px.shape[1], px.shape[0])
-            if fmt == "raw":
-                p = np.inf if np.array_equal(px, ref) else codec.psnr(px, ref)
-            else:
-                p = codec.psnr(px, ref)
-            psnr[i] = p
-            ok[i] = (p >= self.psnr_min) and (caps[i] == caption_for(ids[i]))
+            px, _fmt = codec.decode_image(blobs[i])
+            flat_px.append(px.ravel())
+            sizes[i] = px.size
+            whs.append((px.shape[1], px.shape[0]))
+        seeds = codec.id_seeds(ids)
+        if len(set(whs)) == 1:
+            w, h = whs[0]
+            refs = codec.reference_pixels_batch(seeds, w, h).reshape(n, -1)
+            flat_ref = refs.ravel()
+        else:
+            flat_ref = np.concatenate(
+                [
+                    codec.reference_pixels_batch(seeds[i : i + 1], w, h).ravel()
+                    for i, (w, h) in enumerate(whs)
+                ]
+            )
+        psnr = codec.psnr_batch(np.concatenate(flat_px), flat_ref, sizes)
+        cap_ok = np.fromiter(
+            (caps[i] == caption_for(ids[i]) for i in range(n)), bool, n
+        )
+        ok = (psnr >= self.psnr_min) & cap_ok
         if self.strict and not ok.all():
             bad = [ids[i] for i in np.flatnonzero(~ok)[:5]]
             raise ValueError(f"invariant violated for images {bad}")
@@ -67,16 +84,26 @@ def verify_invariants(
     images: ray.data.Dataset,
     psnr_min: float = 40.0,
     strict: bool = False,
-    concurrency: int = 4,
-    batch_size: int = 1024,
+    concurrency: int | None = None,
+    batch_size: int = 2048,
 ) -> ray.data.Dataset:
+    """Invariant stage. Default: stateless tasks (fully elastic — our codec
+    stub carries no per-worker state). Pass ``concurrency`` to run as an
+    actor pool instead — the right shape when decode needs real per-worker
+    state (loaded codecs/models); measured here, the autoscaling pool ramps
+    far slower than tasks for cheap kernels."""
+    if concurrency is not None:
+        return images.map_batches(
+            VerifyInvariants,
+            fn_constructor_kwargs=dict(psnr_min=psnr_min, strict=strict),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        )
+    fn = VerifyInvariants(psnr_min=psnr_min, strict=strict)
     return images.map_batches(
-        VerifyInvariants,
-        fn_constructor_kwargs=dict(psnr_min=psnr_min, strict=strict),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, concurrency),
-        num_cpus=1,
+        fn, batch_format="pyarrow", batch_size=batch_size
     )
 
 
@@ -121,13 +148,11 @@ def image_pipeline(
 
     ds = images
     if check_invariants:
-        ds = verify_invariants(ds, concurrency=snap_concurrency)
+        ds = verify_invariants(ds)
         ds = ds.filter(expr="invariant_ok == True")
     pts = geotag(ds, routes)
     index_ref = build_route_index(routes, res=cell_res, pad=buffer)
-    snapped = snap_points(
-        pts, index_ref, buffer=buffer, concurrency=snap_concurrency
-    )
+    snapped = snap_points(pts, index_ref, buffer=buffer)
     # The snapped sidecar is slim (no image bytes) and feeds BOTH the event
     # join and the tile histogram — materialize once so the expensive
     # decode+snap stages run a single time. At extreme scale, write it to

@@ -96,6 +96,7 @@ def hash_join(
 
     return (
         lp.union(rp)
+        .repartition(num_partitions)
         .groupby(_JPID)
         .map_groups(kernel, batch_format="pyarrow")
     )

@@ -95,6 +95,7 @@ def dissolve(
 
     return (
         _partitioned(ds, lrs, num_partitions)
+        .repartition(num_partitions)
         .groupby(PID)
         .map_groups(kernel, batch_format="pyarrow")
     )
@@ -156,6 +157,7 @@ def separate(
 
     return (
         _partitioned(ds, lrs, num_partitions)
+        .repartition(num_partitions)
         .groupby(PID)
         .map_groups(kernel, batch_format="pyarrow")
     )
@@ -193,6 +195,7 @@ def flag_duplicated(
 
     return (
         _partitioned(ds, lrs, num_partitions)
+        .repartition(num_partitions)
         .groupby(PID)
         .map_groups(kernel, batch_format="pyarrow")
     )
@@ -227,6 +230,7 @@ def flag_inside(
 
     return (
         _partitioned(ds, lrs, num_partitions)
+        .repartition(num_partitions)
         .groupby(PID)
         .map_groups(kernel, batch_format="pyarrow")
     )
@@ -333,6 +337,9 @@ def integrate(
             cols[f"ix_{i}"] = pa.array(allidx[:, i])
         return pa.table(cols)
 
-    return concatenate(*prepared).groupby(PID).map_groups(
-        kernel, batch_format="pyarrow"
+    return (
+        concatenate(*prepared)
+        .repartition(num_partitions)
+        .groupby(PID)
+        .map_groups(kernel, batch_format="pyarrow")
     )

@@ -342,8 +342,14 @@ class Relation:
             method, self.left_lrs, self.right_lrs,
             self.left_cols, self.right_cols, kwargs, bs,
         )
-        pairs = lp.union(rp).groupby(PID).map_groups(
-            kernel, batch_format="pyarrow"
+        # Coalesce the over-split read/union blocks before the shuffle —
+        # the sort-based exchange pays a fixed per-block cost, so tiny
+        # blocks dominate wall time (measured 3-4x on sf0.1).
+        pairs = (
+            lp.union(rp)
+            .repartition(self.num_partitions)
+            .groupby(PID)
+            .map_groups(kernel, batch_format="pyarrow")
         )
         self._cache[cache_key] = pairs
         return pairs
@@ -383,7 +389,11 @@ class Relation:
     def count(self, target="left", out_col="count", **kwargs):
         tid, _, _ = self._tid(target)
         pairs = self.intersect(**kwargs)
-        out = pairs.groupby(tid).aggregate(Count(alias_name=out_col))
+        out = (
+            pairs.repartition(self.num_partitions)
+            .groupby(tid)
+            .aggregate(Count(alias_name=out_col))
+        )
         return out.rename_columns({tid: self.id_col})
 
     def sum(
@@ -427,6 +437,7 @@ class Relation:
 
         out = (
             pairs.map_batches(mul, batch_format="pyarrow")
+            .repartition(self.num_partitions)
             .groupby(tid)
             .aggregate(Sum("__wv", alias_name=out_col))
         )
@@ -444,6 +455,7 @@ class Relation:
 
         out = (
             pairs.map_batches(mul, batch_format="pyarrow")
+            .repartition(self.num_partitions)
             .groupby(tid)
             .aggregate(
                 Sum("__wv", alias_name="__num"), Sum(WEIGHT, alias_name="__den")
@@ -476,6 +488,7 @@ class Relation:
 
         return (
             pairs.map_batches(add_pid, batch_format="pyarrow")
+            .repartition(nparts)
             .groupby("__apid")
             .map_groups(kernel, batch_format="pyarrow")
         )
@@ -574,7 +587,11 @@ class Relation:
         """Long-format (id, value, n) counts (``relate.py:969-1018``)."""
         tid, _, _ = self._tid(target)
         pairs = self.intersect(**kwargs)
-        out = pairs.groupby([tid, col]).aggregate(Count(alias_name="n"))
+        out = (
+            pairs.repartition(self.num_partitions)
+            .groupby([tid, col])
+            .aggregate(Count(alias_name="n"))
+        )
         return out.rename_columns({tid: self.id_col})
 
     def distribute(
@@ -695,8 +712,11 @@ class Relation:
                 }
             )
 
-        return lp.union(rp).groupby(PID).map_groups(
-            kernel, batch_format="pyarrow"
+        return (
+            lp.union(rp)
+            .repartition(self.num_partitions)
+            .groupby(PID)
+            .map_groups(kernel, batch_format="pyarrow")
         )
 
 

@@ -183,25 +183,36 @@ def snap_points(
     buffer: float = 5.0,
     x_col: str = "x",
     y_col: str = "y",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int = 8192,
     keep_unmatched: bool = False,
 ) -> ray.data.Dataset:
-    """The snap stage as an actor pool (index built once per actor)."""
-    return points.map_batches(
-        SnapPoints,
-        fn_constructor_kwargs=dict(
-            index_ref=index_ref,
-            buffer=buffer,
-            x_col=x_col,
-            y_col=y_col,
-            keep_unmatched=keep_unmatched,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, concurrency),
-        num_cpus=1,
+    """The snap stage. Default: stateless tasks — ``ray.get`` of the
+    broadcast index is a zero-copy shared-memory read per task (fetched once
+    per node), so elastic tasks beat a fixed pool for this cheap kernel.
+    Pass ``concurrency`` for an actor pool (right shape when per-worker
+    setup is genuinely expensive)."""
+    kwargs = dict(
+        index_ref=index_ref,
+        buffer=buffer,
+        x_col=x_col,
+        y_col=y_col,
+        keep_unmatched=keep_unmatched,
     )
+    if concurrency is not None:
+        return points.map_batches(
+            SnapPoints,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return SnapPoints(**kwargs)(batch)
+
+    return points.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def assign_cells(

@@ -169,22 +169,41 @@ def images_dataset(
         ids = [f"{seed_prefix}-{int(i):08d}" for i in t["id"].to_pylist()]
         return _images_table(ids, w, h)
 
-    return ds.map_batches(gen, batch_format="pyarrow")
+    # Small batches keep per-call temporaries inside reused malloc arenas —
+    # large one-shot allocations pay first-touch page-zeroing every call.
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=2048)
 
 
 def _images_table(ids: list[str], w: int, h: int) -> pa.Table:
     fmts = ["raw" if int(i.rsplit("-", 1)[1]) % 3 == 0 else "qz" for i in ids]
-    blobs, phashes = [], []
-    for iid, fmt in zip(ids, fmts):
-        px = codec.reference_pixels(iid, w, h)
-        blobs.append(codec.encode_image(px, fmt))
-        gray = px.mean(axis=2)
-        small = gray[:: max(h // 8, 1), :: max(w // 8, 1)][:8, :8]
-        bits = (small > small.mean()).ravel()
-        val = np.uint64(0)
-        for b in np.flatnonzero(bits):
-            val |= np.uint64(1) << np.uint64(int(b))
-        phashes.append(np.int64(val.astype(np.int64)))
+    n = len(ids)
+    # Vectorized: one batched pixel generation, one batched quantize, one
+    # batched aHash; only the final bytes assembly is per-row.
+    px = codec.reference_pixels_batch(codec.id_seeds(ids), w, h)
+    qz = ((px >> 2) << 2) + 2
+    import struct
+
+    header = {
+        f: struct.Struct("<4sHHB3s").pack(
+            codec.MAGIC, w, h, 0 if f == "raw" else 1, b"\x00" * 3
+        )
+        for f in ("raw", "qz")
+    }
+    blobs = [
+        header[f] + (px[i] if f == "raw" else qz[i]).tobytes()
+        for i, f in enumerate(fmts)
+    ]
+    # aHash: downsample FIRST (8×8 grid), then gray-mean — avoids a
+    # full-resolution float conversion of the whole batch.
+    small_px = px[:, :: max(h // 8, 1), :: max(w // 8, 1), :][:, :8, :8, :]
+    small = small_px.astype(np.float32).mean(axis=3)
+    bits = small > small.mean(axis=(1, 2), keepdims=True)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)[
+        : bits.shape[1], : bits.shape[2]
+    ]
+    phashes = (
+        (bits * weights[None]).reshape(n, -1).sum(axis=1, dtype=np.uint64)
+    ).astype(np.int64)
     return pa.table(
         {
             "image_id": pa.array(ids),

@@ -1,0 +1,135 @@
+"""Dataset-level geometry op tests (WKT, build/extract M, cut, interpolate,
+chaining, generate_linear_events)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linref_ray import geometry as geo
+from linref_ray import synth
+
+
+class TestWkt:
+    def test_roundtrip(self, ray_session):
+        ds = rd.from_items(
+            [{"gid": 0, "wkt": "LINESTRING M (0 0 0, 10 0 10, 10 5 15)"}]
+        )
+        parsed = geo.parse_geom_wkt(ds).to_pandas()
+        assert list(parsed["xs"][0]) == [0.0, 10.0, 10.0]
+        assert list(parsed["ms"][0]) == [0.0, 10.0, 15.0]
+        out = geo.format_geom_wkt(
+            geo.parse_geom_wkt(ds).drop_columns(["wkt"]), out_col="wkt2"
+        ).to_pandas()
+        assert out.wkt2[0] == "LINESTRING M (0 0 0, 10 0 10, 10 5 15)"
+
+    def test_bad_wkt_raises(self):
+        with pytest.raises(ValueError):
+            geo.parse_wkt_m("POINT (0 0)")
+
+
+class TestMColumns:
+    def test_build_geom_m(self, ray_session):
+        ds = rd.from_items(
+            [
+                {
+                    "gid": 0,
+                    "beg": 100.0,
+                    "end": 120.0,
+                    "xs": [0.0, 3.0, 3.0],
+                    "ys": [0.0, 4.0, 9.0],
+                }
+            ]
+        )
+        out = geo.build_geom_m(ds).to_pandas()
+        np.testing.assert_allclose(list(out.ms[0]), [100.0, 110.0, 120.0])
+
+    def test_extract_m_values(self, ray_session):
+        ds = rd.from_items(
+            [{"gid": 0, "ms": [5.0, 7.0, 12.5], "xs": [0, 1, 2], "ys": [0, 0, 0]}]
+        )
+        out = geo.extract_m_values(ds).to_pandas()
+        assert out.beg[0] == 5.0
+        assert out.end[0] == 12.5
+
+
+class TestCutInterpolate:
+    @pytest.fixture
+    def routes(self):
+        return pa.table(
+            {
+                "route_id": ["A"],
+                "xs": pa.array([[0.0, 10.0, 10.0]], pa.list_(pa.float64())),
+                "ys": pa.array([[0.0, 0.0, 10.0]], pa.list_(pa.float64())),
+                "ms": pa.array([[0.0, 10.0, 20.0]], pa.list_(pa.float64())),
+            }
+        )
+
+    def test_cut_adjacent_share_boundary(self, ray_session, routes):
+        ev = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1],
+                    "route_id": ["A", "A"],
+                    "beg": [0.0, 7.5],
+                    "end": [7.5, 20.0],
+                }
+            )
+        )
+        out = geo.cut_geometry(ev, routes).to_pandas().sort_values("event_id")
+        first_end = (out["xs"].iloc[0][-1], out["ys"].iloc[0][-1])
+        second_start = (out["xs"].iloc[1][0], out["ys"].iloc[1][0])
+        assert first_end == second_start == (7.5, 0.0)
+        assert out["ms"].iloc[0][-1] == out["ms"].iloc[1][0] == 7.5
+
+    def test_interpolate_points(self, ray_session, routes):
+        pts = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "point_id": [0, 1],
+                    "route_id": ["A", "A"],
+                    "loc": [5.0, 15.0],
+                }
+            )
+        )
+        out = geo.interpolate_points(pts, routes).to_pandas().sort_values("point_id")
+        assert out.x.iloc[0] == pytest.approx(5.0)
+        assert out.y.iloc[0] == pytest.approx(0.0)
+        assert out.x.iloc[1] == pytest.approx(10.0)
+        assert out.y.iloc[1] == pytest.approx(5.0)
+
+    def test_unknown_route_null(self, ray_session, routes):
+        ev = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [0], "route_id": ["ZZZ"], "beg": [0.0], "end": [1.0]}
+            )
+        )
+        out = geo.cut_geometry(ev, routes).to_pandas()
+        assert out["xs"][0] is None
+
+
+class TestChaining:
+    def test_chain_and_generate(self, ray_session):
+        frags = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "frag_id": [0, 1, 2],
+                    "route_id": ["A", "A", "A"],
+                    "xs": [[10.0, 20.0], [0.0, 10.0], [50.0, 60.0]],
+                    "ys": [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]],
+                }
+            )
+        )
+        out = (
+            geo.generate_linear_events(frags, num_partitions=4)
+            .to_pandas()
+            .set_index("frag_id")
+        )
+        # Fragments 1→0 chain contiguously; 2 is its own chain.
+        assert out.loc[1, "chain"] == out.loc[0, "chain"]
+        assert out.loc[2, "chain"] != out.loc[0, "chain"]
+        assert out.loc[1, "beg"] == 0.0 and out.loc[1, "end"] == 10.0
+        assert out.loc[0, "beg"] == 10.0 and out.loc[0, "end"] == 20.0
+        assert list(out.loc[0, "ms"]) == [10.0, 20.0]
+        assert out.loc[2, "beg"] == 0.0 and out.loc[2, "end"] == 10.0
