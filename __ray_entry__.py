@@ -110,7 +110,15 @@ def _round_cols(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
     def fn(t: pa.Table) -> pa.Table:
         for c, k in cols.items():
             idx = t.schema.get_field_index(c)
-            t = t.set_column(idx, c, pc.round(t[c], ndigits=k))
+            # Double round (k+3 then k), half_towards_infinity to match
+            # DuckDB's round(): collapses float-noise around exact ties
+            # (profile weights are dyadic rationals) before the final digit
+            # decision. The SQL oracles apply the same double round.
+            v = pc.round(t[c], ndigits=k + 3, round_mode="half_towards_infinity")
+            t = t.set_column(
+                idx, c,
+                pc.round(v, ndigits=k, round_mode="half_towards_infinity"),
+            )
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -336,6 +344,151 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(docs)
 
 
+
+def _q_cluster(sf_dir: str):
+    from linref_ray.spatial import cluster_events
+
+    ds = _events_linear(sf_dir, None)
+    out = cluster_events(ds, LIN, max_gap=0.0, num_partitions=NPARTS)
+    return out.select_columns(["event_id", "cluster"])
+
+
+def _straight_routes():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "route_id": ["H0", "H1", "V2"],
+            "xs": pa.array(
+                [[0.0, 100.0], [0.0, 100.0], [50.0, 50.0]],
+                pa.list_(pa.float64()),
+            ),
+            "ys": pa.array(
+                [[0.0, 0.0], [40.0, 40.0], [100.0, 200.0]],
+                pa.list_(pa.float64()),
+            ),
+            "ms": pa.array(
+                [[0.0, 100.0], [0.0, 100.0], [0.0, 100.0]],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+
+
+def _q_project(sf_dir: str):
+    """Snap event-derived points to axis-aligned routes — closed-form SQL
+    oracle (projection onto horizontal/vertical segments is clamp + abs)."""
+    from linref_ray.spatial import build_route_index, snap_points
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.multiply(t["value"], 11.0)
+        y = pc.cast(
+            pc.subtract(pc.bit_wise_and(t["user_id"], 127), 20), pa.float64()
+        )
+        return t.append_column("x", x).append_column("y", y)
+
+    pts = ds.map_batches(fn, batch_format="pyarrow")
+    ref = build_route_index(_straight_routes(), res=4, pad=600.0)
+    out = snap_points(pts, ref, buffer=600.0, x_col="x", y_col="y")
+    return _round_cols(
+        out.select_columns(["event_id", "route_id", "loc", "snap_dist"]),
+        {"loc": 6, "snap_dist": 6},
+    )
+
+
+def _q_overlay_profile(sf_dir: str):
+    """Triangular-profile-weighted overlay sum (``relate.py:2034-2071``);
+    the SQL oracle integrates the same piecewise antiderivative."""
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        num_partitions=NPARTS,
+    )
+    pairs = rel.overlay(profile="triangular")
+    from ray.data.aggregate import Sum
+
+    out = (
+        pairs.repartition(NPARTS)
+        .groupby("left_id")
+        .aggregate(Sum("weight", alias_name="psum"))
+        .rename_columns({"left_id": "event_id"})
+    )
+    return _round_cols(out, {"psum": 6})
+
+
+def _q_quality(sf_dir: str):
+    from linref_ray.text import quality_scores
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = quality_scores(docs)
+    return _round_cols(
+        out,
+        {"mean_word_len": 6, "punct_ratio": 6, "upper_ratio": 6,
+         "stop_ratio": 6, "rep_ratio": 6},
+    )
+
+
+def _q_fingerprints(sf_dir: str):
+    from linref_ray.text import fingerprints
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return fingerprints(docs)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from linref_ray.similarity import embedding_near_duplicates
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(emb, threshold=0.8, num_partitions=NPARTS)
+    return _round_cols(out, {"cosine": 6})
+
+
+def _q_separate(sf_dir: str):
+    from linref_ray import modify as md
+
+    ds = _events_linear(sf_dir, 0)
+    out = md.separate(ds, LIN, method="left", num_partitions=NPARTS)
+    return _round_cols(
+        out.select_columns(["event_id", "beg", "end"]), {"beg": 6, "end": 6}
+    )
+
+
+def _q_distribute(sf_dir: str):
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_points(sf_dir), LIN, PT,
+        num_partitions=NPARTS,
+    )
+    out = rel.distribute(decay_size=2, decay_func="linear", out_col="score")
+    return _round_cols(out, {"score": 6})
+
+
+def _q_image_invariants(sf_dir: str):
+    """Flagship invariant stage at fixed small scale (rows-only check):
+    synthesize 2k images, verify PSNR+caption, return per-format stats."""
+    from ray.data.aggregate import Count, Min
+
+    from linref_ray import synth
+    from linref_ray.images import verify_invariants
+
+    images = rd.from_arrow(synth.make_images(2000))
+    out = verify_invariants(images)
+    return (
+        out.groupby("fmt")
+        .aggregate(Count(alias_name="n"), Min("invariant_ok", alias_name="all_ok"))
+    )
+
+
 def entry() -> Any:
     """Flagship: images → invariants → geotag → snap → event join → tiles."""
     from linref_ray.images import image_pipeline
@@ -373,6 +526,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
+        "cluster": _q_cluster,
+        "project": _q_project,
+        "overlay_profile": _q_overlay_profile,
+        "quality": _q_quality,
+        "fingerprints": _q_fingerprints,
+        "embedding_neardup": _q_embedding_neardup,
+        "separate": _q_separate,
+        "distribute": _q_distribute,
+        "image_invariants": _q_image_invariants,
     }
 
 
@@ -380,25 +542,25 @@ def oracle_sql() -> dict[str, str]:
     return {
         "overlay_raw": _SQL_EVENTS + """
 select l.event_id as left_id, r.event_id as right_id,
-       round(least(l."end", r."end") - greatest(l.beg, r.beg), 6) as ovl
+       round(round(least(l."end", r."end") - greatest(l.beg, r.beg), 9), 6) as ovl
 from l join r on l.route_id = r.route_id
  and l.beg < r."end" and r.beg < l."end"
  and least(l."end", r."end") > greatest(l.beg, r.beg)
 """,
         "overlay_norm_sum": _SQL_EVENTS + """
-select l.event_id, round(sum(
+select l.event_id, round(round(sum(
   (least(l."end", r."end") - greatest(l.beg, r.beg))
-  / (r."end" - r.beg) * r.value), 6) as wsum
+  / (r."end" - r.beg) * r.value), 9), 6) as wsum
 from l join r on l.route_id = r.route_id
  and l.beg < r."end" and r.beg < l."end"
  and least(l."end", r."end") > greatest(l.beg, r.beg)
 group by l.event_id
 """,
         "overlay_mean": _SQL_EVENTS + """
-select l.event_id, round(sum(
+select l.event_id, round(round(sum(
   (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)
   * r.value) / sum(
-  (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)), 6)
+  (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)), 9), 6)
   as wmean
 from l join r on l.route_id = r.route_id
  and l.beg < r."end" and r.beg < l."end"
@@ -414,7 +576,7 @@ group by l.event_id
    and l.beg < r."end" and r.beg < l."end"
    and least(l."end", r."end") > greatest(l.beg, r.beg)
 ), t as (select rid, sum(wt) as tot from w group by rid)
-select w.lid as event_id, round(sum(w.wt / t.tot * w.value), 6) as csum
+select w.lid as event_id, round(round(sum(w.wt / t.tot * w.value), 9), 6) as csum
 from w join t on w.rid = t.rid
 group by w.lid
 """,
@@ -505,8 +667,8 @@ where g."end" is not null
 """,
         "tpch_pricing": """
 select l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) as sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(round(sum(l_quantity), 5), 2) as sum_qty,
+       round(round(sum(l_extendedprice * (1 - l_discount)), 5), 2) as sum_disc_price,
        count(*) as n_rows
 from lineitem group by l_returnflag, l_linestatus
 """,
@@ -522,7 +684,7 @@ with q as (select vec_id as query_id, embedding as qe from embeddings
 d as (select q.query_id, e.vec_id,
              list_cosine_similarity(cast(q.qe as double[]), cast(e.embedding as double[])) as cosine
       from q, embeddings e where e.vec_id != q.query_id)
-select query_id, vec_id, round(cosine, 6) as cosine
+select query_id, vec_id, round(round(cosine, 9), 6) as cosine
 from (select d.*, row_number() over (
         partition by query_id order by cosine desc, vec_id asc) as rk from d)
 where rk <= 5
@@ -537,6 +699,70 @@ select doc_id, length(text) as n_chars,
          as n_tokens
 from documents
 """,
-        # langid / minhash_dedup / simhash: heuristic & hash pipelines —
-        # rows-only checks (not ANSI-SQL-expressible).
+
+        "cluster": _SQL_EVENTS + """
+, s as (
+  select event_id, route_id, beg, "end",
+         case when beg > max("end") over (
+             partition by route_id order by beg, "end", event_id
+             rows between unbounded preceding and 1 preceding)
+         then 1 else 0 end as brk
+  from e
+), c as (
+  select event_id, route_id,
+         sum(brk) over (partition by route_id order by beg, "end", event_id
+                        rows unbounded preceding) as comp
+  from s
+)
+select event_id,
+       dense_rank() over (order by route_id, comp) - 1 as cluster
+from c
+""",
+        "project": """
+with pts as (
+  select event_id, value * 11.0 as x,
+         cast((user_id % 128) - 20 as double) as y
+  from events
+), routes(route_id, x0, y0, x1, y1, horiz, ridx) as (
+  values ('H0', 0.0, 0.0, 100.0, 0.0, true, 0),
+         ('H1', 0.0, 40.0, 100.0, 40.0, true, 1),
+         ('V2', 50.0, 100.0, 50.0, 200.0, false, 2)
+), proj as (
+  select p.event_id, r.route_id, r.ridx,
+         case when r.horiz
+              then greatest(r.x0, least(r.x1, p.x)) - r.x0
+              else greatest(r.y0, least(r.y1, p.y)) - r.y0 end as loc,
+         case when r.horiz
+              then sqrt((greatest(r.x0, least(r.x1, p.x)) - p.x) ^ 2
+                        + (p.y - r.y0) ^ 2)
+              else sqrt((greatest(r.y0, least(r.y1, p.y)) - p.y) ^ 2
+                        + (p.x - r.x0) ^ 2) end as dist
+  from pts p cross join routes r
+)
+select event_id, route_id, round(round(loc, 9), 6) as loc, round(round(dist, 9), 6) as snap_dist
+from (select proj.*, row_number() over (
+        partition by event_id order by dist, ridx) as rk from proj)
+where rk = 1 and dist <= 600.0
+""",
+        "overlay_profile": _SQL_EVENTS + """
+, w as (
+  select l.event_id,
+         least((greatest(l.beg, r.beg) - r.beg) / (r."end" - r.beg), 1.0) as a,
+         least((least(l."end", r."end") - r.beg) / (r."end" - r.beg), 1.0) as b
+  from l join r on l.route_id = r.route_id
+   and l.beg < r."end" and r.beg < l."end"
+   and least(l."end", r."end") > greatest(l.beg, r.beg)
+), f as (
+  select event_id,
+         (case when b < 0.5 then 2 * b * b
+               else -2 * b * b + 4 * b - 1 end)
+         - (case when a < 0.5 then 2 * a * a
+                 else -2 * a * a + 4 * a - 1 end) as wt
+  from w
+)
+select event_id, round(round(sum(wt), 9), 6) as psum from f group by event_id
+""",
+        # langid / minhash_dedup / simhash / separate / distribute / quality /
+        # fingerprints / embedding_neardup / image_invariants: heuristic,
+        # hash, or order-dependent pipelines — rows-only checks.
     }

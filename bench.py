@@ -65,8 +65,9 @@ def run_bench() -> dict:
     # the stand-in for the corpus read) is what we time.
     routes = synth.make_routes(64, seed=42)
     events = rd.from_arrow(synth.make_events(routes, density=0.05))
+    img_side = int(os.environ.get("BENCH_IMG_SIDE", "16"))
     images = synth.images_dataset(
-        n_images, w=32, h=32, num_blocks=max(num_cpus * 4, 16)
+        n_images, w=img_side, h=img_side, num_blocks=max(num_cpus * 4, 16)
     )
 
     # 1. Flagship: image corpus → invariants → geotag → snap → join → tiles.
@@ -157,7 +158,7 @@ def run_scaling() -> None:
     lo, hi = int(os.environ.get("BENCH_SCALE_LO", "2")), int(
         os.environ.get("BENCH_SCALE_HI", "8")
     )
-    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
     results = {lo: [], hi: []}
     # Interleave levels and keep the best run per level: the sandbox host's
     # effective capacity drifts minute-to-minute (hypervisor neighbors), so

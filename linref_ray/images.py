@@ -142,8 +142,6 @@ def image_pipeline(
 
     ``events`` schema: event_id, route_id, beg, end (+attrs).
     """
-    from linref_ray.lrs import LRS
-    from linref_ray.relate import Relation
     from linref_ray.spatial import build_route_index, snap_points, tile_histogram
 
     ds = images
@@ -158,28 +156,21 @@ def image_pipeline(
     # decode+snap stages run a single time. At extreme scale, write it to
     # partitioned parquet instead (the lineage checkpoint does exactly that).
     snapped = snapped.materialize()
-    # Assign each image a point-event id for the relation join.
-    def add_pid(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    # Event ranges are the small side (events ≪ images): broadcast a
+    # per-route interval index and probe it per batch — the snapped stream
+    # never shuffles for the join. (The shuffle-based Relation path remains
+    # the general two-big-sides join; see linref_ray.relate.)
+    import ray as _ray
 
-        h = pd.util.hash_array(
-            np.asarray(t["image_id"].to_pylist())
-        ).astype(np.int64)
-        return t.append_column("point_id", pa.array(h))
-
-    snapped = snapped.map_batches(add_pid, batch_format="pyarrow")
-    pt_lrs = LRS(key_col=("route_id",), beg_col=None, end_col=None, loc_col="loc")
-    ev_lrs = LRS(key_col=("route_id",), beg_col="beg", end_col="end",
-                 closed="left_mod")
-    rel = Relation(
-        events,
-        snapped,
-        ev_lrs,
-        pt_lrs,
-        id_col="event_id",
-        right_id_col="point_id",
-        num_partitions=num_partitions,
+    from linref_ray.spatial import (
+        EventRangeIndex,
+        broadcast_event_join_counts,
     )
-    per_event = rel.count(target="left", out_col="n_images")
+
+    ev_tbl = pa.concat_tables(
+        _ray.get(events.to_arrow_refs()), promote_options="default"
+    )
+    ev_index_ref = _ray.put(EventRangeIndex(ev_tbl, closed="left_mod"))
+    per_event = broadcast_event_join_counts(snapped, ev_index_ref)
     tiles = tile_histogram(snapped, cell_res)
     return per_event, tiles, snapped

@@ -215,6 +215,100 @@ def snap_points(
     return points.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+class EventRangeIndex:
+    """Broadcast per-route interval index for point→event-range joins.
+
+    The north-star asymmetry: event ranges are tiny next to the image/point
+    stream, so instead of co-shuffling both sides, the event table is built
+    into per-route beg-sorted arrays once (driver), shipped via ``ray.put``,
+    and every batch of points probes it with the same closure-faithful sweep
+    kernel used by the shuffle path (``intersect_point_linear_pairs``). No
+    shuffle touches the big side at all.
+    """
+
+    def __init__(self, events: pa.Table, closed: str = "left_mod",
+                 key_col: str = "route_id", beg_col: str = "beg",
+                 end_col: str = "end", id_col: str = "event_id"):
+        import pandas as pd
+
+        from linref_ray.kernels.intervals import modified_edges_sorted
+
+        df = events.select([key_col, beg_col, end_col, id_col]).to_pandas()
+        df = df.sort_values([key_col, beg_col, end_col], kind="stable")
+        self.closed = closed
+        self.routes: dict = {}
+        for rid, g in df.groupby(key_col, sort=False):
+            begs = g[beg_col].to_numpy(dtype=np.float64)
+            ends = g[end_col].to_numpy(dtype=np.float64)
+            self.routes[rid] = (
+                begs,
+                ends,
+                g[id_col].to_numpy(dtype=np.int64),
+                modified_edges_sorted(begs, ends, closed),
+            )
+
+    def match(self, route_ids: np.ndarray, locs: np.ndarray,
+              enforce_edges: bool = True):
+        """(point_pos, event_id) matches for a batch of snapped points."""
+        from linref_ray.kernels.intervals import intersect_point_linear_pairs
+
+        out_p, out_e = [], []
+        order = np.argsort(route_ids, kind="stable")
+        rids_s = route_ids[order]
+        breaks = np.flatnonzero(rids_s[1:] != rids_s[:-1]) + 1
+        for a, z in zip(
+            np.concatenate([[0], breaks]),
+            np.concatenate([breaks, [len(rids_s)]]),
+        ):
+            entry = self.routes.get(rids_s[a])
+            if entry is None:
+                continue
+            begs, ends, ids, mod = entry
+            seg = order[a:z]
+            pi, ii = intersect_point_linear_pairs(
+                locs[seg], begs, ends, self.closed, enforce_edges, mod
+            )
+            out_p.append(seg[pi])
+            out_e.append(ids[ii])
+        if not out_p:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy()
+        return np.concatenate(out_p), np.concatenate(out_e)
+
+
+def broadcast_event_join_counts(
+    points: ray.data.Dataset,
+    index_ref,
+    route_col: str = "route_id",
+    loc_col: str = "loc",
+    out_col: str = "n_images",
+) -> ray.data.Dataset:
+    """Count points per event range via the broadcast index: per-batch probe
+    + per-batch partial counts, then one tiny groupby over (event_id)
+    partials — the big side never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx: EventRangeIndex = ray.get(index_ref)
+        rids = np.asarray(batch[route_col].to_pylist())
+        locs = batch[loc_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        _, eids = idx.match(rids, locs)
+        vals, counts = np.unique(eids, return_counts=True)
+        return pa.table(
+            {
+                "event_id": pa.array(vals),
+                "__n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = points.map_batches(fn, batch_format="pyarrow", batch_size=16384)
+    return (
+        partials.repartition(8)
+        .groupby("event_id")
+        .aggregate(Sum("__n", alias_name=out_col))
+    )
+
+
 def assign_cells(
     ds: ray.data.Dataset,
     res: int,
@@ -255,10 +349,26 @@ def tile_histogram(
     with_cells = assign_cells(ds, res, x_col, y_col)
     from ray.data.aggregate import Count
 
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            t.select(["ix", "iy"])
+            .to_pandas()
+            .groupby(["ix", "iy"], sort=False)
+            .size()
+            .reset_index(name="__n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # Pre-aggregate per batch (combiner), then a tiny final groupby.
+    partials = with_cells.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
     return (
-        with_cells.select_columns(["ix", "iy"])
+        partials.repartition(8)
         .groupby(["ix", "iy"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("__n", alias_name="n"))
     )
 
 
