@@ -62,9 +62,13 @@ class VerifyInvariants:
             refs = codec.reference_pixels_batch(seeds, w, h).reshape(n, -1)
             flat_ref = refs.ravel()
         else:
+            # .copy(): reference_pixels_batch may return a scratch-buffer
+            # view that the next loop iteration overwrites.
             flat_ref = np.concatenate(
                 [
-                    codec.reference_pixels_batch(seeds[i : i + 1], w, h).ravel()
+                    codec.reference_pixels_batch(seeds[i : i + 1], w, h)
+                    .ravel()
+                    .copy()
                     for i, (w, h) in enumerate(whs)
                 ]
             )

@@ -180,7 +180,10 @@ def _images_table(ids: list[str], w: int, h: int) -> pa.Table:
     # Vectorized: one batched pixel generation, one batched quantize, one
     # batched aHash; only the final bytes assembly is per-row.
     px = codec.reference_pixels_batch(codec.id_seeds(ids), w, h)
-    qz = ((px >> 2) << 2) + 2
+    qz = codec._scratch("synth_qz", px.shape, np.uint8)
+    np.right_shift(px, 2, out=qz)
+    np.left_shift(qz, 2, out=qz)
+    np.add(qz, 2, out=qz)
     import struct
 
     header = {
