@@ -489,6 +489,19 @@ def _q_image_invariants(sf_dir: str):
     )
 
 
+def _q_constrain(sf_dir: str):
+    from linref_ray import modify as md
+
+    out = md.constrain_to(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        num_partitions=NPARTS,
+    )
+    return _round_cols(
+        out.select_columns(["event_id", "route_key", "beg", "end"]),
+        {"beg": 6, "end": 6},
+    )
+
+
 def entry() -> Any:
     """Flagship: images → invariants → geotag → snap → event join → tiles."""
     from linref_ray.images import image_pipeline
@@ -535,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "separate": _q_separate,
         "distribute": _q_distribute,
         "image_invariants": _q_image_invariants,
+        "constrain_to": _q_constrain,
     }
 
 
@@ -761,6 +775,14 @@ where rk = 1 and dist <= 600.0
   from w
 )
 select event_id, round(round(sum(wt), 9), 6) as psum from f group by event_id
+""",
+        "constrain_to": _SQL_EVENTS + """
+select l.event_id, l.route_id as route_key,
+       round(round(greatest(l.beg, r.beg), 9), 6) as beg,
+       round(round(least(l."end", r."end"), 9), 6) as "end"
+from l join r on l.route_id = r.route_id
+ and l.beg < r."end" and r.beg < l."end"
+ and least(l."end", r."end") > greatest(l.beg, r.beg)
 """,
         # langid / minhash_dedup / simhash / separate / distribute / quality /
         # fingerprints / embedding_neardup / image_invariants: heuristic,

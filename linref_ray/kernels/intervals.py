@@ -122,7 +122,8 @@ def overlay_pairs(
     norm_by: str = "right",
     profile=None,
     window: tuple[float, float] | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return_bounds: bool = False,
+):
     """Overlay weights for one group: returns ``(left_pos, right_pos, weight)``.
 
     Mirrors ``relate.py:1958-2086``. Only nonzero-weight pairs are returned —
@@ -139,6 +140,9 @@ def overlay_pairs(
         raise ValueError(f"invalid norm_by {norm_by!r}")
     li, ri = _candidate_pairs(l_begs, l_ends, r_begs, r_ends, inclusive=False)
     if len(li) == 0:
+        if return_bounds:
+            e = np.empty(0, dtype=np.float64)
+            return li, ri, e, e.copy(), e.copy()
         return li, ri, np.empty(0, dtype=np.float64)
     ovl_beg = np.maximum(l_begs[li], r_begs[ri])
     ovl_end = np.minimum(l_ends[li], r_ends[ri])
@@ -150,6 +154,8 @@ def overlay_pairs(
     li, ri = li[keep], ri[keep]
     ovl_beg, ovl_end = ovl_beg[keep], ovl_end[keep]
     if not normalize:
+        if return_bounds:
+            return li, ri, ovl_end - ovl_beg, ovl_beg, ovl_end
         return li, ri, ovl_end - ovl_beg
     if norm_by == "right":
         ev_begs = r_begs[ri]
@@ -164,6 +170,8 @@ def overlay_pairs(
         a = np.clip((ovl_beg - ev_begs) / safe, 0.0, 1.0)
         b = np.clip((ovl_end - ev_begs) / safe, 0.0, 1.0)
         weight = profile.integral(a, b)
+    if return_bounds:
+        return li, ri, weight, ovl_beg, ovl_end
     return li, ri, weight
 
 

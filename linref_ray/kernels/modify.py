@@ -194,12 +194,53 @@ def separate(
     return b[inv], e[inv]
 
 
+def integrate_group_expand(
+    layer_begs: list[np.ndarray],
+    layer_ends: list[np.ndarray],
+    layer_locs: list[np.ndarray] | None = None,
+    fill_gaps: bool = False,
+    split_at_locs: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``integrate(expand=True)`` for one group (``integration.py:110-152``):
+    each grid interval is duplicated for every combination of matching
+    events across layers (cross product; -1 where a layer has no match).
+
+    Returns ``(out_begs, out_ends, indices)`` with one output row per
+    combination. Growth is bounded per interval by the product of per-layer
+    match counts — stream-emitted per interval.
+    """
+    import itertools
+
+    ob, oe, idx, _ = integrate_group(
+        layer_begs, layer_ends, layer_locs,
+        fill_gaps=True, split_at_locs=split_at_locs,
+        all_matches=True,
+    )
+    # idx here is a list (per interval) of per-layer match-lists.
+    out_b, out_e, out_idx = [], [], []
+    for k in range(len(ob)):
+        per_layer = [m if len(m) else np.array([-1]) for m in idx[k]]
+        has_match = any(m[0] != -1 or len(m) > 1 for m in per_layer)
+        if not fill_gaps and not has_match:
+            continue
+        for combo in itertools.product(*per_layer):
+            out_b.append(ob[k])
+            out_e.append(oe[k])
+            out_idx.append(combo)
+    return (
+        np.asarray(out_b, dtype=np.float64),
+        np.asarray(out_e, dtype=np.float64),
+        np.asarray(out_idx, dtype=np.int64).reshape(len(out_b), len(layer_begs)),
+    )
+
+
 def integrate_group(
     layer_begs: list[np.ndarray],
     layer_ends: list[np.ndarray],
     layer_locs: list[np.ndarray] | None = None,
     fill_gaps: bool = False,
     split_at_locs: bool = False,
+    all_matches: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Least-common-interval union of N layers within ONE group.
 
@@ -224,6 +265,12 @@ def integrate_group(
     k = len(out_begs)
     n_layers = len(layer_begs)
     indices = np.full((k, n_layers), -1, dtype=np.int64)
+    match_lists: list[list[np.ndarray]] | None = None
+    if all_matches:
+        match_lists = [
+            [np.empty(0, dtype=np.int64) for _ in range(n_layers)]
+            for _ in range(k)
+        ]
     for i in range(n_layers):
         lb, le = layer_begs[i], layer_ends[i]
         if len(lb) == 0 or k == 0:
@@ -247,12 +294,27 @@ def integrate_group(
         ok = (le_s[jj] > out_begs[ii]) & (lb_s[jj] < out_ends[ii])
         ii, jj = ii[ok], jj[ok]
         orig = order[jj]
-        # First original position per interval.
+        # First original position per interval (and, if requested, the full
+        # per-interval match lists for the expand path).
         if len(ii):
             sorter = np.lexsort([orig, ii])
             ii_s, orig_s = ii[sorter], orig[sorter]
             first_mask = np.concatenate([[True], ii_s[1:] != ii_s[:-1]])
             indices[ii_s[first_mask], i] = orig_s[first_mask]
+            if all_matches:
+                starts = np.flatnonzero(first_mask)
+                bounds = np.concatenate([starts, [len(ii_s)]])
+                for s, z in zip(bounds[:-1], bounds[1:]):
+                    match_lists[ii_s[s]][i] = orig_s[s:z]
+    if all_matches:
+        covered = (indices >= 0).any(axis=1)
+        if not fill_gaps:
+            keep = np.flatnonzero(covered)
+            out_begs = out_begs[keep]
+            out_ends = out_ends[keep]
+            match_lists = [match_lists[j] for j in keep]
+            covered = np.ones(len(out_begs), dtype=bool)
+        return out_begs, out_ends, match_lists, covered
     covered = (indices >= 0).any(axis=1)
     if not fill_gaps:
         out_begs = out_begs[covered]

@@ -25,6 +25,7 @@ from linref_ray.kernels.intervals import (
 from linref_ray.kernels.modify import (
     dissolve_sorted,
     integrate_group,
+    integrate_group_expand,
     resegment_rows,
 )
 from linref_ray.kernels.modify import separate as separate_kernel
@@ -249,6 +250,7 @@ def integrate(
     lrs_list: Sequence[LRS],
     fill_gaps: bool = False,
     split_at_locs: bool = False,
+    expand: bool = False,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> ray.data.Dataset:
     """n-way least-common-interval union (``events/integration.py:6-161``).
@@ -314,9 +316,16 @@ def integrate(
                     len(x) == 0 for x in ll
                 ):
                     continue
-                ob, oe, idx, _ = integrate_group(
-                    lb, le, ll, fill_gaps=fill_gaps, split_at_locs=split_at_locs
-                )
+                if expand:
+                    ob, oe, idx = integrate_group_expand(
+                        lb, le, ll, fill_gaps=fill_gaps,
+                        split_at_locs=split_at_locs,
+                    )
+                else:
+                    ob, oe, idx, _ = integrate_group(
+                        lb, le, ll, fill_gaps=fill_gaps,
+                        split_at_locs=split_at_locs,
+                    )
                 begs_out.append(ob)
                 ends_out.append(oe)
                 idx_out.append(idx)
@@ -343,3 +352,130 @@ def integrate(
         .groupby(PID)
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def constrain_to(
+    ds: ray.data.Dataset,
+    other: ray.data.Dataset,
+    lrs: LRS,
+    other_lrs: LRS | None = None,
+    dissolve_result: bool = False,
+    id_col: str = "event_id",
+    other_id_col: str = "event_id",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Clip events to the coverage domain of a reference layer
+    (``ext/base.py:1982-2088``): each event is replaced by its intersections
+    with ``other``'s ranges (one row per overlapping piece, original
+    ``event_id`` retained as lineage), optionally merged back per source
+    event where pieces are consecutive.
+    """
+    from linref_ray.kernels.intervals import overlay_pairs
+    from linref_ray.relate import _prepare_side
+
+    other_lrs = other_lrs or lrs
+    lp = _prepare_side(ds, lrs, 0, id_col, (), num_partitions, {}, None)
+    rp = _prepare_side(
+        other, other_lrs, 1, other_id_col, (), num_partitions, {}, None
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "route_key": pa.array([], pa.string()),
+                    "beg": pa.array([], pa.float64()),
+                    "end": pa.array([], pa.float64()),
+                }
+            )
+        key = _np(tbl, KEYCOL)
+        side = _np(tbl, SIDE)
+        beg = _np(tbl, "beg")
+        end = _np(tbl, "end")
+        ids = _np(tbl, "__id")
+        order = np.lexsort([end, beg, side, key])
+        key_s, side_s = key[order], side[order]
+        out_id, out_key, out_b, out_e = [], [], [], []
+        for a, z in iter_group_segments(key_s):
+            split = a + int(np.searchsorted(side_s[a:z], 1))
+            lseg, rseg = order[a:split], order[split:z]
+            if not len(lseg) or not len(rseg):
+                continue
+            li, ri, w, ob, oe = overlay_pairs(
+                beg[lseg], end[lseg], beg[rseg], end[rseg],
+                normalize=False, return_bounds=True,
+            )
+            if not len(li):
+                continue
+            sid = ids[lseg][li]
+            if dissolve_result:
+                # Merge consecutive clipped pieces per source event.
+                srt = np.lexsort([oe, ob, sid])
+                sid, ob, oe = sid[srt], ob[srt], oe[srt]
+                cummax = np.maximum.accumulate(oe)
+                consec = (ob[1:] <= cummax[:-1]) & (sid[1:] == sid[:-1])
+                first = np.concatenate([[0], np.flatnonzero(~consec) + 1])
+                # max end per run (pieces may nest when 'other' self-overlaps)
+                run_max = np.maximum.reduceat(oe, first)
+                sid, ob, oe = sid[first], ob[first], run_max
+            out_id.append(sid)
+            out_key.append(np.repeat(key_s[a], len(sid)))
+            out_b.append(ob)
+            out_e.append(oe)
+        if not out_id:
+            return kernel(tbl.slice(0, 0))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "route_key": pa.array(np.concatenate(out_key)),
+                "beg": pa.array(np.concatenate(out_b)),
+                "end": pa.array(np.concatenate(out_e)),
+            }
+        )
+
+    return (
+        lp.union(rp)
+        .repartition(num_partitions)
+        .groupby(PID)
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def impute_keys(
+    target: ray.data.Dataset,
+    source: ray.data.Dataset,
+    reduced_lrs: LRS,
+    fill_cols: Sequence[str],
+    id_col: str = "event_id",
+    source_id_col: str = "event_id",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Fill missing key columns on ``target`` from the first intersecting
+    ``source`` event under a reduced-key LRS (``ext/base.py:1586-1672``)."""
+    from linref_ray.joins import hash_join
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        target, source, reduced_lrs, reduced_lrs,
+        id_col=id_col, right_id_col=source_id_col,
+        right_cols=tuple(fill_cols), num_partitions=num_partitions,
+    )
+    out = target
+    for c in fill_cols:
+        agg = rel.first(c, target="left", out_col=f"__fill_{c}")
+        out = hash_join(out, agg, on=id_col, how="left",
+                        num_partitions=num_partitions)
+
+    def fill(t: pa.Table) -> pa.Table:
+        for c in fill_cols:
+            fc = f"__fill_{c}"
+            if c in t.column_names:
+                merged = pc.coalesce(t[c], t[fc])
+                t = t.set_column(t.schema.get_field_index(c), c, merged)
+            else:
+                t = t.append_column(c, t[fc])
+            t = t.drop_columns([fc])
+        return t
+
+    return out.map_batches(fill, batch_format="pyarrow")

@@ -463,6 +463,7 @@ def cluster_events(
     ds: ray.data.Dataset,
     lrs,
     max_gap: float = 0.0,
+    link_col: str | None = None,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Connected components of the extend-by-gap self-overlap graph
@@ -533,6 +534,53 @@ def cluster_events(
     ddf = distinct.to_pandas()
     ddf = ddf.sort_values(["__ckey", "__cpos"]).reset_index(drop=True)
     ddf["cluster"] = np.arange(len(ddf), dtype=np.int64)
+
+    if link_col is not None:
+        # Cross-group edges from shared link values (``ext/base.py:2941-2962``)
+        # — the one truly global graph op. Edge list ≪ rows: collect the
+        # distinct (link value → component) pairs, union-find on the driver,
+        # rewrite labels (SURVEY §7.5 item 6).
+        from linref_ray.joins import hash_join
+
+        links = hash_join(
+            local,
+            ds.select_columns(["event_id", link_col]),
+            on="event_id",
+            how="left",
+            num_partitions=num_partitions,
+        )
+        links = links.map_batches(
+            lambda t: t.filter(pc.is_valid(t[link_col])),
+            batch_format="pyarrow",
+        )
+        pairs = (
+            links.groupby([link_col, "__ckey", "__cpos"]).count().to_pandas()
+        )
+        comp_key = {
+            (k, p): i
+            for i, (k, p) in enumerate(zip(ddf["__ckey"], ddf["__cpos"]))
+        }
+        parent = np.arange(len(ddf), dtype=np.int64)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        pairs = pairs.dropna(subset=[link_col])
+        for _, grp in pairs.groupby(link_col, sort=False):
+            comps = [
+                comp_key[(k, p)]
+                for k, p in zip(grp["__ckey"], grp["__cpos"])
+            ]
+            root = find(comps[0])
+            for c in comps[1:]:
+                parent[find(c)] = root
+        roots = np.array([find(i) for i in range(len(ddf))])
+        _, dense = np.unique(roots, return_inverse=True)
+        ddf["cluster"] = dense.astype(np.int64)
+
     labels = ray.data.from_pandas(ddf)
 
     def key_of(t: pa.Table) -> pa.Table:
@@ -545,3 +593,150 @@ def cluster_events(
     loc2 = local.map_batches(key_of, batch_format="pyarrow")
     return hash_join(loc2, lab2, on="__ck2", how="left",
                      num_partitions=num_partitions).drop_columns(["__ck2"])
+
+
+def intersection_nodes(routes: pa.Table, res: int = 8, ndigits: int = 9) -> pa.Table:
+    """Unique crossing nodes with participating routes
+    (``ext/spatial.py:673-743``): explode pair intersections, unique by
+    rounded coordinates, collect the route set per node."""
+    pairs = intersection_pairs(routes, res=res)
+    if len(pairs) == 0:
+        return pa.table(
+            {
+                "node_id": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                "routes": pa.array([], pa.list_(pa.string())),
+            }
+        )
+    x = pairs["x"].to_numpy(zero_copy_only=False)
+    y = pairs["y"].to_numpy(zero_copy_only=False)
+    key = np.char.add(
+        np.round(x, ndigits).astype(str), np.round(y, ndigits).astype(str)
+    )
+    _, node_of = np.unique(key, return_inverse=True)
+    ra = pairs["route_a"].to_pylist()
+    rb = pairs["route_b"].to_pylist()
+    nodes: dict[int, set] = {}
+    coords: dict[int, tuple] = {}
+    for i, n in enumerate(node_of):
+        nodes.setdefault(int(n), set()).update((ra[i], rb[i]))
+        coords[int(n)] = (x[i], y[i])
+    ids = sorted(nodes)
+    return pa.table(
+        {
+            "node_id": pa.array(np.arange(len(ids), dtype=np.int64)),
+            "x": pa.array([coords[i][0] for i in ids]),
+            "y": pa.array([coords[i][1] for i in ids]),
+            "routes": pa.array(
+                [sorted(nodes[i]) for i in ids], pa.list_(pa.string())
+            ),
+        }
+    )
+
+
+def _polygon_crossings(xs, ys, ms, poly_x, poly_y):
+    """Measures where one route polyline crosses the polygon boundary."""
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    ex0, ey0 = poly_x, poly_y
+    ex1 = np.roll(poly_x, -1)
+    ey1 = np.roll(poly_y, -1)
+    rx = (bx - ax)[:, None]
+    ry = (by - ay)[:, None]
+    sx = (ex1 - ex0)[None, :]
+    sy = (ey1 - ey0)[None, :]
+    denom = rx * sy - ry * sx
+    qpx = ex0[None, :] - ax[:, None]
+    qpy = ey0[None, :] - ay[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qpx * sy - qpy * sx) / denom
+        u = (qpx * ry - qpy * rx) / denom
+    hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u < 1)
+    si, _ = np.nonzero(hit)
+    tt = t[hit]
+    mm = ms[:-1][si] + tt * (ms[1:][si] - ms[:-1][si])
+    return np.unique(mm)
+
+
+def _point_in_polygon(px, py, poly_x, poly_y):
+    """Vectorized ray-casting point-in-polygon."""
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(poly_x)
+    for i in range(n):
+        x0, y0 = poly_x[i], poly_y[i]
+        x1, y1 = poly_x[(i + 1) % n], poly_y[(i + 1) % n]
+        cond = ((y0 > py) != (y1 > py)) & (
+            px < (x1 - x0) * (py - y0) / (y1 - y0 + 1e-300) + x0
+        )
+        inside ^= cond
+    return inside
+
+
+def clip_events(
+    events: ray.data.Dataset,
+    routes: pa.Table,
+    polygon: tuple[np.ndarray, np.ndarray],
+    lrs,
+    keep: str = "inside",
+) -> ray.data.Dataset:
+    """Split events at polygon-boundary crossings of their route geometry and
+    keep the inside (or outside) pieces (``ext/base.py:2090-2307`` split/clip).
+
+    Routes + polygon are broadcast in the task closure. Total mileage is
+    conserved across keep='inside' + keep='outside' (reference clip test
+    invariant, ``tests/test_ext_base.py:2251``). Midpoint membership decides
+    each piece.
+    """
+    from linref_ray.kernels.geometry import interpolate_at_m
+
+    poly_x = np.asarray(polygon[0], dtype=np.float64)
+    poly_y = np.asarray(polygon[1], dtype=np.float64)
+    lookup = {
+        rid: (np.asarray(x), np.asarray(y), np.asarray(m))
+        for rid, x, y, m in zip(
+            routes["route_id"].to_pylist(),
+            routes["xs"].to_pylist(),
+            routes["ys"].to_pylist(),
+            routes["ms"].to_pylist(),
+        )
+    }
+    crossings = {
+        rid: _polygon_crossings(x, y, m, poly_x, poly_y)
+        for rid, (x, y, m) in lookup.items()
+    }
+    key_c = lrs.key_col[0]
+    beg_c, end_c = lrs.beg_col, lrs.end_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        rids = np.asarray(t[key_c].to_pylist())
+        beg = t[beg_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        end = t[end_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows, out_b, out_e, keep_mask = [], [], [], []
+        for i in range(len(t)):
+            geom = lookup.get(rids[i])
+            if geom is None:
+                continue
+            cr = crossings.get(rids[i])
+            cuts = cr[(cr > beg[i]) & (cr < end[i])] if cr is not None else []
+            edges = np.concatenate([[beg[i]], cuts, [end[i]]])
+            mids = (edges[:-1] + edges[1:]) / 2
+            mx, my = interpolate_at_m(*geom, mids)
+            inside = _point_in_polygon(mx, my, poly_x, poly_y)
+            want = inside if keep == "inside" else ~inside
+            for j in np.flatnonzero(want):
+                rows.append(i)
+                out_b.append(edges[j])
+                out_e.append(edges[j + 1])
+        if not rows:
+            out = t.slice(0, 0)
+            return out
+        out = t.take(pa.array(np.asarray(rows, dtype=np.int64)))
+        out = out.set_column(
+            out.schema.get_field_index(beg_c), beg_c, pa.array(out_b)
+        )
+        return out.set_column(
+            out.schema.get_field_index(end_c), end_c, pa.array(out_e)
+        )
+
+    return events.map_batches(fn, batch_format="pyarrow")

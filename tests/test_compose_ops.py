@@ -1,0 +1,212 @@
+"""Tests for the composed operators: integrate(expand), constrain_to,
+impute_keys, cluster(link_col), intersection_nodes, clip_events."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linref_ray import modify as md
+from linref_ray.kernels.modify import integrate_group_expand
+from linref_ray.lrs import LRS
+from linref_ray.spatial import clip_events, cluster_events, intersection_nodes
+
+L = LRS(key_col=("route",), beg_col="beg", end_col="end", closed="right")
+
+
+class TestIntegrateExpand:
+    def test_kernel_cross_product(self):
+        # Layer A has two events covering [5,10); expand duplicates the grid
+        # interval per match (``integration.py:110-152``).
+        ob, oe, idx = integrate_group_expand(
+            [np.array([0.0, 5.0]), np.array([5.0])],
+            [np.array([10.0, 10.0]), np.array([15.0])],
+        )
+        rows = {
+            (float(b), float(e), int(i0), int(i1))
+            for b, e, (i0, i1) in zip(ob, oe, idx)
+        }
+        # [5,10): A matches events 0 and 1, B matches 0 → two rows.
+        assert (5.0, 10.0, 0, 0) in rows
+        assert (5.0, 10.0, 1, 0) in rows
+        # [0,5): only A event 0 → B index -1.
+        assert (0.0, 5.0, 0, -1) in rows
+        # [10,15): only B.
+        assert (10.0, 15.0, -1, 0) in rows
+
+    def test_pipeline_expand(self, ray_session):
+        a = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "route": ["A", "A"],
+                    "beg": [0.0, 0.0],
+                    "end": [10.0, 10.0],
+                    "event_id": [0, 1],
+                }
+            )
+        )
+        out = md.integrate([a], [L], expand=True).to_pandas()
+        # Single interval [0,10) duplicated for both matching events.
+        assert len(out) == 2
+
+
+class TestConstrainTo:
+    def test_clip_to_coverage(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1],
+                    "route": ["A", "A"],
+                    "beg": [0.0, 20.0],
+                    "end": [10.0, 30.0],
+                }
+            )
+        )
+        cover = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [100, 101],
+                    "route": ["A", "A"],
+                    "beg": [5.0, 8.0],
+                    "end": [7.0, 25.0],
+                }
+            )
+        )
+        out = (
+            md.constrain_to(ds, cover, L, num_partitions=4)
+            .to_pandas()
+            .sort_values(["event_id", "beg"])
+            .reset_index(drop=True)
+        )
+        # Event 0 ∩ coverage = [5,7) and [8,10); event 1 ∩ = [20,25).
+        assert out.event_id.tolist() == [0, 0, 1]
+        assert out.beg.tolist() == [5.0, 8.0, 20.0]
+        assert out.end.tolist() == [7.0, 10.0, 25.0]
+
+    def test_dissolve_merges_touching_pieces(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [0], "route": ["A"], "beg": [0.0], "end": [10.0]}
+            )
+        )
+        cover = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [100, 101],
+                    "route": ["A", "A"],
+                    "beg": [2.0, 5.0],
+                    "end": [5.0, 8.0],
+                }
+            )
+        )
+        out = md.constrain_to(
+            ds, cover, L, dissolve_result=True, num_partitions=4
+        ).to_pandas()
+        assert len(out) == 1
+        assert out.beg[0] == 2.0 and out.end[0] == 8.0
+
+
+class TestImputeKeys:
+    def test_fill_from_first_match(self, ray_session):
+        target = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1],
+                    "route": ["A", "A"],
+                    "beg": [0.0, 50.0],
+                    "end": [5.0, 55.0],
+                }
+            )
+        )
+        source = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [10],
+                    "route": ["A"],
+                    "beg": [0.0],
+                    "end": [10.0],
+                    "county": ["X"],
+                }
+            )
+        )
+        out = (
+            md.impute_keys(target, source, L, ["county"], num_partitions=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert out.loc[0, "county"] == "X"
+        assert pd.isna(out.loc[1, "county"])
+
+
+class TestClusterLink:
+    def test_link_col_merges_cross_route(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1, 2],
+                    "route": ["A", "B", "C"],
+                    "beg": [0.0, 0.0, 0.0],
+                    "end": [5.0, 5.0, 5.0],
+                    "bridge": ["b1", "b1", None],
+                }
+            )
+        )
+        plain = (
+            cluster_events(ds, L, num_partitions=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert plain.loc[0, "cluster"] != plain.loc[1, "cluster"]
+        linked = (
+            cluster_events(ds, L, link_col="bridge", num_partitions=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert linked.loc[0, "cluster"] == linked.loc[1, "cluster"]
+        assert linked.loc[2, "cluster"] != linked.loc[0, "cluster"]
+
+
+class TestNodesAndClip:
+    @pytest.fixture
+    def cross_routes(self):
+        return pa.table(
+            {
+                "route_id": ["A", "B"],
+                "xs": pa.array(
+                    [[0.0, 10.0], [5.0, 5.0]], pa.list_(pa.float64())
+                ),
+                "ys": pa.array(
+                    [[0.0, 0.0], [-5.0, 5.0]], pa.list_(pa.float64())
+                ),
+                "ms": pa.array(
+                    [[0.0, 10.0], [0.0, 10.0]], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    def test_nodes(self, cross_routes):
+        nodes = intersection_nodes(cross_routes).to_pandas()
+        assert len(nodes) == 1
+        assert list(nodes.routes[0]) == ["A", "B"]
+        assert nodes.x[0] == pytest.approx(5.0)
+
+    def test_clip_conserves_mileage(self, ray_session, cross_routes):
+        ev = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0],
+                    "route_id": ["A"],
+                    "beg": [0.0],
+                    "end": [10.0],
+                }
+            )
+        )
+        lrs = LRS(key_col=("route_id",), beg_col="beg", end_col="end")
+        square = (np.array([3.0, 7.0, 7.0, 3.0]), np.array([-1.0, -1.0, 1.0, 1.0]))
+        inside = clip_events(ev, cross_routes, square, lrs, "inside").to_pandas()
+        outside = clip_events(ev, cross_routes, square, lrs, "outside").to_pandas()
+        assert inside.beg.tolist() == [3.0]
+        assert inside.end.tolist() == [7.0]
+        total = (inside.end - inside.beg).sum() + (outside.end - outside.beg).sum()
+        assert total == pytest.approx(10.0)  # mileage conservation
