@@ -197,9 +197,9 @@ class TestCluster:
                 }
             )
         )
-        apart = cluster_events(ds, L, 0.0, 4).to_pandas().set_index("event_id")
+        apart = cluster_events(ds, L, 0.0, num_partitions=4).to_pandas().set_index("event_id")
         assert apart.loc[0, "cluster"] != apart.loc[1, "cluster"]
-        near = cluster_events(ds, L, 2.0, 4).to_pandas().set_index("event_id")
+        near = cluster_events(ds, L, 2.0, num_partitions=4).to_pandas().set_index("event_id")
         assert near.loc[0, "cluster"] == near.loc[1, "cluster"]
 
 
