@@ -489,6 +489,27 @@ def _q_image_invariants(sf_dir: str):
     )
 
 
+def _q_overlay_salted(sf_dir: str):
+    """Salted measure-bucket shuffle (skewed mega-route path): window-clipped
+    per-bucket weights summed per pair must equal the unsharded overlay —
+    checked against the SAME SQL oracle as overlay_raw."""
+    from ray.data.aggregate import Sum
+
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        num_partitions=NPARTS, bucket_size=25.0,
+    )
+    pairs = rel.overlay(normalize=False)
+    out = (
+        pairs.repartition(NPARTS)
+        .groupby(["left_id", "right_id"])
+        .aggregate(Sum("weight", alias_name="ovl"))
+    )
+    return _round_cols(out, {"ovl": 6})
+
+
 def _q_constrain(sf_dir: str):
     from linref_ray import modify as md
 
@@ -503,11 +524,22 @@ def _q_constrain(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship: images → invariants → geotag → snap → event join → tiles."""
+    """Flagship: images → invariants → geotag → snap → event join → tiles.
+
+    Loads the driver's sf0.001 events table as the event-range layer (mapped
+    to LRS shape, routes "0".."31") over a deterministic synthetic route
+    network with matching ids; the image corpus is synthesized per
+    BASELINE.json's input_hint (no external data).
+    """
     from linref_ray.images import image_pipeline
 
-    routes = synth.make_routes(16, seed=42)
-    events = rd.from_arrow(synth.make_events(routes, density=0.05))
+    routes = synth.make_routes(32, seed=42)
+    routes = routes.set_column(
+        routes.schema.get_field_index("route_id"),
+        "route_id",
+        pa.array([str(i) for i in range(len(routes))]),
+    )
+    events = _events_linear("/root/testdata/sf0.001", None)
     images = rd.from_arrow(synth.make_images(500))
     per_event, tiles, snapped = image_pipeline(
         images, routes, events,
@@ -549,11 +581,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribute": _q_distribute,
         "image_invariants": _q_image_invariants,
         "constrain_to": _q_constrain,
+        "overlay_salted": _q_overlay_salted,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "overlay_raw": _SQL_EVENTS + """
 select l.event_id as left_id, r.event_id as right_id,
        round(round(least(l."end", r."end") - greatest(l.beg, r.beg), 9), 6) as ovl
@@ -788,3 +821,5 @@ from l join r on l.route_id = r.route_id
         # fingerprints / embedding_neardup / image_invariants: heuristic,
         # hash, or order-dependent pipelines — rows-only checks.
     }
+    oracles["overlay_salted"] = oracles["overlay_raw"]
+    return oracles

@@ -740,3 +740,106 @@ def clip_events(
         )
 
     return events.map_batches(fn, batch_format="pyarrow")
+
+
+def parallel_project(
+    src_routes: pa.Table | ray.data.Dataset,
+    dst_routes: pa.Table,
+    buffer: float = 10.0,
+    n_samples: int = 32,
+    res: int = 6,
+) -> ray.data.Dataset | pa.Table:
+    """Line→line conflation (``ext/spatial.py:16-273`` parallel Hausdorff
+    projection): match each source polyline to the destination route that
+    minimizes the directed Hausdorff distance of ``n_samples`` evenly-spaced
+    source points, and report the matched measure range on the destination.
+
+    The destination network is broadcast as a cell-indexed ``RouteIndex``;
+    a batch kernel scores every (sample, candidate-route) pair vectorized.
+    Returns ``(src_route_id, dst_route_id, hausdorff, m_beg, m_end)``;
+    sources with no candidate within ``buffer`` are dropped.
+    """
+    from linref_ray.kernels.geometry import cumdist as _cumdist
+
+    idx = RouteIndex(dst_routes, res=res, pad=buffer)
+    idx_ref = ray.put(idx)
+
+    def fn(t: pa.Table) -> pa.Table:
+        index: RouteIndex = ray.get(idx_ref)
+        out_src, out_dst, out_h, out_b, out_e = [], [], [], [], []
+        for rid, xs, ys in zip(
+            t["route_id"].to_pylist(), t["xs"].to_pylist(), t["ys"].to_pylist()
+        ):
+            x = np.asarray(xs)
+            y = np.asarray(ys)
+            cd = _cumdist(x, y)
+            d = np.linspace(0.0, cd[-1], n_samples)
+            pos = np.clip(np.searchsorted(cd, d), 1, len(cd) - 1)
+            tt = (d - cd[pos - 1]) / np.maximum(cd[pos] - cd[pos - 1], 1e-12)
+            sx = x[pos - 1] + tt * (x[pos] - x[pos - 1])
+            sy = y[pos - 1] + tt * (y[pos] - y[pos - 1])
+            cells = cell_of_points(sx, sy, index.res)
+            qi, si = index.candidates(cells)
+            if not len(qi):
+                continue
+            axp, ayp = index.ax[si], index.ay[si]
+            vx, vy = index.bx[si] - axp, index.by[si] - ayp
+            seg2 = vx * vx + vy * vy
+            u = np.clip(
+                np.divide(
+                    (sx[qi] - axp) * vx + (sy[qi] - ayp) * vy,
+                    seg2,
+                    out=np.zeros_like(seg2),
+                    where=seg2 > 0,
+                ),
+                0.0,
+                1.0,
+            )
+            dx = sx[qi] - (axp + u * vx)
+            dy = sy[qi] - (ayp + u * vy)
+            dist = np.sqrt(dx * dx + dy * dy)
+            m = index.m0[si] + u * (index.m1[si] - index.m0[si])
+            rids = index.ridx[si]
+            # Per (dst_route, sample): min distance + the M at the minimum.
+            best: dict[int, np.ndarray] = {}
+            best_m: dict[int, np.ndarray] = {}
+            for r in np.unique(rids):
+                mask = rids == r
+                dmin = np.full(n_samples, np.inf)
+                mmin = np.full(n_samples, np.nan)
+                order = np.lexsort([dist[mask], qi[mask]])
+                qv = qi[mask][order]
+                firsts = np.concatenate([[True], qv[1:] != qv[:-1]])
+                sel = order[firsts]
+                dmin[qi[mask][sel]] = dist[mask][sel]
+                mmin[qi[mask][sel]] = m[mask][sel]
+                best[int(r)] = dmin
+                best_m[int(r)] = mmin
+            # Directed Hausdorff per candidate; require full coverage within
+            # buffer (every sample has a match ≤ buffer).
+            scored = [
+                (float(dmin.max()), r)
+                for r, dmin in ((r, best[r]) for r in best)
+                if np.isfinite(dmin).all() and dmin.max() <= buffer
+            ]
+            if not scored:
+                continue
+            h, r = min(scored)
+            out_src.append(rid)
+            out_dst.append(index.route_ids[r])
+            out_h.append(h)
+            out_b.append(float(np.nanmin(best_m[r])))
+            out_e.append(float(np.nanmax(best_m[r])))
+        return pa.table(
+            {
+                "src_route_id": pa.array(out_src, pa.string()),
+                "dst_route_id": pa.array(out_dst, pa.string()),
+                "hausdorff": pa.array(out_h, pa.float64()),
+                "m_beg": pa.array(out_b, pa.float64()),
+                "m_end": pa.array(out_e, pa.float64()),
+            }
+        )
+
+    if isinstance(src_routes, pa.Table):
+        return fn(src_routes)
+    return src_routes.map_batches(fn, batch_format="pyarrow")

@@ -210,3 +210,41 @@ class TestNodesAndClip:
         assert inside.end.tolist() == [7.0]
         total = (inside.end - inside.beg).sum() + (outside.end - outside.beg).sum()
         assert total == pytest.approx(10.0)  # mileage conservation
+
+
+class TestParallelProject:
+    def test_matches_nearest_parallel_line(self, ray_session):
+        from linref_ray.spatial import parallel_project
+
+        dst = pa.table(
+            {
+                "route_id": ["D0", "D1"],
+                "xs": pa.array(
+                    [[0.0, 100.0], [0.0, 100.0]], pa.list_(pa.float64())
+                ),
+                "ys": pa.array(
+                    [[0.0, 0.0], [50.0, 50.0]], pa.list_(pa.float64())
+                ),
+                "ms": pa.array(
+                    [[0.0, 100.0], [0.0, 100.0]], pa.list_(pa.float64())
+                ),
+            }
+        )
+        src = rd.from_items(
+            [
+                {"route_id": "S0", "xs": [10.0, 60.0], "ys": [2.0, 2.0]},
+                {"route_id": "S1", "xs": [20.0, 80.0], "ys": [48.0, 48.0]},
+                {"route_id": "S2", "xs": [0.0, 10.0], "ys": [500.0, 500.0]},
+            ]
+        )
+        out = (
+            parallel_project(src, dst, buffer=10.0)
+            .to_pandas()
+            .set_index("src_route_id")
+        )
+        assert out.loc["S0", "dst_route_id"] == "D0"
+        assert out.loc["S0", "hausdorff"] == pytest.approx(2.0)
+        assert out.loc["S0", "m_beg"] == pytest.approx(10.0)
+        assert out.loc["S0", "m_end"] == pytest.approx(60.0)
+        assert out.loc["S1", "dst_route_id"] == "D1"
+        assert "S2" not in out.index  # out of buffer → dropped
