@@ -523,6 +523,52 @@ def _q_constrain(sf_dir: str):
     )
 
 
+def _q_window_tumbling(sf_dir: str):
+    from linref_ray.windows import tumbling_window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = tumbling_window(ds, "user_id", "ts", "value", 3600, NPARTS)
+    return _round_cols(out, {"total": 6})
+
+
+def _q_window_sliding(sf_dir: str):
+    from linref_ray.windows import sliding_window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = sliding_window(ds, "user_id", "ts", "value", 3600, 900, NPARTS)
+    return _round_cols(out, {"total": 6})
+
+
+def _q_window_session(sf_dir: str):
+    from linref_ray.windows import session_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_window(ds, "user_id", "ts", 1800, NPARTS)
+
+
+def _q_overlay_multikey(sf_dir: str):
+    """Multi-column route key (route_id, event_type) — exercises the
+    composite-key canonicalization (reference recarray groups,
+    ``ext/base.py:749``)."""
+    from linref_ray.relate import Relation
+
+    mk = LRS(key_col=("route_id", "event_type"), beg_col="beg",
+             end_col="end", closed="right")
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), mk,
+        num_partitions=NPARTS,
+    )
+    pairs = rel.overlay(normalize=False)
+    out = pairs.select_columns(["left_id", "right_id", "weight"]).rename_columns(
+        {"weight": "ovl"}
+    )
+    return _round_cols(out, {"ovl": 6})
+
+
 def entry() -> Any:
     """Flagship: images → invariants → geotag → snap → event join → tiles.
 
@@ -582,6 +628,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_invariants": _q_image_invariants,
         "constrain_to": _q_constrain,
         "overlay_salted": _q_overlay_salted,
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "window_session": _q_window_session,
+        "overlay_multikey": _q_overlay_multikey,
     }
 
 
@@ -822,4 +872,44 @@ from l join r on l.route_id = r.route_id
         # hash, or order-dependent pipelines — rows-only checks.
     }
     oracles["overlay_salted"] = oracles["overlay_raw"]
+    oracles["overlay_multikey"] = _SQL_EVENTS + """
+select l.event_id as left_id, r.event_id as right_id,
+       round(round(least(l."end", r."end") - greatest(l.beg, r.beg), 9), 6)
+         as ovl
+from l join r on l.route_id = r.route_id and l.event_type = r.event_type
+ and l.beg < r."end" and r.beg < l."end"
+ and least(l."end", r."end") > greatest(l.beg, r.beg)
+"""
+    oracles["window_tumbling"] = """
+select user_id, cast(floor(epoch(ts) / 3600) as bigint) as window,
+       count(*) as n, round(round(sum(value), 9), 6) as total
+from events group by 1, 2
+"""
+    oracles["window_sliding"] = """
+select user_id,
+       cast(floor(epoch(ts) / 900) as bigint) - g.o as window,
+       count(*) as n, round(round(sum(value), 9), 6) as total
+from events, lateral (select unnest(generate_series(0, 3)) as o) g
+group by 1, 2
+"""
+    oracles["window_session"] = """
+with s as (
+  select user_id, cast(floor(epoch(ts)) as bigint) as sec from events
+), b as (
+  select user_id, sec,
+         case when lag(sec) over (partition by user_id order by sec) is null
+               or sec - lag(sec) over (partition by user_id order by sec)
+                  > 1800
+              then 1 else 0 end as brk
+  from s
+), g as (
+  select user_id, sec,
+         sum(brk) over (partition by user_id order by sec
+                        rows unbounded preceding) - 1 as session
+  from b
+)
+select user_id, session, count(*) as n,
+       min(sec) as ts_min, max(sec) as ts_max
+from g group by 1, 2
+"""
     return oracles

@@ -248,3 +248,77 @@ class TestParallelProject:
         assert out.loc["S0", "m_end"] == pytest.approx(60.0)
         assert out.loc["S1", "dst_route_id"] == "D1"
         assert "S2" not in out.index  # out of buffer → dropped
+
+
+class TestWindows:
+    @pytest.fixture
+    def log(self):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": [1, 1, 1, 2, 2],
+                    "ts": pd.to_datetime(
+                        [
+                            "2024-01-01 00:10",
+                            "2024-01-01 00:50",
+                            "2024-01-01 02:00",
+                            "2024-01-01 00:05",
+                            "2024-01-01 03:00",
+                        ]
+                    ),
+                    "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+                }
+            )
+        )
+
+    def test_tumbling(self, ray_session, log):
+        from linref_ray.windows import tumbling_window
+
+        out = (
+            tumbling_window(log, "user_id", "ts", "value", 3600, 4)
+            .to_pandas()
+            .sort_values(["user_id", "window"])
+            .reset_index(drop=True)
+        )
+        u1 = out[out.user_id == 1]
+        assert u1.n.tolist() == [2, 1]
+        assert u1.total.tolist() == [3.0, 4.0]
+
+    def test_sliding_replication(self, ray_session, log):
+        from linref_ray.windows import sliding_window
+
+        out = sliding_window(log, "user_id", "ts", "value", 3600, 1800, 4)
+        df = out.to_pandas()
+        # Every event lands in exactly size/hop = 2 windows.
+        assert df.n.sum() == 2 * 5
+
+    def test_session(self, ray_session, log):
+        from linref_ray.windows import session_window
+
+        out = (
+            session_window(log, "user_id", "ts", 1800, 4)
+            .to_pandas()
+            .sort_values(["user_id", "session"])
+            .reset_index(drop=True)
+        )
+        # User 1: events at 00:10 and 00:50 (gap 40min>30min → separate),
+        # then 02:00 → 3 sessions; user 2: 2 sessions.
+        assert out[out.user_id == 1].n.tolist() == [1, 1, 1]
+        assert out[out.user_id == 2].session.tolist() == [0, 1]
+
+    def test_session_merges_within_gap(self, ray_session):
+        from linref_ray.windows import session_window
+
+        log = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": [1, 1],
+                    "ts": pd.to_datetime(
+                        ["2024-01-01 00:00", "2024-01-01 00:20"]
+                    ),
+                }
+            )
+        )
+        out = session_window(log, "user_id", "ts", 1800, 4).to_pandas()
+        assert len(out) == 1
+        assert out.n[0] == 2
