@@ -178,3 +178,58 @@ def image_pipeline(
     per_event = broadcast_event_join_counts(snapped, ev_index_ref)
     tiles = tile_histogram(snapped, cell_res)
     return per_event, tiles, snapped
+
+
+def image_pipeline_checkpointed(
+    images: ray.data.Dataset,
+    routes: pa.Table,
+    events: ray.data.Dataset,
+    out_dir: str,
+    buffer: float = 5.0,
+    cell_res: int = 8,
+    num_partitions: int = 64,
+    check_invariants: bool = True,
+):
+    """Flagship with per-partition lineage checkpointing (the north-rule
+    resume contract): the snapped sidecar is written as route-hash
+    partitions with manifests (rows in/out, measure ranges, content hash,
+    Morton-cell histogram). A crashed run resumes by recomputing only the
+    missing partitions; downstream joins/tiles read the checkpoint, so a
+    resumed run produces byte-identical outputs (geocode/snap are pure
+    functions of image_id + routes).
+
+    Returns (per_event_counts, tiles, snapped_from_checkpoint, summary).
+    """
+    import ray as _ray
+
+    from linref_ray.lineage import read_resumable, write_resumable
+    from linref_ray.spatial import (
+        EventRangeIndex,
+        broadcast_event_join_counts,
+        build_route_index,
+        snap_points,
+        tile_histogram,
+    )
+
+    ds = images
+    if check_invariants:
+        ds = verify_invariants(ds)
+        ds = ds.filter(expr="invariant_ok == True")
+    pts = geotag(ds, routes)
+    index_ref = build_route_index(routes, res=cell_res, pad=buffer)
+    snapped = snap_points(pts, index_ref, buffer=buffer)
+    from linref_ray.spatial import assign_cells
+
+    snapped = assign_cells(snapped, cell_res, grid_cols=True)
+    summary = write_resumable(
+        snapped, out_dir, ("route_id",), num_partitions=num_partitions,
+        cell_col="cell",
+    )
+    ckpt = read_resumable(out_dir)
+    ev_tbl = pa.concat_tables(
+        _ray.get(events.to_arrow_refs()), promote_options="default"
+    )
+    ev_index_ref = _ray.put(EventRangeIndex(ev_tbl, closed="left_mod"))
+    per_event = broadcast_event_join_counts(ckpt, ev_index_ref)
+    tiles = tile_histogram(ckpt, cell_res)
+    return per_event, tiles, ckpt, summary

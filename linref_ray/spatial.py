@@ -319,18 +319,18 @@ def assign_cells(
 ) -> ray.data.Dataset:
     """Add Morton cell id (+ SQL-friendly integer ix/iy) per point."""
 
+    def _set(t: pa.Table, name: str, arr) -> pa.Table:
+        i = t.schema.get_field_index(name)
+        return t.append_column(name, arr) if i == -1 else t.set_column(i, name, arr)
+
     def fn(t: pa.Table) -> pa.Table:
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        out = t.append_column(out_col, pa.array(cell_of_points(x, y, res)))
+        out = _set(t, out_col, pa.array(cell_of_points(x, y, res)))
         if grid_cols:
             g = cell_size(res)
-            out = out.append_column(
-                "ix", pa.array(np.floor(x / g).astype(np.int64))
-            )
-            out = out.append_column(
-                "iy", pa.array(np.floor(y / g).astype(np.int64))
-            )
+            out = _set(out, "ix", pa.array(np.floor(x / g).astype(np.int64)))
+            out = _set(out, "iy", pa.array(np.floor(y / g).astype(np.int64)))
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -234,3 +234,36 @@ class TestImagePipeline:
         assert te.n.sum() == len(sn)
         pe = per_event.to_pandas()
         assert pe.n_images.sum() > 0
+
+
+class TestCheckpointedPipeline:
+    def test_resume_reproduces_results(self, ray_session, tmp_path):
+        import shutil, os
+        from linref_ray.images import image_pipeline_checkpointed
+        from linref_ray.lineage import completed_partitions
+
+        routes = synth.make_routes(8, seed=42)
+        events = rd.from_arrow(synth.make_events(routes, density=0.08))
+        images = rd.from_arrow(synth.make_images(300))
+        out = str(tmp_path / "ckpt")
+        pe1, t1, _, s1 = image_pipeline_checkpointed(
+            images, routes, events, out,
+            buffer=6.0, cell_res=6, num_partitions=8,
+        )
+        ref_pe = pe1.to_pandas().sort_values("event_id").reset_index(drop=True)
+        ref_tiles = t1.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        assert s1["rows"] > 100
+
+        # Crash simulation: drop one partition, rerun.
+        victim = sorted(completed_partitions(out))[0]
+        shutil.rmtree(os.path.join(out, f"part={victim}"))
+        os.remove(os.path.join(out, "_manifest", f"{victim}.json"))
+        pe2, t2, _, s2 = image_pipeline_checkpointed(
+            images, routes, events, out,
+            buffer=6.0, cell_res=6, num_partitions=8,
+        )
+        assert s2["written"] == 1  # only the missing partition recomputed
+        pe2df = pe2.to_pandas().sort_values("event_id").reset_index(drop=True)
+        t2df = t2.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        assert pe2df.equals(ref_pe)
+        assert t2df.equals(ref_tiles)
