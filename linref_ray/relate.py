@@ -386,6 +386,9 @@ class Relation:
             return RIGHT_ID, LEFT_ID, LPOS
         raise ValueError("target must be 'left' or 'right'")
 
+    def _out_id(self, target: str) -> str:
+        return self.id_col if target == "left" else self.right_id_col
+
     def count(self, target="left", out_col="count", **kwargs):
         tid, _, _ = self._tid(target)
         pairs = self.intersect(**kwargs)
@@ -394,7 +397,7 @@ class Relation:
             .groupby(tid)
             .aggregate(Count(alias_name=out_col))
         )
-        return out.rename_columns({tid: self.id_col})
+        return out.rename_columns({tid: self._out_id(target)})
 
     def sum(
         self, col, target="left", method=None, conserve=False,
@@ -441,7 +444,7 @@ class Relation:
             .groupby(tid)
             .aggregate(Sum("__wv", alias_name=out_col))
         )
-        return out.rename_columns({tid: self.id_col})
+        return out.rename_columns({tid: self._out_id(target)})
 
     def mean(self, col, target="left", method=None, out_col=None, **kwargs):
         """Weighted mean, NaN for no matches (``relate.py:1101-1169``)."""
@@ -471,7 +474,7 @@ class Relation:
             return pa.table({tid: t[tid], out_col: pa.array(val)})
 
         return out.map_batches(div, batch_format="pyarrow").rename_columns(
-            {tid: self.id_col}
+            {tid: self._out_id(target)}
         )
 
     def _agg_by_target(self, pairs, tid: str, kernel, num_partitions=None):
@@ -504,13 +507,12 @@ class Relation:
         (``relate.py:756-878``; order = carried position column)."""
         tid, _, pos_col = self._tid(target)
         pairs = self.intersect(**kwargs)
-        id_col = self.id_col
+        id_col = self._out_id(target)
 
         def kernel(t: pa.Table) -> pa.Table:
             tids = _np(t, tid)
             pos = _np(t, pos_col)
             order = np.lexsort([pos, tids])
-            tids_s = pos_s = None
             tids_s = tids[order]
             starts = np.concatenate(
                 [[True], tids_s[1:] != tids_s[:-1]]
@@ -535,7 +537,7 @@ class Relation:
         tid, _, _ = self._tid(target)
         out_col = out_col or f"mode_{col}"
         pairs = self._method_pairs(method, **kwargs)
-        id_col = self.id_col
+        id_col = self._out_id(target)
 
         def kernel(t: pa.Table) -> pa.Table:
             import pandas as pd
@@ -561,7 +563,7 @@ class Relation:
         tid, _, pos_col = self._tid(target)
         out_col = out_col or f"{'set' if unique else 'list'}_{col}"
         pairs = self.intersect(**kwargs)
-        id_col = self.id_col
+        id_col = self._out_id(target)
 
         def kernel(t: pa.Table) -> pa.Table:
             tids = _np(t, tid)
@@ -592,7 +594,7 @@ class Relation:
             .groupby([tid, col])
             .aggregate(Count(alias_name="n"))
         )
-        return out.rename_columns({tid: self.id_col})
+        return out.rename_columns({tid: self._out_id(target)})
 
     def distribute(
         self,

@@ -250,3 +250,25 @@ class TestIntersectPipeline:
         ).to_pandas()
         assert len(out) == 10
         assert out.score.sum() == pytest.approx(7.0)
+
+
+class TestTargetRight:
+    def test_axis0_aggregates(self, canonical):
+        """target='right' == the reference's axis=0 (aggregate left onto
+        right index); output id column named by the right id."""
+        l, r = canonical
+        rel = Relation(l, r, LIN, left_cols=["lval"], num_partitions=4)
+        s = (
+            rel.sum("lval", target="right", out_col="s")
+            .to_pandas()
+            .set_index("event_id")
+            .s
+        )
+        # right0 gets 0.5*100 + 0.5*200; right1 0.5*200; right2 0.5*300.
+        assert s[0] == pytest.approx(150.0)
+        assert s[1] == pytest.approx(100.0)
+        assert s[2] == pytest.approx(150.0)
+        cnt = rel.count(target="right").to_pandas().set_index("event_id")["count"]
+        assert cnt[0] == 2 and cnt[1] == 1 and cnt[2] == 1
+        first = rel.first("lval", target="right").to_pandas().set_index("event_id")
+        assert first.first_lval[0] == 100.0
