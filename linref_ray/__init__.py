@@ -13,5 +13,20 @@ are owned by the driver, ``bench.py``, or the test fixture.
 
 from linref_ray.lrs import LRS, DEFAULT_LRS
 
-__all__ = ["LRS", "DEFAULT_LRS"]
+
+def __getattr__(name):
+    # Lazy imports keep `import linref_ray` light (no Ray import cost until
+    # a pipeline is actually built).
+    if name == "Events":
+        from linref_ray.api import Events
+
+        return Events
+    if name == "Relation":
+        from linref_ray.relate import Relation
+
+        return Relation
+    raise AttributeError(name)
+
+
+__all__ = ["LRS", "DEFAULT_LRS", "Events", "Relation"]
 __version__ = "0.1.0"

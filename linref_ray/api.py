@@ -1,0 +1,136 @@
+"""User-facing facade: the ``df.lr`` accessor experience over Ray Datasets.
+
+The reference's entry point is ``df.lr.<op>`` (``LRS_Accessor``,
+``ext/base.py``); this class gives a user of the reference the same
+one-object surface over a ``ray.data.Dataset`` — every method delegates to
+the functional pipelines, returns a new ``Events`` (or a Dataset/aggregate),
+and keeps the LRS schema attached.
+
+    ev = Events(ray.data.read_parquet(...), LRS(key_col=("route",), ...))
+    ev.dissolve(retain=["surface"]).to_pandas()
+    ev.relate(other).sum("aadt")
+    ev.resegment(0.5).separate().ds.write_parquet(...)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import ray.data
+
+from linref_ray.lrs import LRS
+
+
+class Events:
+    def __init__(self, ds: ray.data.Dataset, lrs: LRS, id_col: str = "event_id"):
+        self.ds = ds
+        self.lrs = lrs
+        self.id_col = id_col
+
+    def _wrap(self, ds: ray.data.Dataset, lrs: LRS | None = None) -> "Events":
+        return Events(ds, lrs or self.lrs, self.id_col)
+
+    # -- pass-throughs -----------------------------------------------------
+    def to_pandas(self):
+        return self.ds.to_pandas()
+
+    def count(self) -> int:
+        return self.ds.count()
+
+    # -- stateless measure ops (events.py) --------------------------------
+    def extend(self, d0: float = 0.0, d1: float = 0.0) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.extend(self.ds, self.lrs, d0, d1))
+
+    def shift(self, delta: float) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.shift(self.ds, self.lrs, delta))
+
+    def round(self, decimals: int = 0, factor: float | None = None) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.round_measures(self.ds, self.lrs, decimals, factor))
+
+    def set_monotonic(self) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.set_monotonic(self.ds, self.lrs))
+
+    def point_to_linear(self) -> "Events":
+        from linref_ray import events as ev
+
+        out = ev.point_to_linear(self.ds, self.lrs)
+        new_lrs = LRS(
+            key_col=self.lrs.key_col, beg_col="beg", end_col="end",
+            loc_col=self.lrs.loc_col, closed=self.lrs.closed,
+        )
+        return self._wrap(out, new_lrs)
+
+    def drop_invalid(self) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.drop_invalid(self.ds, self.lrs))
+
+    def select_group(self, key) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.select_group(self.ds, self.lrs, key))
+
+    # -- grouped ops (modify.py) ------------------------------------------
+    def dissolve(self, retain: Sequence[str] = (), **kw) -> "Events":
+        from linref_ray import modify as md
+
+        return self._wrap(md.dissolve(self.ds, self.lrs, retain, **kw))
+
+    def resegment(self, length: float = 1.0, fill: str = "cut") -> "Events":
+        from linref_ray import modify as md
+
+        return self._wrap(md.resegment(self.ds, self.lrs, length, fill))
+
+    def separate(self, **kw) -> "Events":
+        from linref_ray import modify as md
+
+        return self._wrap(md.separate(self.ds, self.lrs, **kw))
+
+    def duplicated(self, **kw) -> "Events":
+        from linref_ray import modify as md
+
+        return self._wrap(md.flag_duplicated(self.ds, self.lrs, **kw))
+
+    def find_inside(self, **kw) -> "Events":
+        from linref_ray import modify as md
+
+        return self._wrap(md.flag_inside(self.ds, self.lrs, **kw))
+
+    def constrain_to(self, other: "Events", **kw) -> "Events":
+        from linref_ray import modify as md
+
+        return self._wrap(
+            md.constrain_to(self.ds, other.ds, self.lrs, other.lrs, **kw)
+        )
+
+    def cluster(self, max_gap: float = 0.0, link_col: str | None = None, **kw):
+        from linref_ray.spatial import cluster_events
+
+        return self._wrap(
+            cluster_events(self.ds, self.lrs, max_gap, link_col, **kw)
+        )
+
+    # -- the relation ------------------------------------------------------
+    def relate(self, other: "Events", **kw):
+        """``EventsRelation`` analog — returns a :class:`Relation`."""
+        from linref_ray.relate import Relation
+
+        return Relation(
+            self.ds, other.ds, self.lrs, other.lrs,
+            id_col=self.id_col, right_id_col=other.id_col, **kw,
+        )
+
+    def integrate(self, *others: "Events", **kw):
+        from linref_ray import modify as md
+
+        layers = [self.ds] + [o.ds for o in others]
+        lrss = [self.lrs] + [o.lrs for o in others]
+        return md.integrate(layers, lrss, **kw)

@@ -162,21 +162,81 @@ def image_pipeline(
     snapped = snapped.materialize()
     # Event ranges are the small side (events ≪ images): broadcast a
     # per-route interval index and probe it per batch — the snapped stream
-    # never shuffles for the join. (The shuffle-based Relation path remains
-    # the general two-big-sides join; see linref_ray.relate.)
+    # never shuffles for the join. Event counts AND tile counts are partial-
+    # aggregated in ONE pass over the sidecar (tagged rows), so the whole
+    # post-snap phase is a single tiny shuffle.
     import ray as _ray
 
-    from linref_ray.spatial import (
-        EventRangeIndex,
-        broadcast_event_join_counts,
-    )
+    from linref_ray.kernels.cells import cell_size
+    from linref_ray.spatial import EventRangeIndex
 
     ev_tbl = pa.concat_tables(
         _ray.get(events.to_arrow_refs()), promote_options="default"
     )
     ev_index_ref = _ray.put(EventRangeIndex(ev_tbl, closed="left_mod"))
-    per_event = broadcast_event_join_counts(snapped, ev_index_ref)
-    tiles = tile_histogram(snapped, cell_res)
+    g = cell_size(cell_res)
+
+    def combined_partials(batch: pa.Table) -> pa.Table:
+        idx: EventRangeIndex = _ray.get(ev_index_ref)
+        rids = np.asarray(batch["route_id"].to_pylist())
+        locs = batch["loc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        _, eids = idx.match(rids, locs)
+        ev, ev_n = np.unique(eids, return_counts=True)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        ix = np.floor(x / g).astype(np.int64)
+        iy = np.floor(y / g).astype(np.int64)
+        import pandas as pd
+
+        tile_counts = (
+            pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"]).size()
+        )
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ev), np.int8),
+                         np.ones(len(tile_counts), np.int8)]
+                    )
+                ),
+                "ka": pa.array(
+                    np.concatenate(
+                        [ev, tile_counts.index.get_level_values(0).to_numpy()]
+                    ).astype(np.int64)
+                ),
+                "kb": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ev), np.int64),
+                         tile_counts.index.get_level_values(1).to_numpy()]
+                    ).astype(np.int64)
+                ),
+                "__n": pa.array(
+                    np.concatenate(
+                        [ev_n, tile_counts.to_numpy()]
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    combined = (
+        snapped.map_batches(
+            combined_partials, batch_format="pyarrow", batch_size=16384
+        )
+        .repartition(8)
+        .groupby(["kind", "ka", "kb"])
+        .aggregate(Sum("__n", alias_name="n"))
+        .materialize()  # tiny (events + occupied tiles rows)
+    )
+    per_event = (
+        combined.filter(expr="kind == 0")
+        .select_columns(["ka", "n"])
+        .rename_columns({"ka": "event_id", "n": "n_images"})
+    )
+    tiles = combined.filter(expr="kind == 1").select_columns(
+        ["ka", "kb", "n"]
+    ).rename_columns({"ka": "ix", "kb": "iy"})
     return per_event, tiles, snapped
 
 

@@ -322,3 +322,49 @@ class TestWindows:
         out = session_window(log, "user_id", "ts", 1800, 4).to_pandas()
         assert len(out) == 1
         assert out.n[0] == 2
+
+
+class TestEventsFacade:
+    def test_chained_workflow(self, ray_session):
+        """The reference's accessor-style chained workflow (dissolve →
+        resegment → relate → aggregate) through the Events facade."""
+        from linref_ray.api import Events
+
+        roads = Events(
+            rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "event_id": [0, 1],
+                        "route": ["A", "A"],
+                        "beg": [0.0, 5.0],
+                        "end": [5.0, 10.0],
+                    }
+                )
+            ),
+            L,
+        )
+        crashes = Events(
+            rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "event_id": [0, 1, 2],
+                        "route": ["A", "A", "A"],
+                        "loc": [1.0, 2.5, 7.0],
+                    }
+                )
+            ),
+            LRS(key_col=("route",), beg_col=None, end_col=None,
+                loc_col="loc", closed="left_mod"),
+        )
+        segs = roads.dissolve(num_partitions=4).to_pandas()
+        assert segs.beg.tolist() == [0.0] and segs.end.tolist() == [10.0]
+        reseg = roads.resegment(2.5)
+        assert reseg.count() == 4
+        counts = (
+            reseg.relate(crashes, num_partitions=4)
+            .count(out_col="n")
+            .to_pandas()
+        )
+        assert counts.n.sum() == 3
+        ext = roads.extend(1.0, 1.0).to_pandas()
+        assert ext.beg.min() == -1.0
