@@ -201,7 +201,11 @@ def _make_sweep_kernel(
         seg_key = (
             key_s
             if bucket_s is None
-            else np.char.add(key_s.astype(str), bucket_s.astype(str))
+            # "#" separator: without it ("1", bucket 12) and ("11", bucket 2)
+            # would both encode as "112" and merge segments.
+            else np.char.add(
+                np.char.add(key_s.astype(str), "#"), bucket_s.astype(str)
+            )
         )
         for a, z in iter_group_segments(seg_key):
             split = a + int(np.searchsorted(side_s[a:z], 1))

@@ -272,3 +272,68 @@ class TestTargetRight:
         assert cnt[0] == 2 and cnt[1] == 1 and cnt[2] == 1
         first = rel.first("lval", target="right").to_pandas().set_index("event_id")
         assert first.first_lval[0] == 100.0
+
+
+class TestSaltedSkew:
+    def test_salted_parity_on_synthetic_network(self, ray_session):
+        """Salted path on the Zipf-skewed synthetic network (mega-route)
+        must equal the plain path — pair-for-pair after bucket summing."""
+        from linref_ray import synth
+
+        routes = synth.make_routes(10, seed=42)
+        ev = synth.make_events(routes, density=0.06, seed=7)
+        left = rd.from_arrow(ev.filter(
+            (np.arange(len(ev)) % 2 == 0)
+        ))
+        right = rd.from_arrow(ev.filter(
+            (np.arange(len(ev)) % 2 == 1)
+        ))
+        lrs = LRS(key_col=("route_id",), beg_col="beg", end_col="end")
+        plain = (
+            Relation(left, right, lrs, num_partitions=8)
+            .overlay(normalize=False)
+            .to_pandas()
+            .groupby(["left_id", "right_id"]).weight.sum()
+        )
+        salted = (
+            Relation(left, right, lrs, num_partitions=8, bucket_size=50.0)
+            .overlay(normalize=False)
+            .to_pandas()
+            .groupby(["left_id", "right_id"]).weight.sum()
+        )
+        assert len(plain) > 50
+        assert set(plain.index) == set(salted.index)
+        for k in plain.index:
+            assert salted[k] == pytest.approx(plain[k])
+
+    def test_seg_key_collision_guard(self, ray_session):
+        """Routes '1' and '11' with buckets that would collide without the
+        separator in the (key, bucket) segment id."""
+        left = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1],
+                    "route": ["1", "11"],
+                    "beg": [120.0, 20.0],
+                    "end": [130.0, 30.0],
+                }
+            )
+        )
+        right = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1],
+                    "route": ["1", "11"],
+                    "beg": [125.0, 25.0],
+                    "end": [135.0, 35.0],
+                }
+            )
+        )
+        # bucket_size 10: route "1" rows in buckets 12-13, route "11" in 2-3.
+        out = (
+            Relation(left, right, LIN, num_partitions=1, bucket_size=10.0)
+            .overlay(normalize=False)
+            .to_pandas()
+            .groupby(["left_id", "right_id"]).weight.sum()
+        )
+        assert dict(out) == {(0, 0): pytest.approx(5.0), (1, 1): pytest.approx(5.0)}
