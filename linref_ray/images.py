@@ -293,3 +293,68 @@ def image_pipeline_checkpointed(
     per_event = broadcast_event_join_counts(ckpt, ev_index_ref)
     tiles = tile_histogram(ckpt, cell_res)
     return per_event, tiles, ckpt, summary
+
+
+def resize_images(
+    images: ray.data.Dataset, out_w: int, out_h: int, batch_size: int = 2048
+) -> ray.data.Dataset:
+    """Real (not stubbed) nearest-neighbor resize stage: decode → index-map
+    subsample → re-encode, vectorized per batch. The plumbing pattern for any
+    heavier resampler (bilinear/Lanczos would drop into the same stage)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_blobs = []
+        for blob in t["bytes"].to_pylist():
+            px, fmt = codec.decode_image(blob)
+            h, w = px.shape[:2]
+            yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+            xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+            small = np.ascontiguousarray(px[yi][:, xi])
+            out_blobs.append(codec.encode_image(small, fmt))
+        out = t.set_column(
+            t.schema.get_field_index("bytes"), "bytes",
+            pa.array(out_blobs, pa.binary()),
+        )
+        out = out.set_column(
+            out.schema.get_field_index("w"), "w",
+            pa.array(np.full(len(t), out_w, np.int32)),
+        )
+        return out.set_column(
+            out.schema.get_field_index("h"), "h",
+            pa.array(np.full(len(t), out_h, np.int32)),
+        )
+
+    return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_features(
+    images: ray.data.Dataset, batch_size: int = 2048
+) -> ray.data.Dataset:
+    """Feature-extract stage: decode → per-channel means + luma std + aHash,
+    dropping the wide bytes column (the classic embed-then-discard shape)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        means = np.empty((n, 3))
+        stds = np.empty(n)
+        hashes = np.empty(n, dtype=np.int64)
+        for i, blob in enumerate(t["bytes"].to_pylist()):
+            px, _ = codec.decode_image(blob)
+            means[i] = px.reshape(-1, 3).mean(axis=0)
+            gray = px.astype(np.float32).mean(axis=2)
+            stds[i] = gray.std()
+            small = gray[:: max(gray.shape[0] // 8, 1),
+                         :: max(gray.shape[1] // 8, 1)][:8, :8]
+            bits = (small > small.mean()).ravel()
+            val = np.uint64(0)
+            for b in np.flatnonzero(bits):
+                val |= np.uint64(1) << np.uint64(int(b))
+            hashes[i] = np.int64(val.astype(np.int64))
+        out = t.drop_columns(["bytes"])
+        out = out.append_column("mean_r", pa.array(means[:, 0]))
+        out = out.append_column("mean_g", pa.array(means[:, 1]))
+        out = out.append_column("mean_b", pa.array(means[:, 2]))
+        out = out.append_column("luma_std", pa.array(stds))
+        return out.append_column("ahash", pa.array(hashes))
+
+    return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -162,3 +162,83 @@ def embedding_near_duplicates(
         .groupby("__bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+def kmeans_centroids(
+    embeddings: ray.data.Dataset,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a driver-side sample (seeded,
+    deterministic). The sample is tiny; the full table never leaves workers."""
+    tbl = pa.concat_tables(
+        ray.get(embeddings.limit(sample).to_arrow_refs()),
+        promote_options="default",
+    )
+    m = _to_matrix(tbl[vec_col])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            sel = m[assign == j]
+            if len(sel):
+                cent[j] = sel.mean(axis=0)
+    return cent
+
+
+def knn_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF-bucketed approximate top-k: vectors pre-filter to the ``nprobe``
+    closest coarse cells of each query, then the brute-force kernel runs on
+    the surviving fraction (~nprobe/n_centroids of the table). The scale path
+    for :func:`knn_brute_force`; recall depends on nprobe (standard IVF
+    trade-off)."""
+    cent = kmeans_centroids(
+        embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    q_tbl = pa.concat_tables(
+        ray.get(
+            embeddings.map_batches(
+                lambda t: t.filter(
+                    pa.compute.is_in(
+                        pa.compute.cast(t[id_col], pa.int64()),
+                        value_set=pa.array(list(query_ids), pa.int64()),
+                    )
+                ),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    qm = _to_matrix(q_tbl[vec_col])
+    qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = np.unique(
+        np.argsort(qd, axis=1)[:, :nprobe].ravel()
+    )
+    probe_set = pa.array(sorted(int(c) for c in probe_cells), pa.int64())
+
+    def in_probed_cells(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col])
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1).astype(np.int64)
+        return t.filter(
+            pa.compute.is_in(pa.array(cell), value_set=probe_set)
+        )
+
+    filtered = embeddings.map_batches(in_probed_cells, batch_format="pyarrow")
+    return knn_brute_force(
+        filtered, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )

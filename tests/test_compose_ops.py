@@ -368,3 +368,34 @@ class TestEventsFacade:
         assert counts.n.sum() == 3
         ext = roads.extend(1.0, 1.0).to_pandas()
         assert ext.beg.min() == -1.0
+
+
+class TestSimilarityAndImageStages:
+    def test_knn_ivf_recall(self, ray_session):
+        from linref_ray.similarity import knn_brute_force, knn_ivf
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = knn_brute_force(emb, (0, 1), k=5).to_pandas()
+        approx = knn_ivf(emb, (0, 1), k=5, n_centroids=8, nprobe=8).to_pandas()
+        # nprobe == n_centroids probes everything → identical to exact.
+        a = exact.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+        b = approx.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+        assert a[["query_id", "vec_id"]].equals(b[["query_id", "vec_id"]])
+        # Partial probing returns k results with decent overlap.
+        part = knn_ivf(emb, (0, 1), k=5, n_centroids=8, nprobe=4).to_pandas()
+        assert (part.groupby("query_id").size() == 5).all()
+
+    def test_resize_and_features(self, ray_session):
+        from linref_ray import synth
+        from linref_ray.images import extract_features, resize_images
+        from linref_ray.kernels import codec
+
+        imgs = rd.from_arrow(synth.make_images(20, w=16, h=16))
+        small = resize_images(imgs, 8, 8).to_pandas()
+        assert (small.w == 8).all() and (small.h == 8).all()
+        px, fmt = codec.decode_image(small["bytes"][0])
+        assert px.shape == (8, 8, 3)
+        feats = extract_features(imgs).to_pandas()
+        assert "bytes" not in feats.columns
+        assert feats.mean_r.between(0, 255).all()
+        assert (feats.luma_std > 0).all()
