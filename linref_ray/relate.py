@@ -358,6 +358,90 @@ class Relation:
         self._cache[cache_key] = pairs
         return pairs
 
+    def _build_partials(
+        self, method: str, target: str, value_col: str | None, **kwargs
+    ) -> ray.data.Dataset:
+        """Aggregation fast path: run the sweep kernel and reduce to
+        per-target partials (Σw·v, Σw, n) INSIDE the same map_groups call —
+        the pair table never hits the object store and the downstream
+        shuffle moves one row per (partition, target) instead of one per
+        pair. Used by count/sum/mean (conserve and order-sensitive
+        aggregators still need the explicit pair table)."""
+        cache_key = ("partials", method, target, value_col,
+                     tuple(sorted(kwargs.items())))
+        if cache_key in self._cache:
+            return self._cache[cache_key]
+        carry_schema = self._carry_schema()
+        bs = self.bucket_size if method == "overlay" else None
+        lp = _prepare_side(
+            self.left, self.left_lrs, 0, self.id_col, self.left_cols,
+            self.num_partitions, carry_schema, bs,
+        )
+        rp = _prepare_side(
+            self.right, self.right_lrs, 1, self.right_id_col, self.right_cols,
+            self.num_partitions, carry_schema, bs,
+        )
+        base_kernel = _make_sweep_kernel(
+            method, self.left_lrs, self.right_lrs,
+            self.left_cols, self.right_cols, kwargs, bs,
+        )
+        tid = LEFT_ID if target == "left" else RIGHT_ID
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            pairs = base_kernel(tbl)
+            tids = _np(pairs, tid)
+            w = _np(pairs, WEIGHT).astype(np.float64)
+            if value_col is not None:
+                v = (
+                    pc.cast(pairs[value_col], pa.float64())
+                    .to_numpy(zero_copy_only=False)
+                )
+                wv = np.where(np.isnan(v), 0.0, w * v)
+            else:
+                wv = w
+            order = np.argsort(tids, kind="stable")
+            t_s = tids[order]
+            starts = np.concatenate([[True], t_s[1:] != t_s[:-1]]) if len(
+                t_s
+            ) else np.zeros(0, dtype=bool)
+            first = np.flatnonzero(starts)
+            return pa.table(
+                {
+                    tid: pa.array(t_s[first]),
+                    "__wv": pa.array(np.add.reduceat(wv[order], first))
+                    if len(first)
+                    else pa.array([], pa.float64()),
+                    "__w": pa.array(np.add.reduceat(w[order], first))
+                    if len(first)
+                    else pa.array([], pa.float64()),
+                    "__n": pa.array(
+                        np.diff(np.concatenate([first, [len(t_s)]])).astype(
+                            np.int64
+                        )
+                    )
+                    if len(first)
+                    else pa.array([], pa.int64()),
+                }
+            )
+
+        partials = (
+            lp.union(rp)
+            .repartition(self.num_partitions)
+            .groupby(PID)
+            .map_groups(kernel, batch_format="pyarrow")
+        )
+        self._cache[cache_key] = partials
+        return partials
+
+    def _method_name(self, method: str | None) -> str:
+        if method is None:
+            return (
+                "intersect"
+                if (self.left_lrs.is_point or self.right_lrs.is_point)
+                else "overlay"
+            )
+        return method
+
     def overlay(self, normalize=True, norm_by="right", profile=None):
         """Pair table with overlay weights (``relate.py:588-651``)."""
         if self.left_lrs.is_point or self.right_lrs.is_point:
@@ -395,11 +479,11 @@ class Relation:
 
     def count(self, target="left", out_col="count", **kwargs):
         tid, _, _ = self._tid(target)
-        pairs = self.intersect(**kwargs)
+        partials = self._build_partials("intersect", target, None, **kwargs)
         out = (
-            pairs.repartition(self.num_partitions)
+            partials.repartition(max(self.num_partitions // 2, 4))
             .groupby(tid)
-            .aggregate(Count(alias_name=out_col))
+            .aggregate(Sum("__n", alias_name=out_col))
         )
         return out.rename_columns({tid: self._out_id(target)})
 
@@ -410,6 +494,18 @@ class Relation:
         """Weighted sum (``relate.py:1023-1099``), incl. ``conserve``."""
         tid, sid, _ = self._tid(target)
         out_col = out_col or f"sum_{col}"
+        if not conserve:
+            # Fast path: per-partition partial sums, pair table never
+            # materialized (value must be a carried column).
+            partials = self._build_partials(
+                self._method_name(method), target, col, **kwargs
+            )
+            out = (
+                partials.repartition(max(self.num_partitions // 2, 4))
+                .groupby(tid)
+                .aggregate(Sum("__wv", alias_name=out_col))
+            )
+            return out.rename_columns({tid: self._out_id(target)})
         pairs = self._method_pairs(method, **kwargs)
         if conserve:
             # Normalize each source event's weights to sum 1.0
@@ -454,18 +550,14 @@ class Relation:
         """Weighted mean, NaN for no matches (``relate.py:1101-1169``)."""
         tid, _, _ = self._tid(target)
         out_col = out_col or f"mean_{col}"
-        pairs = self._method_pairs(method, **kwargs)
-
-        def mul(t: pa.Table) -> pa.Table:
-            wv = pc.multiply(pc.cast(t[col], pa.float64()), t[WEIGHT])
-            return t.append_column("__wv", wv)
-
+        partials = self._build_partials(
+            self._method_name(method), target, col, **kwargs
+        )
         out = (
-            pairs.map_batches(mul, batch_format="pyarrow")
-            .repartition(self.num_partitions)
+            partials.repartition(max(self.num_partitions // 2, 4))
             .groupby(tid)
             .aggregate(
-                Sum("__wv", alias_name="__num"), Sum(WEIGHT, alias_name="__den")
+                Sum("__wv", alias_name="__num"), Sum("__w", alias_name="__den")
             )
         )
 
