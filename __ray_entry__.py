@@ -463,6 +463,8 @@ def _q_separate(sf_dir: str):
 
 
 def _q_distribute(sf_dir: str):
+    """Sliding-window distribute with decay — neighbor semantics are
+    row offsets (not SQL-expressible); rows-only check."""
     from linref_ray.relate import Relation
 
     rel = Relation(
@@ -470,6 +472,20 @@ def _q_distribute(sf_dir: str):
         num_partitions=NPARTS,
     )
     out = rel.distribute(decay_size=2, decay_func="linear", out_col="score")
+    return _round_cols(out, {"score": 6})
+
+
+def _q_distribute_nodecay(sf_dir: str):
+    """decay_size=0 distribute: per-source length-normalized share —
+    SQL-expressible (each crash's unit weight split over its matching
+    segments proportional to segment length)."""
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_points(sf_dir), LIN, PT,
+        num_partitions=NPARTS,
+    )
+    out = rel.distribute(decay_size=0, out_col="score")
     return _round_cols(out, {"score": 6})
 
 
@@ -625,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "separate": _q_separate,
         "distribute": _q_distribute,
+        "distribute_nodecay": _q_distribute_nodecay,
         "image_invariants": _q_image_invariants,
         "constrain_to": _q_constrain,
         "overlay_salted": _q_overlay_salted,
@@ -871,6 +888,41 @@ from l join r on l.route_id = r.route_id
         # fingerprints / embedding_neardup / image_invariants: heuristic,
         # hash, or order-dependent pipelines — rows-only checks.
     }
+    oracles["quality"] = """
+with w as (
+  select doc_id, text, regexp_extract_all(text, '[A-Za-z]+') as words
+  from documents
+)
+select doc_id,
+       length(text) as n_chars,
+       round(round(coalesce(list_avg(list_transform(words, x -> length(x))), 0.0), 9), 6)
+         as mean_word_len,
+       round(round(cast(length(regexp_replace(text, '[\\w\\s]', '', 'g')) as double)
+             / greatest(length(text), 1), 9), 6) as punct_ratio,
+       round(round(cast(length(regexp_replace(text, '[^A-Z]', '', 'g')) as double)
+             / greatest(length(text), 1), 9), 6) as upper_ratio,
+       round(round(cast(coalesce(list_sum(list_transform(words, x ->
+               case when lower(x) in ('the','and','of','a','to','in','is',
+                                      'it','that','for','on','as','with')
+                    then 1 else 0 end)), 0) as double)
+             / greatest(length(words), 1), 9), 6) as stop_ratio,
+       round(round(1.0 - cast(length(list_distinct(words)) as double)
+             / greatest(length(words), 1), 9), 6) as rep_ratio
+from w
+"""
+    oracles["distribute_nodecay"] = _SQL_EVENTS + """
+, m as (  -- point-in-interval matches (closed='right'), target lengths
+  select l.event_id as tid, p.event_id as sid, l."end" - l.beg as len
+  from l join p on l.route_id = p.route_id
+   and p.loc > l.beg and p.loc <= l."end"
+), w as (  -- per-source length-normalized share
+  select tid, sid, len / sum(len) over (partition by sid) as share
+  from m
+)
+select l.event_id, round(round(coalesce(s.score, 0), 9), 6) as score
+from l left join (select tid, sum(share) as score from w group by tid) s
+  on s.tid = l.event_id
+"""
     oracles["overlay_salted"] = oracles["overlay_raw"]
     oracles["overlay_multikey"] = _SQL_EVENTS + """
 select l.event_id as left_id, r.event_id as right_id,
