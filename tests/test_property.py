@@ -1,0 +1,140 @@
+"""Hypothesis property tests for the interval kernels — shrinkable random
+fuzzing on top of the seeded differential suite."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from linref_ray.kernels.intervals import overlay_pairs
+from linref_ray.kernels.modify import dissolve_sorted, resegment_rows, separate
+
+finite = st.floats(
+    min_value=0, max_value=1000, allow_nan=False, allow_infinity=False
+)
+
+
+def intervals_strategy(max_n=40):
+    return st.lists(
+        st.tuples(finite, st.floats(min_value=0, max_value=50,
+                                    allow_nan=False)),
+        min_size=0,
+        max_size=max_n,
+    )
+
+
+def to_sorted_arrays(pairs):
+    if not pairs:
+        return np.empty(0), np.empty(0)
+    begs = np.array([b for b, _ in pairs])
+    ends = begs + np.array([l for _, l in pairs])
+    order = np.lexsort([ends, begs])
+    return begs[order], ends[order]
+
+
+class TestOverlayProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(intervals_strategy(), intervals_strategy())
+    def test_total_overlap_symmetry(self, lp, rp):
+        """Σ overlap is symmetric in the two sides."""
+        lb, le = to_sorted_arrays(lp)
+        rb, re = to_sorted_arrays(rp)
+        _, _, w1 = overlay_pairs(lb, le, rb, re, normalize=False)
+        _, _, w2 = overlay_pairs(rb, re, lb, le, normalize=False)
+        assert np.isclose(w1.sum(), w2.sum())
+
+    @settings(max_examples=200, deadline=None)
+    @given(intervals_strategy(), intervals_strategy(),
+           st.floats(min_value=1, max_value=40, allow_nan=False))
+    def test_window_partition_additivity(self, lp, rp, bucket):
+        """Σ over any disjoint window partition == unsharded weights —
+        the invariant the salted shuffle rests on."""
+        lb, le = to_sorted_arrays(lp)
+        rb, re = to_sorted_arrays(rp)
+        li, ri, w = overlay_pairs(lb, le, rb, re, normalize=False)
+        full = {}
+        for a, b, v in zip(li, ri, w):
+            full[(a, b)] = full.get((a, b), 0.0) + v
+        acc = {}
+        lo = 0.0
+        while lo < 1100:
+            wi, wj, wv = overlay_pairs(
+                lb, le, rb, re, normalize=False, window=(lo, lo + bucket)
+            )
+            for a, b, v in zip(wi, wj, wv):
+                acc[(a, b)] = acc.get((a, b), 0.0) + v
+            lo += bucket
+        assert set(acc) == set(full)
+        for k in full:
+            assert np.isclose(acc[k], full[k])
+
+    @settings(max_examples=150, deadline=None)
+    @given(intervals_strategy(), intervals_strategy())
+    def test_normalized_weights_bounded(self, lp, rp):
+        lb, le = to_sorted_arrays(lp)
+        rb, re = to_sorted_arrays(rp)
+        _, _, w = overlay_pairs(lb, le, rb, re, normalize=True, norm_by="right")
+        assert (w <= 1.0 + 1e-9).all()
+        assert (w >= 0.0).all()
+
+
+class TestModifyProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(intervals_strategy(max_n=30))
+    def test_dissolve_conserves_coverage_bounds(self, pairs):
+        if not pairs:
+            return
+        begs, ends = to_sorted_arrays(pairs)
+        g = np.zeros(len(begs), dtype=np.int64)
+        _, _, ob, oe = dissolve_sorted(g, begs, ends)
+        # Output intervals nest inside the input hull, cover all input begs.
+        assert ob.min() == begs.min()
+        assert oe.max() >= ends.max() or np.isclose(oe.max(), ends.max())
+        assert len(ob) <= len(begs)
+        # Dissolve of the dissolve is a no-op (idempotence).
+        order = np.lexsort([oe, ob])
+        _, _, ob2, oe2 = dissolve_sorted(
+            np.zeros(len(ob), dtype=np.int64), ob[order], oe[order]
+        )
+        assert len(ob2) == len(ob)
+
+    @settings(max_examples=150, deadline=None)
+    @given(intervals_strategy(max_n=25),
+           st.sampled_from(["cut", "left", "right", "extend", "none",
+                            "balance"]),
+           st.floats(min_value=0.5, max_value=10, allow_nan=False))
+    def test_resegment_pieces_cover_or_nest(self, pairs, fill, length):
+        if not pairs:
+            return
+        begs, ends = to_sorted_arrays(pairs)
+        src, nb, ne = resegment_rows(begs, ends, length, fill)
+        assert (ne >= nb).all()
+        # Every output nests in (or, for right/extend, starts within) its
+        # source row.
+        assert (nb >= begs[src] - 1e-9).all() or fill == "left"
+        if fill in ("cut", "balance"):
+            total_in = (ends - begs).sum()
+            total_out = (ne - nb).sum()
+            assert np.isclose(total_in, total_out)
+
+    @settings(max_examples=150, deadline=None)
+    @given(intervals_strategy(max_n=25),
+           st.sampled_from(["balanced", "center", "left", "right"]))
+    def test_separate_removes_overlaps(self, pairs, method):
+        if len(pairs) < 2:
+            return
+        begs, ends = to_sorted_arrays(pairs)
+        g = np.zeros(len(begs), dtype=np.int64)
+        nb, ne = separate(g, begs, ends, method=method)
+        keep = ne - nb > 1e-12
+        b, e = nb[keep], ne[keep]
+        order = np.lexsort([e, b])
+        b, e = b[order], e[order]
+        # No remaining pairwise overlaps beyond float tolerance.
+        assert (b[1:] >= e[:-1] - 1e-9).all()
+        if method in ("left", "right"):
+            # Only the one-sided methods guarantee envelope containment —
+            # 'center' deliberately splits at the centers midpoint, which can
+            # extend an event past its original bounds (reference
+            # ``modify.py:545-548`` behavior, reproduced).
+            assert (nb >= begs - 1e-9).all()
+            assert (ne <= ends + 1e-9).all()
