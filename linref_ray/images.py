@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+import struct
+
 from linref_ray.kernels import codec
 from linref_ray.synth import caption_for, geocode_for
 

@@ -180,22 +180,9 @@ def _images_table(ids: list[str], w: int, h: int) -> pa.Table:
     # Vectorized: one batched pixel generation, one batched quantize, one
     # batched aHash; only the final bytes assembly is per-row.
     px = codec.reference_pixels_batch(codec.id_seeds(ids), w, h)
-    qz = codec._scratch("synth_qz", px.shape, np.uint8)
-    np.right_shift(px, 2, out=qz)
-    np.left_shift(qz, 2, out=qz)
-    np.add(qz, 2, out=qz)
-    import struct
-
-    header = {
-        f: struct.Struct("<4sHHB3s").pack(
-            codec.MAGIC, w, h, 0 if f == "raw" else 1, b"\x00" * 3
-        )
-        for f in ("raw", "qz")
-    }
-    blobs = [
-        header[f] + (px[i] if f == "raw" else qz[i]).tobytes()
-        for i, f in enumerate(fmts)
-    ]
+    fmt_codes = np.array([0 if f == "raw" else 1 for f in fmts], np.uint8)
+    # Arrow-native batch encode: one buffer + offsets, no per-row bytes.
+    blob_array = codec.encode_batch_arrow(px, fmt_codes)
     # aHash: downsample FIRST (8×8 grid), then gray-mean — avoids a
     # full-resolution float conversion of the whole batch.
     small_px = px[:, :: max(h // 8, 1), :: max(w // 8, 1), :][:, :8, :8, :]
@@ -210,7 +197,7 @@ def _images_table(ids: list[str], w: int, h: int) -> pa.Table:
     return pa.table(
         {
             "image_id": pa.array(ids),
-            "bytes": pa.array(blobs, pa.binary()),
+            "bytes": blob_array,
             "w": pa.array([w] * len(ids), pa.int32()),
             "h": pa.array([h] * len(ids), pa.int32()),
             "fmt": pa.array(fmts),
