@@ -91,7 +91,7 @@ def verify_invariants(
     psnr_min: float = 40.0,
     strict: bool = False,
     concurrency: int | None = None,
-    batch_size: int = 2048,
+    batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Invariant stage. Default: stateless tasks (fully elastic — our codec
     stub carries no per-worker state). Pass ``concurrency`` to run as an

@@ -169,9 +169,9 @@ def images_dataset(
         ids = [f"{seed_prefix}-{int(i):08d}" for i in t["id"].to_pylist()]
         return _images_table(ids, w, h)
 
-    # Small batches keep per-call temporaries inside reused malloc arenas —
-    # large one-shot allocations pay first-touch page-zeroing every call.
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=2048)
+    # Batch size balances per-batch Ray overhead (~ms each) against worker
+    # heap; scratch-buffer reuse in the codec makes larger batches safe.
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=8192)
 
 
 def _images_table(ids: list[str], w: int, h: int) -> pa.Table:
