@@ -158,7 +158,7 @@ def session_window(
         if len(t) == 0:
             return pa.table(
                 {
-                    key_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], t.schema.field(key_col).type),
                     "session": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
                     "ts_min": pa.array([], pa.int64()),
