@@ -960,7 +960,7 @@ with s as (
                         rows unbounded preceding) - 1 as session
   from b
 )
-select user_id, session, count(*) as n,
+select user_id, cast(session as bigint) as session, count(*) as n,
        min(sec) as ts_min, max(sec) as ts_max
 from g group by 1, 2
 """

@@ -59,16 +59,28 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 def _modmul(a: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """(a*x) mod 2^61-1 without overflow: split a into hi/lo 31-bit halves."""
+    """(a*x) mod 2^61-1 without overflow: split BOTH operands into 31-bit
+    limbs so every intermediate product stays < 2^62 (a single-operand split
+    lets hi*x reach ~2^91 and silently wrap mod 2^64).
+
+    a = a_hi*2^31 + a_lo, x = x_hi*2^31 + x_lo =>
+    a*x = a_hi*x_hi*2^62 + (a_hi*x_lo + a_lo*x_hi)*2^31 + a_lo*x_lo,
+    reduced with 2^61 === 1 (mod p).
+    """
+    P = np.uint64(_MERSENNE)
     a = a.astype(np.uint64)
     x = x.astype(np.uint64)
-    lo = a & np.uint64(0x7FFFFFFF)
-    hi = a >> np.uint64(31)
-    # a*x = hi*2^31*x + lo*x; reduce each term mod 2^61-1.
-    t1 = (hi * x) % np.uint64(_MERSENNE)
-    t1 = (t1 << np.uint64(31)) % np.uint64(_MERSENNE)
-    t2 = (lo * x) % np.uint64(_MERSENNE)
-    return ((t1 + t2) % np.uint64(_MERSENNE)).astype(np.int64)
+    mask31 = np.uint64(0x7FFFFFFF)
+    a_lo, a_hi = a & mask31, a >> np.uint64(31)
+    x_lo, x_hi = x & mask31, x >> np.uint64(31)
+    hh = (a_hi * x_hi) % P          # operands < 2^30 -> product < 2^60
+    mid = (a_hi * x_lo + a_lo * x_hi) % P  # each term < 2^61, sum < 2^62
+    ll = (a_lo * x_lo) % P          # < 2^62
+    term1 = (hh << np.uint64(1)) % P  # hh*2^62 === hh*2 (mod p)
+    # mid*2^31 mod p: mid = m_h*2^30 + m_l => m_h*2^61 + m_l*2^31 === m_h + m_l*2^31
+    mask30 = np.uint64((1 << 30) - 1)
+    term2 = ((mid >> np.uint64(30)) + ((mid & mask30) << np.uint64(31))) % P
+    return ((term1 + term2 + ll) % P).astype(np.int64)
 
 
 def lsh_bands(sig: np.ndarray, bands: int) -> np.ndarray:

@@ -56,6 +56,30 @@ def iter_group_segments(codes: np.ndarray):
         yield int(a), int(b)
 
 
+def segmented_cummax(values: np.ndarray, new_seg: np.ndarray) -> np.ndarray:
+    """Inclusive running max within segments (Hillis-Steele scan, O(n log n)).
+
+    ``new_seg`` is a bool array, True at each segment start (``new_seg[0]``
+    must be True). Unlike a global ``np.maximum.accumulate``, the running max
+    resets at every segment boundary.
+    """
+    out = np.asarray(values).copy()
+    n = len(out)
+    if n == 0:
+        return out
+    idx = np.arange(n)
+    seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+    dist = idx - seg_start
+    step = 1
+    while step < n:
+        take = np.flatnonzero(dist >= step)
+        if not len(take):
+            break
+        out[take] = np.maximum(out[take], out[take - step])
+        step <<= 1
+    return out
+
+
 def group_codes(*arrays: np.ndarray) -> np.ndarray:
     """Integer codes for (possibly multi-column) group keys.
 

@@ -21,6 +21,7 @@ from linref_ray.kernels.intervals import (
     find_inside_sorted_group,
     group_codes,
     iter_group_segments,
+    segmented_cummax as _segmented_cummax,
 )
 from linref_ray.kernels.modify import (
     dissolve_sorted,
@@ -413,7 +414,11 @@ def constrain_to(
                 # Merge consecutive clipped pieces per source event.
                 srt = np.lexsort([oe, ob, sid])
                 sid, ob, oe = sid[srt], ob[srt], oe[srt]
-                cummax = np.maximum.accumulate(oe)
+                # Running max of piece ends must reset at each sid boundary:
+                # a global cummax lets a prior source's long piece bridge a
+                # later source's disjoint pieces into one bogus merged run.
+                new_sid = np.concatenate([[True], sid[1:] != sid[:-1]])
+                cummax = _segmented_cummax(oe, new_sid)
                 consec = (ob[1:] <= cummax[:-1]) & (sid[1:] == sid[:-1])
                 first = np.concatenate([[0], np.flatnonzero(~consec) + 1])
                 # max end per run (pieces may nest when 'other' self-overlaps)

@@ -396,6 +396,8 @@ class Relation:
                     pc.cast(pairs[value_col], pa.float64())
                     .to_numpy(zero_copy_only=False)
                 )
+                # NaN source values contribute 0 (SQL-style skip-null; the
+                # conserve path applies the same rule — see sum()).
                 wv = np.where(np.isnan(v), 0.0, w * v)
             else:
                 wv = w
@@ -532,11 +534,13 @@ class Relation:
             pairs = self._agg_by_target(pairs, sid, norm_kernel)
 
         def mul(t: pa.Table) -> pa.Table:
-            wv = pc.multiply(
-                pc.cast(t[col], pa.float64()),
-                t[WEIGHT],
-            )
-            return t.append_column("__wv", wv)
+            # NaN source values contribute 0, matching the partial-sum fast
+            # path above (deliberate SQL-style skip-null semantic; the
+            # reference's sparse multiply would propagate NaN instead).
+            v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+            w = _np(t, WEIGHT).astype(np.float64)
+            wv = np.where(np.isnan(v), 0.0, w * v)
+            return t.append_column("__wv", pa.array(wv))
 
         out = (
             pairs.map_batches(mul, batch_format="pyarrow")
@@ -778,6 +782,17 @@ class Relation:
                 else:
                     if l_point and r_point:
                         li, ri = intersect_point_point_pairs(loc[lseg], loc[rseg])
+                    elif l_point:
+                        # Point targets x linear sources: same dispatch as
+                        # _make_sweep_kernel — the generic linear-linear sweep
+                        # would treat the degenerate [loc, loc] targets with
+                        # strict inequalities + linear closure-edge logic and
+                        # drop points sitting on closed interval edges.
+                        li, ri = intersect_point_linear_pairs(
+                            loc[lseg], beg[rseg], end[rseg], r_closed,
+                            enforce_edges,
+                            modified_edges_sorted(beg[rseg], end[rseg], r_closed),
+                        )
                     elif r_point:
                         pi, ii = intersect_point_linear_pairs(
                             loc[rseg], beg[lseg], end[lseg], l_closed,

@@ -46,6 +46,18 @@ def knn_brute_force(
         ray.get(q_tbl.to_arrow_refs()), promote_options="default"
     )
     q_ids = np.asarray(q_pa[id_col].to_pylist(), dtype=np.int64)
+    if len(q_ids) == 0:
+        # No query id exists in the table: typed empty result (the per-query
+        # loop below would otherwise np.concatenate([]) in every task).
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
     order = np.argsort(q_ids)
     q_ids = q_ids[order]
     qm = _to_matrix(q_pa[vec_col])[order]

@@ -106,6 +106,40 @@ class TestConstrainTo:
         assert len(out) == 1
         assert out.beg[0] == 2.0 and out.end[0] == 8.0
 
+    def test_dissolve_disjoint_pieces_stay_disjoint(self, ray_session):
+        # Event 1 clips to [0,100] (single long piece); event 2 clips to
+        # [0,1] and [50,51] only. Pre-fix, event 1's piece end (100) leaked
+        # into event 2's running max and merged [0,1]+[50,51] → [0,51].
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 2],
+                    "route": ["A", "A", "A"],
+                    "beg": [0.0, 0.0, 50.0],
+                    "end": [100.0, 1.0, 51.0],
+                }
+            )
+        )
+        cover = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [100],
+                    "route": ["A"],
+                    "beg": [0.0],
+                    "end": [100.0],
+                }
+            )
+        )
+        out = (
+            md.constrain_to(ds, cover, L, dissolve_result=True, num_partitions=4)
+            .to_pandas()
+            .sort_values(["event_id", "beg"])
+            .reset_index(drop=True)
+        )
+        e2 = out[out.event_id == 2].reset_index(drop=True)
+        assert e2.beg.tolist() == [0.0, 50.0]
+        assert e2.end.tolist() == [1.0, 51.0]
+
 
 class TestImputeKeys:
     def test_fill_from_first_match(self, ray_session):
@@ -384,6 +418,15 @@ class TestSimilarityAndImageStages:
         # Partial probing returns k results with decent overlap.
         part = knn_ivf(emb, (0, 1), k=5, n_centroids=8, nprobe=4).to_pandas()
         assert (part.groupby("query_id").size() == 5).all()
+
+    def test_knn_missing_query_ids(self, ray_session):
+        # Query ids absent from the table: typed empty result, no crash.
+        from linref_ray.similarity import knn_brute_force
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = knn_brute_force(emb, (10_000_000, 10_000_001), k=3)
+        assert out.count() == 0
+        assert out.schema().names == ["query_id", "vec_id", "cosine"]
 
     def test_resize_and_features(self, ray_session):
         from linref_ray import synth

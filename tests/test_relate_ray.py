@@ -251,6 +251,36 @@ class TestIntersectPipeline:
         assert len(out) == 10
         assert out.score.sum() == pytest.approx(7.0)
 
+    def test_distribute_point_targets(self, ray_session):
+        """Point targets × linear sources must use the point-linear intersect
+        kernel: points sitting ON closed interval edges (0 and 10 of [0,10]
+        closed='both') count as matches — the degenerate linear-linear sweep
+        would drop them."""
+        pts = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [0, 1, 2], "route": ["1"] * 3,
+                 "loc": [0.0, 5.0, 10.0]}
+            )
+        )
+        lines = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [10], "route": ["1"],
+                 "beg": [0.0], "end": [10.0]}
+            )
+        )
+        rel = Relation(
+            pts,
+            lines,
+            LRS(key_col=("route",), beg_col=None, end_col=None, loc_col="loc"),
+            LRS(key_col=("route",), closed="both"),
+            num_partitions=4,
+        )
+        out = rel.distribute(out_col="score", length_normalize=False).to_pandas()
+        assert len(out) == 3
+        # All three points match the single source; its share normalizes to
+        # a total of 1.0 → 1/3 per point.
+        assert sorted(out.score.tolist()) == pytest.approx([1 / 3] * 3)
+
 
 class TestTargetRight:
     def test_axis0_aggregates(self, canonical):
