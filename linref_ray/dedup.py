@@ -8,10 +8,14 @@ stage is a vectorized batch transform; only slim (id, hash) rows shuffle.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
+
+_LOG = logging.getLogger(__name__)
 
 from linref_ray.kernels.hashing import (
     hamming64,
@@ -84,6 +88,30 @@ class _MinhashStage:
         )
 
 
+def _chain_or_all_pairs(
+    ids: np.ndarray, max_bucket: int, what: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs indices for a bucket, degrading to a sorted chain when the
+    bucket exceeds ``max_bucket`` unique members.
+
+    A hot bucket (boilerplate text, all-zero vectors) would otherwise emit
+    O(n²) pairs in one task. The chain (id[0]-id[1], id[1]-id[2], …) keeps
+    every member linked — duplicate CLUSTERS remain discoverable via
+    connected components over verified pairs — at O(n) pairs. Never silent:
+    the degradation is logged with the forgone pair count.
+    """
+    n = len(ids)
+    if n > max_bucket:
+        _LOG.warning(
+            "%s bucket with %d members exceeds cap %d: emitting %d chain "
+            "pairs instead of %d all-pairs (cluster connectivity preserved)",
+            what, n, max_bucket, n - 1, n * (n - 1) // 2,
+        )
+        a = np.arange(n - 1)
+        return a, a + 1
+    return np.triu_indices(n, k=1)
+
+
 def minhash_near_duplicates(
     docs: ray.data.Dataset,
     threshold: float = 0.6,
@@ -91,13 +119,27 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_k: int = 3,
     concurrency: int = 4,
+    max_bucket: int = 1024,
+    num_partitions: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     shingle→minhash→band→bucket groupby→candidate pairs→exact verification.
-    Verification recomputes shingle sets for the candidate pair's docs via a
-    broadcast lookup of the candidate texts (small side: candidates ≪ docs).
+
+    Scale shape: every stage is distributed — candidates are deduped with a
+    groupby, texts are attached to both pair sides via two partitioned hash
+    joins (slim (id, text) projections; the join's own shuffle prunes
+    non-candidate texts after partitioning), and exact Jaccard runs per
+    batch on the joined rows with a per-batch shingle cache. Nothing is ever
+    collected to the driver, so a dup-heavy corpus with O(corpus) candidate
+    pairs streams through the object store instead of OOMing one process.
+    Hot LSH buckets degrade to chain pairs at ``max_bucket`` (logged — see
+    :func:`_chain_or_all_pairs`).
     """
+    from linref_ray.joins import hash_join
+
     sig_rows = docs.map_batches(
         _MinhashStage,
         fn_constructor_kwargs=dict(
@@ -118,84 +160,85 @@ def minhash_near_duplicates(
                     "id_b": pa.array([], pa.int64()),
                 }
             )
-        a, b = np.triu_indices(len(ids), k=1)
+        a, b = _chain_or_all_pairs(ids, max_bucket, "minhash-LSH")
         return pa.table(
             {"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])}
         )
 
     candidates = (
-        sig_rows.groupby(["band", "band_key"])
+        sig_rows.repartition(num_partitions)
+        .groupby(["band", "band_key"])
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__nbands"))
         .drop_columns(["__nbands"])
     )
-
-    # Exact verification: candidate set is small → collect the needed texts
-    # once and verify pairs vectorized on the driver-broadcast lookup.
-    cand_tbl = pa.concat_tables(
-        ray.get(candidates.to_arrow_refs()), promote_options="default"
-    )
-    if len(cand_tbl) == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    need = np.unique(
-        np.concatenate(
-            [
-                cand_tbl["id_a"].to_numpy(zero_copy_only=False),
-                cand_tbl["id_b"].to_numpy(zero_copy_only=False),
-            ]
-        )
-    )
-    need_set = set(need.tolist())
-
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((i in need_set for i in ids), bool, len(ids))
-        return t.filter(pa.array(mask)).select(["doc_id", "text"])
-
-    texts_tbl = pa.concat_tables(
-        ray.get(
-            docs.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
-        ),
-        promote_options="default",
-    )
-    text_of = dict(
-        zip(
-            texts_tbl["doc_id"].to_pylist(), texts_tbl["text"].to_pylist()
-        )
-    )
-    sh_cache: dict[int, np.ndarray] = {}
-
-    def sh(i: int) -> np.ndarray:
-        if i not in sh_cache:
-            sh_cache[i] = shingle_hashes(text_of[i], shingle_k)
-        return sh_cache[i]
-
-    ia = cand_tbl["id_a"].to_numpy(zero_copy_only=False)
-    ib = cand_tbl["id_b"].to_numpy(zero_copy_only=False)
-    jac = np.empty(len(ia))
-    for row in range(len(ia)):
-        sa, sb = sh(int(ia[row])), sh(int(ib[row]))
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac[row] = inter / union if union else 0.0
-    hit = jac >= threshold
-    return ray.data.from_arrow(
+    # Anchor the schema: with zero candidates the lazy dataset has no
+    # inferable schema and the join below could not type its columns.
+    candidates = ray.data.from_arrow(
         pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    ).union(candidates)
+
+    # Distributed exact verification: attach both texts with partitioned
+    # hash joins, then verify per batch. (Rename via an Arrow map_batches —
+    # Dataset.rename_columns chokes on pandas blocks in Ray 2.49.)
+    def _renamed(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{side}": t[id_col], f"__text_{side}": t[text_col]}
+            )
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    with_a = hash_join(
+        candidates, _renamed("a"), on="id_a", how="inner",
+        num_partitions=num_partitions,
+    )
+    with_ab = hash_join(
+        with_a, _renamed("b"), on="id_b", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ta = t["__text_a"].to_pylist()
+        tb = t["__text_b"].to_pylist()
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int, txt: str) -> np.ndarray:
+            if i not in cache:
+                cache[i] = shingle_hashes(txt, shingle_k)
+            return cache[i]
+
+        jac = np.empty(len(ia))
+        for r in range(len(ia)):
+            sa, sb = sh(int(ia[r]), ta[r]), sh(int(ib[r]), tb[r])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[r] = inter / union if union else 0.0
+        hit = jac >= threshold
+        return pa.table(
             {
                 "id_a": pa.array(ia[hit]),
                 "id_b": pa.array(ib[hit]),
                 "jaccard": pa.array(jac[hit]),
             }
         )
+
+    return with_ab.map_batches(
+        verify, batch_format="pyarrow", batch_size=4096
     )
 
 
@@ -217,11 +260,18 @@ def simhash_signatures(
 
 
 def simhash_near_duplicates(
-    docs: ray.data.Dataset, max_hamming: int = 6, prefix_bits: int = 12
+    docs: ray.data.Dataset,
+    max_hamming: int = 6,
+    prefix_bits: int = 12,
+    max_bucket: int = 4096,
 ) -> ray.data.Dataset:
     """SimHash near-dup candidates bucketed by hash prefix, verified by
     Hamming distance (≤ max_hamming). Multiple rotations of the prefix would
-    raise recall; one prefix keeps the demo pipeline single-shuffle."""
+    raise recall; one prefix keeps the demo pipeline single-shuffle.
+
+    Hot prefix buckets degrade to chain pairs at ``max_bucket`` (logged);
+    within the cap, all-pairs Hamming runs in 1024-row tiles so per-task
+    scratch stays O(tile²) instead of O(bucket²)."""
 
     sigs = simhash_signatures(docs)
 
@@ -235,22 +285,54 @@ def simhash_near_duplicates(
     def verify(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         s = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        a, b = np.triu_indices(len(ids), k=1)
-        hd = hamming64(s[a], s[b])
-        hit = hd <= max_hamming
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        n = len(ids)
+        if n < 2:
+            return empty
+        out_a, out_b, out_h = [], [], []
+        if n > max_bucket:
+            a, b = _chain_or_all_pairs(ids, max_bucket, "simhash-prefix")
+            hd = hamming64(s[a], s[b])
+            hit = hd <= max_hamming
+            out_a.append(ids[a[hit]])
+            out_b.append(ids[b[hit]])
+            out_h.append(hd[hit])
+        else:
+            tile = 1024
+            for i0 in range(0, n, tile):
+                i1 = min(i0 + tile, n)
+                for j0 in range(i0, n, tile):
+                    j1 = min(j0 + tile, n)
+                    ai, bj = np.meshgrid(
+                        np.arange(i0, i1), np.arange(j0, j1), indexing="ij"
+                    )
+                    ai, bj = ai.ravel(), bj.ravel()
+                    keep = ai < bj
+                    ai, bj = ai[keep], bj[keep]
+                    if not len(ai):
+                        continue
+                    hd = hamming64(s[ai], s[bj])
+                    hit = hd <= max_hamming
+                    out_a.append(ids[ai[hit]])
+                    out_b.append(ids[bj[hit]])
+                    out_h.append(hd[hit])
+        if not out_a:
+            return empty
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
         return pa.table(
             {
-                "id_a": pa.array(np.minimum(ids[a[hit]], ids[b[hit]])),
-                "id_b": pa.array(np.maximum(ids[a[hit]], ids[b[hit]])),
-                "hamming": pa.array(hd[hit].astype(np.int64)),
+                "id_a": pa.array(np.minimum(ia, ib)),
+                "id_b": pa.array(np.maximum(ia, ib)),
+                "hamming": pa.array(
+                    np.concatenate(out_h).astype(np.int64)
+                ),
             }
         )
 

@@ -124,13 +124,16 @@ def embedding_near_duplicates(
     num_partitions: int = 16,
     lsh_planes: int = 12,
     seed: int = 11,
+    max_bucket: int = 4096,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
     Vectors hash to a sign-pattern bucket (Charikar SimHash for vectors);
-    exact cosine is verified within buckets. Emits (id_a, id_b, cosine) with
-    id_a < id_b. Recall is per-bucket (standard LSH trade-off) — multiple
-    plane sets can be OR-ed for higher recall.
+    exact cosine is verified within buckets — tiled so per-task scratch is
+    bounded, with hot buckets degrading to logged chain pairs at
+    ``max_bucket``. Emits (id_a, id_b, cosine) with id_a < id_b. Recall is
+    per-bucket (standard LSH trade-off) — multiple plane sets can be OR-ed
+    for higher recall.
     """
     rng = np.random.Generator(np.random.PCG64(seed))
     planes_by_dim: dict[int, np.ndarray] = {}
@@ -153,19 +156,55 @@ def embedding_near_duplicates(
         )
 
     def verify(t: pa.Table) -> pa.Table:
+        from linref_ray.dedup import _chain_or_all_pairs
+
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
         m = _to_matrix(t[vec_col])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        cos = mn @ mn.T
-        a, b = np.triu_indices(len(ids), k=1)
-        hit = cos[a, b] >= threshold
-        ia, ib = ids[a[hit]], ids[b[hit]]
+        out_a, out_b, out_c = [], [], []
+        if n > max_bucket:
+            # Hot bucket (e.g. boilerplate embeddings): chain pairs, logged.
+            a, b = _chain_or_all_pairs(ids, max_bucket, "embedding-LSH")
+            cos = (mn[a] * mn[b]).sum(axis=1)
+            hit = cos >= threshold
+            out_a.append(ids[a[hit]])
+            out_b.append(ids[b[hit]])
+            out_c.append(cos[hit])
+        else:
+            # Tiled all-pairs: per-step scratch is O(tile x bucket), never
+            # the full O(bucket^2) cosine matrix.
+            tile = 1024
+            for i0 in range(0, n, tile):
+                i1 = min(i0 + tile, n)
+                cos = mn[i0:i1] @ mn[i0:].T  # columns j >= i0 only
+                ai, bj = np.nonzero(cos >= threshold)
+                keep = (ai + i0) < (bj + i0)
+                ai, bj = ai[keep], bj[keep]
+                if not len(ai):
+                    continue
+                out_a.append(ids[ai + i0])
+                out_b.append(ids[bj + i0])
+                out_c.append(cos[ai, bj])
+        if not out_a:
+            return empty
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pa.table(
             {
                 "id_a": pa.array(lo),
                 "id_b": pa.array(hi),
-                "cosine": pa.array(cos[a[hit], b[hit]]),
+                "cosine": pa.array(np.concatenate(out_c)),
             }
         )
 

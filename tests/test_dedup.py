@@ -1,0 +1,230 @@
+"""Pipeline tests for the dedup cascades (minhash / simhash / embedding).
+
+Covers the distributed exact-verification path (texts joined onto candidate
+pairs — nothing collected to the driver), the hot-bucket chain-pair cap, and
+the tiled within-bucket verification equivalence.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linref_ray.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from linref_ray.kernels.hashing import hamming64, simhash
+from linref_ray.similarity import embedding_near_duplicates
+
+
+def _doc_corpus():
+    """20 docs: 3 near-dup families (small edits) + distinct fillers."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun near the garden"
+    )
+    alt = (
+        "machine learning pipelines shuffle large datasets across many "
+        "worker nodes using partitioned joins and streaming aggregation"
+    )
+    rows = []
+    for i in range(4):  # family A: tiny suffix edits → high jaccard
+        rows.append((i, base + f" extra{i % 2}"))
+    for i in range(3):  # family B
+        rows.append((10 + i, alt + (" today" if i else "")))
+    for i in range(10):  # distinct fillers
+        rows.append(
+            (100 + i, f"unique document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(30)
+            ))
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _components(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over (id_a, id_b) → id -> component root."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+    return {k: find(k) for k in parent}
+
+
+class TestMinhashPipeline:
+    def test_finds_families_no_driver_collect(self, ray_session):
+        docs = rd.from_pandas(_doc_corpus())
+        out = minhash_near_duplicates(
+            docs, threshold=0.6, num_partitions=4
+        ).to_pandas()
+        comp = _components(out)
+        # Family A (0..3) fully connected, family B (10..12) connected.
+        assert len({comp[i] for i in range(4)}) == 1
+        assert len({comp[i] for i in (10, 11, 12)}) == 1
+        # No cross-family or filler pairs.
+        fam_a = set(range(4))
+        for a, b in zip(out.id_a, out.id_b):
+            assert (a in fam_a) == (b in fam_a)
+            assert a < 100 and b < 100
+        assert (out.jaccard >= 0.6).all()
+
+    def test_dup_heavy_corpus_matches_uncapped(self, ray_session):
+        # 10x-duplicated corpus: every bucket is hot. Capped chain pairs
+        # must keep each duplicate cluster connected.
+        rows = []
+        for fam in range(5):
+            text = f"family {fam} " + " ".join(
+                f"w{fam}_{j} common shared words here" for j in range(20)
+            )
+            for c in range(10):
+                rows.append((fam * 100 + c, text + ("" if c < 9 else " x")))
+        docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        full = minhash_near_duplicates(
+            docs, threshold=0.8, num_partitions=4, max_bucket=10_000
+        ).to_pandas()
+        capped = minhash_near_duplicates(
+            docs, threshold=0.8, num_partitions=4, max_bucket=4
+        ).to_pandas()
+        cf = _components(full)
+        cc = _components(capped)
+        for fam in range(5):
+            ids = [fam * 100 + c for c in range(10)]
+            assert len({cf[i] for i in ids}) == 1
+            # chain pairs preserve cluster connectivity
+            assert len({cc[i] for i in ids}) == 1
+        # capped path emits strictly fewer (or equal) pairs, all verified
+        assert len(capped) <= len(full)
+        assert (capped.jaccard >= 0.8).all()
+
+    def test_no_candidates(self, ray_session):
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": range(6),
+                    "text": [
+                        " ".join(f"only{i}_{j}" for j in range(40))
+                        for i in range(6)
+                    ],
+                }
+            )
+        )
+        out = minhash_near_duplicates(docs, num_partitions=4)
+        assert out.count() == 0
+
+
+class TestSimhashTiling:
+    def test_tiled_equals_naive(self, ray_session):
+        docs = _doc_corpus()
+        ds = rd.from_pandas(docs)
+        out = (
+            simhash_near_duplicates(ds, max_hamming=10, prefix_bits=2)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        # Naive check: group by prefix, all-pairs hamming.
+        sigs = {
+            int(i): np.uint64(simhash(t, 3)) for i, t in
+            zip(docs.doc_id, docs.text)
+        }
+        expected = set()
+        ids = sorted(sigs)
+        by_prefix: dict[int, list[int]] = {}
+        for i in ids:
+            by_prefix.setdefault(int(sigs[i] >> np.uint64(62)), []).append(i)
+        for members in by_prefix.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b = members[x], members[y]
+                    hd = int(
+                        hamming64(
+                            np.array([sigs[a]]), np.array([sigs[b]])
+                        )[0]
+                    )
+                    if hd <= 10:
+                        expected.add((min(a, b), max(a, b), hd))
+        got = {
+            (int(r.id_a), int(r.id_b), int(r.hamming))
+            for r in out.itertuples()
+        }
+        assert got == expected
+
+
+class TestEmbeddingNearDup:
+    def test_tiled_verify_finds_planted_cluster(self, ray_session):
+        rng = np.random.Generator(np.random.PCG64(5))
+        base = rng.normal(size=8)
+        vecs, ids = [], []
+        for i in range(6):  # planted near-dup cluster
+            vecs.append(base + rng.normal(scale=0.01, size=8))
+            ids.append(i)
+        for i in range(20):  # random background
+            vecs.append(rng.normal(size=8))
+            ids.append(100 + i)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        out = embedding_near_duplicates(
+            ds, threshold=0.99, lsh_planes=4
+        ).to_pandas()
+        comp = _components(out)
+        assert len({comp.get(i, i) for i in range(6)}) == 1
+        assert not any(a >= 100 or b >= 100 for a, b in zip(out.id_a, out.id_b))
+
+    def test_capped_bucket_chains(self, ray_session):
+        rng = np.random.Generator(np.random.PCG64(9))
+        base = rng.normal(size=8)
+        n = 50
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array(
+                    [
+                        list(map(float, base + rng.normal(scale=0.005, size=8)))
+                        for _ in range(n)
+                    ],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        out = embedding_near_duplicates(
+            ds, threshold=0.99, lsh_planes=2, max_bucket=8
+        ).to_pandas()
+        comp = _components(out)
+        # chain pairs keep the single cluster connected
+        assert len({comp[i] for i in range(n)}) == 1
+        assert len(out) < n * (n - 1) // 2
+
+
+class TestExactDedup:
+    def test_keep_first_and_counts(self, ray_session):
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [5, 1, 2, 3],
+                    "text": ["x", "x", "y", "x"],
+                }
+            )
+        )
+        out = exact_dedup(docs).to_pandas().sort_values("doc_id")
+        assert out.doc_id.tolist() == [1, 2]
+        assert out.n_copies.tolist() == [3, 1]
