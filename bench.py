@@ -80,7 +80,10 @@ def run_bench() -> dict:
         cell_res=6,
         num_partitions=max(2 * num_cpus, 8),
     )
-    n_snap = snapped.count()
+    # One streaming pass: tiles/per_event share the fused aggregate, and
+    # every snapped row lands in exactly one tile, so the tile-count sum IS
+    # the sidecar row count — never consume the lazy sidecar separately.
+    n_snap = int(tiles.sum("n") or 0)
     n_tiles = tiles.count()
     timings["flagship_images"] = time.time() - t0
     rows["flagship_images"] = n_images

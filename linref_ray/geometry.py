@@ -163,30 +163,59 @@ def cut_geometry(
     """Substring the route geometry to each event's [beg, end] (relation
     ``cut``): adds xs/ys/ms columns; adjacent events share exact boundary
     coordinates (same lerp as ``substring_m_coords``)."""
+    from linref_ray.kernels.geometry import substring_by_m_many
+
     lookup = _route_lookup(routes)
 
     def fn(t: pa.Table) -> pa.Table:
-        xs_o, ys_o, ms_o = [], [], []
-        for rid, b, e in zip(
-            t[key_col].to_pylist(),
-            t[beg_col].to_numpy(zero_copy_only=False),
-            t[end_col].to_numpy(zero_copy_only=False),
-        ):
+        # Vectorized per (batch x route): one substring_by_m_many call per
+        # route present in the batch, scattered back to row order via the
+        # offsets trick + ListArray.from_arrays (no per-row Python loop).
+        n = len(t)
+        rids = np.asarray(t[key_col].to_pylist())
+        beg = t[beg_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        end = t[end_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lengths = np.zeros(n, dtype=np.int64)
+        valid = np.zeros(n, dtype=bool)
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        for rid in np.unique(rids):
             geom = lookup.get(rid)
             if geom is None:
-                xs_o.append(None)
-                ys_o.append(None)
-                ms_o.append(None)
                 continue
-            ox, oy, om = substring_by_m(*geom, float(b), float(e))
-            xs_o.append(ox.tolist())
-            ys_o.append(oy.tolist())
-            ms_o.append(om.tolist())
-        lt = pa.list_(pa.float64())
+            rows = np.flatnonzero(rids == rid)
+            ln, fx, fy, fm = substring_by_m_many(*geom, beg[rows], end[rows])
+            lengths[rows] = ln
+            valid[rows] = True
+            parts.append((rows, fx, fy, fm))
+        off = np.concatenate([[0], np.cumsum(lengths)])
+        total = int(off[-1])
+        gx = np.empty(total, dtype=np.float64)
+        gy = np.empty(total, dtype=np.float64)
+        gm = np.empty(total, dtype=np.float64)
+        for rows, fx, fy, fm in parts:
+            ln = lengths[rows]
+            loc_cum = np.concatenate([[0], np.cumsum(ln)])[:-1]
+            pos = np.repeat(off[rows] - loc_cum, ln) + np.arange(len(fx))
+            gx[pos] = fx
+            gy[pos] = fy
+            gm[pos] = fm
+        # A null offset marks that row's list as null (rows with no route).
+        if valid.all():
+            offsets = pa.array(off, pa.int64())
+        else:
+            offsets = pa.array(
+                off, pa.int64(), mask=np.concatenate([~valid, [False]])
+            )
+
+        def lst(v: np.ndarray) -> pa.Array:
+            return pa.LargeListArray.from_arrays(
+                offsets, pa.array(v, pa.float64())
+            ).cast(pa.list_(pa.float64()))
+
         return (
-            t.append_column("xs", pa.array(xs_o, lt))
-            .append_column("ys", pa.array(ys_o, lt))
-            .append_column("ms", pa.array(ms_o, lt))
+            t.append_column("xs", lst(gx))
+            .append_column("ys", lst(gy))
+            .append_column("ms", lst(gm))
         )
 
     return events.map_batches(fn, batch_format="pyarrow")

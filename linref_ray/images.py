@@ -142,11 +142,21 @@ def image_pipeline(
     num_partitions: int = 64,
     snap_concurrency: int = 4,
     check_invariants: bool = True,
+    materialize_sidecar: bool = False,
 ):
     """Full flagship pipeline; returns (per_event_counts, tile_histogram,
     snapped) datasets.
 
     ``events`` schema: event_id, route_id, beg, end (+attrs).
+
+    Streaming contract: event counts and tile counts are fused into ONE
+    partial-aggregation pass over the snapped sidecar, so the sidecar
+    streams block-by-block through the object store and peak usage stays
+    flat with corpus size. The returned ``snapped`` dataset is LAZY —
+    consuming it re-runs decode+snap; callers that need the sidecar itself
+    should use :func:`image_pipeline_checkpointed`, which persists it as
+    resumable partitioned parquet. ``materialize_sidecar=True`` restores
+    the old pin-everything behavior for small corpora.
     """
     from linref_ray.spatial import build_route_index, snap_points, tile_histogram
 
@@ -157,11 +167,8 @@ def image_pipeline(
     pts = geotag(ds, routes)
     index_ref = build_route_index(routes, res=cell_res, pad=buffer)
     snapped = snap_points(pts, index_ref, buffer=buffer)
-    # The snapped sidecar is slim (no image bytes) and feeds BOTH the event
-    # join and the tile histogram — materialize once so the expensive
-    # decode+snap stages run a single time. At extreme scale, write it to
-    # partitioned parquet instead (the lineage checkpoint does exactly that).
-    snapped = snapped.materialize()
+    if materialize_sidecar:
+        snapped = snapped.materialize()
     # Event ranges are the small side (events ≪ images): broadcast a
     # per-route interval index and probe it per batch — the snapped stream
     # never shuffles for the join. Event counts AND tile counts are partial-

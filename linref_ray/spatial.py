@@ -709,34 +709,71 @@ def clip_events(
     beg_c, end_c = lrs.beg_col, lrs.end_col
 
     def fn(t: pa.Table) -> pa.Table:
+        # Vectorized per (batch x route): piece edges come from searchsorted
+        # ranges into the route's sorted crossing measures, expanded with the
+        # repeat/arange offsets trick; midpoint interpolation and the PIP
+        # test run once per route over all pieces (no per-row Python loop).
         rids = np.asarray(t[key_c].to_pylist())
         beg = t[beg_c].to_numpy(zero_copy_only=False).astype(np.float64)
         end = t[end_c].to_numpy(zero_copy_only=False).astype(np.float64)
-        rows, out_b, out_e, keep_mask = [], [], [], []
-        for i in range(len(t)):
-            geom = lookup.get(rids[i])
+        rows_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        e_out: list[np.ndarray] = []
+        for rid in np.unique(rids):
+            geom = lookup.get(rid)
             if geom is None:
                 continue
-            cr = crossings.get(rids[i])
-            cuts = cr[(cr > beg[i]) & (cr < end[i])] if cr is not None else []
-            edges = np.concatenate([[beg[i]], cuts, [end[i]]])
-            mids = (edges[:-1] + edges[1:]) / 2
+            rows = np.flatnonzero(rids == rid)
+            rb, re = beg[rows], end[rows]
+            cr = crossings.get(rid)
+            if cr is None or len(cr) == 0:
+                lo = np.zeros(len(rows), dtype=np.int64)
+                hi = np.zeros(len(rows), dtype=np.int64)
+                cr = np.empty(0, dtype=np.float64)
+            else:
+                lo = np.searchsorted(cr, rb, side="right")
+                hi = np.searchsorted(cr, re, side="left")
+            n_cut = np.maximum(0, hi - lo)
+            n_piece = n_cut + 1
+            total = int(n_piece.sum())
+            cum = np.concatenate([[0], np.cumsum(n_piece)])[:-1]
+            local = np.arange(total) - np.repeat(cum, n_piece)  # piece index j
+            row_of = np.repeat(np.arange(len(rows)), n_piece)
+            # piece j of a row spans [edge_j, edge_{j+1}] where edges are
+            # beg, cr[lo:hi], end
+            if len(cr) == 0:
+                pb, pe = rb[row_of], re[row_of]
+            else:
+                cut_idx = np.repeat(lo, n_piece) + local
+                pb = np.where(
+                    local == 0, rb[row_of], cr[np.maximum(cut_idx - 1, 0)]
+                )
+                pe = np.where(
+                    local == np.repeat(n_cut, n_piece),
+                    re[row_of],
+                    cr[np.minimum(cut_idx, len(cr) - 1)],
+                )
+            mids = (pb + pe) / 2
             mx, my = interpolate_at_m(*geom, mids)
             inside = _point_in_polygon(mx, my, poly_x, poly_y)
             want = inside if keep == "inside" else ~inside
-            for j in np.flatnonzero(want):
-                rows.append(i)
-                out_b.append(edges[j])
-                out_e.append(edges[j + 1])
-        if not rows:
-            out = t.slice(0, 0)
-            return out
-        out = t.take(pa.array(np.asarray(rows, dtype=np.int64)))
+            rows_out.append(rows[row_of[want]])
+            b_out.append(pb[want])
+            e_out.append(pe[want])
+        if not rows_out or not sum(len(r) for r in rows_out):
+            return t.slice(0, 0)
+        rows_all = np.concatenate(rows_out)
+        b_all = np.concatenate(b_out)
+        e_all = np.concatenate(e_out)
+        # Deterministic order: original row, then piece measure.
+        srt = np.lexsort([b_all, rows_all])
+        rows_all, b_all, e_all = rows_all[srt], b_all[srt], e_all[srt]
+        out = t.take(pa.array(rows_all))
         out = out.set_column(
-            out.schema.get_field_index(beg_c), beg_c, pa.array(out_b)
+            out.schema.get_field_index(beg_c), beg_c, pa.array(b_all)
         )
         return out.set_column(
-            out.schema.get_field_index(end_c), end_c, pa.array(out_e)
+            out.schema.get_field_index(end_c), end_c, pa.array(e_all)
         )
 
     return events.map_batches(fn, batch_format="pyarrow")

@@ -245,6 +245,27 @@ class TestNodesAndClip:
         total = (inside.end - inside.beg).sum() + (outside.end - outside.beg).sum()
         assert total == pytest.approx(10.0)  # mileage conservation
 
+    def test_clip_no_crossings_and_unknown_route(self, ray_session, cross_routes):
+        # Event fully inside (no boundary crossing in its range), event fully
+        # outside, and an event on a route with no geometry (dropped).
+        ev = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1, 2],
+                    "route_id": ["A", "A", "ZZZ"],
+                    "beg": [4.0, 8.0, 0.0],
+                    "end": [6.0, 9.0, 5.0],
+                }
+            )
+        )
+        lrs = LRS(key_col=("route_id",), beg_col="beg", end_col="end")
+        square = (np.array([3.0, 7.0, 7.0, 3.0]), np.array([-1.0, -1.0, 1.0, 1.0]))
+        inside = clip_events(ev, cross_routes, square, lrs, "inside").to_pandas()
+        assert inside.event_id.tolist() == [0]
+        assert inside.beg.tolist() == [4.0] and inside.end.tolist() == [6.0]
+        outside = clip_events(ev, cross_routes, square, lrs, "outside").to_pandas()
+        assert outside.event_id.tolist() == [1]
+
 
 class TestParallelProject:
     def test_matches_nearest_parallel_line(self, ray_session):

@@ -92,6 +92,42 @@ class TestSubstring:
         assert len(c) == 2
         np.testing.assert_array_equal(c[0], c[1])
 
+    def test_many_matches_scalar_differential(self):
+        """substring_by_m_many must be bit-identical to the scalar kernel on
+        every range, including vertex-exact cuts, zero-length ranges,
+        out-of-range measures and zero-length segments."""
+        from linref_ray.kernels.geometry import substring_by_m_many
+
+        rng = np.random.Generator(np.random.PCG64(17))
+        for trial in range(20):
+            nv = int(rng.integers(2, 12))
+            xs = np.cumsum(rng.normal(size=nv))
+            ys = np.cumsum(rng.normal(size=nv))
+            if trial % 3 == 0 and nv > 3:
+                # inject a zero-length segment (duplicate vertex)
+                xs[2], ys[2] = xs[1], ys[1]
+            ms = np.cumsum(np.abs(rng.normal(size=nv)) * (trial % 4 != 1))
+            ms = ms - ms[0]
+            lo, hi = ms[0] - 1.0, ms[-1] + 1.0
+            nq = 40
+            a = rng.uniform(lo, hi, size=nq)
+            b = rng.uniform(lo, hi, size=nq)
+            m_beg, m_end = np.minimum(a, b), np.maximum(a, b)
+            # vertex-exact and degenerate cases
+            m_beg[:3] = ms[min(1, nv - 1)]
+            m_end[:2] = ms[min(1, nv - 1)]
+            m_end[2] = ms[-1]
+            ln, fx, fy, fm = substring_by_m_many(xs, ys, ms, m_beg, m_end)
+            off = np.concatenate([[0], np.cumsum(ln)])
+            for i in range(nq):
+                ox, oy, om = substring_by_m(
+                    xs, ys, ms, float(m_beg[i]), float(m_end[i])
+                )
+                s = slice(off[i], off[i + 1])
+                np.testing.assert_array_equal(fx[s], ox, err_msg=f"t{trial} q{i}")
+                np.testing.assert_array_equal(fy[s], oy)
+                np.testing.assert_array_equal(fm[s], om)
+
 
 class TestProject:
     def test_on_segment(self):
