@@ -585,6 +585,38 @@ def _q_overlay_multikey(sf_dir: str):
     return _round_cols(out, {"ovl": 6})
 
 
+def _q_overlay_chained(sf_dir: str):
+    """chain_col as a dynamic key level (reference ``ext/base.py:197-213``):
+    a declared chain column present in the data joins the grouping key, so
+    events only relate within their own (route, chain)."""
+    from linref_ray.relate import Relation
+
+    def with_chain(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "chain",
+                pc.shift_right(pc.bit_wise_and(t["event_id"], 8), 3),
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    chained = LRS(
+        key_col=("route_id",), beg_col="beg", end_col="end",
+        closed="right", chain_col="chain",
+    )
+    rel = Relation(
+        with_chain(_events_linear(sf_dir, 0)),
+        with_chain(_events_linear(sf_dir, 1)),
+        chained,
+        num_partitions=NPARTS,
+    )
+    pairs = rel.overlay(normalize=False)
+    out = pairs.select_columns(["left_id", "right_id", "weight"]).rename_columns(
+        {"weight": "ovl"}
+    )
+    return _round_cols(out, {"ovl": 6})
+
+
 def entry() -> Any:
     """Flagship: images → invariants → geotag → snap → event join → tiles.
 
@@ -649,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": _q_window_sliding,
         "window_session": _q_window_session,
         "overlay_multikey": _q_overlay_multikey,
+        "overlay_chained": _q_overlay_chained,
     }
 
 
@@ -924,6 +957,15 @@ from l left join (select tid, sum(share) as score from w group by tid) s
   on s.tid = l.event_id
 """
     oracles["overlay_salted"] = oracles["overlay_raw"]
+    oracles["overlay_chained"] = _SQL_EVENTS + """
+select l.event_id as left_id, r.event_id as right_id,
+       round(round(least(l."end", r."end") - greatest(l.beg, r.beg), 9), 6)
+         as ovl
+from l join r on l.route_id = r.route_id
+ and ((l.event_id & 8) >> 3) = ((r.event_id & 8) >> 3)
+ and l.beg < r."end" and r.beg < l."end"
+ and least(l."end", r."end") > greatest(l.beg, r.beg)
+"""
     oracles["overlay_multikey"] = _SQL_EVENTS + """
 select l.event_id as left_id, r.event_id as right_id,
        round(round(least(l."end", r."end") - greatest(l.beg, r.beg), 9), 6)

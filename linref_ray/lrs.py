@@ -55,6 +55,23 @@ class LRS:
     def is_located(self) -> bool:
         return self.loc_col is not None
 
+    def effective_key_col(self, names) -> tuple[str, ...]:
+        """Key columns including ``chain_col`` when it is declared AND
+        present in the data (reference ``ext/base.py:197-213``): chained
+        collections group disjoint route fragments per (key, chain) so each
+        chain's geometry is contiguous. A declared chain column that is
+        absent from the table is ignored, mirroring the reference's dynamic
+        inclusion.
+        """
+        cols = tuple(self.key_col)
+        if (
+            self.chain_col
+            and self.chain_col not in cols
+            and self.chain_col in set(names)
+        ):
+            cols = cols + (self.chain_col,)
+        return cols
+
     def required_cols(self) -> list[str]:
         cols = list(self.key_col)
         if self.beg_col:

@@ -46,7 +46,9 @@ def _np(tbl: pa.Table, col: str) -> np.ndarray:
 
 def _partitioned(ds: ray.data.Dataset, lrs: LRS, num_partitions: int):
     def fn(t: pa.Table) -> pa.Table:
-        return add_partition_cols(t, lrs.key_col, num_partitions)
+        return add_partition_cols(
+            t, lrs.effective_key_col(t.column_names), num_partitions
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -68,11 +70,12 @@ def dissolve(
     """
     retain = tuple(retain)
     beg_c, end_c = lrs.beg_col, lrs.end_col
-    out_cols = list(lrs.key_col) + list(retain)
 
     def kernel(tbl: pa.Table) -> pa.Table:
+        keys = lrs.effective_key_col(tbl.column_names)
+        out_cols = list(keys) + list(retain)
         if len(tbl) == 0:
-            cols = {c: tbl[c] for c in out_cols}
+            cols = {c: tbl[c] for c in out_cols if c in tbl.column_names}
             cols[beg_c] = pa.array([], pa.float64())
             cols[end_c] = pa.array([], pa.float64())
             if agg_counts:
@@ -80,7 +83,7 @@ def dissolve(
             return pa.table(cols)
         beg = _np(tbl, beg_c).astype(np.float64)
         end = _np(tbl, end_c).astype(np.float64)
-        garrs = [_np(tbl, c) for c in (*lrs.key_col, *retain)]
+        garrs = [_np(tbl, c) for c in (*keys, *retain)]
         g = group_codes(*garrs)
         order = np.lexsort([end, beg, g])
         run_id, first, ob, oe = dissolve_sorted(

@@ -105,16 +105,17 @@ def _prepare_side(
             else:
                 cols[name] = pa.nulls(n, typ)
         out = pa.table(cols)
-        for kc in lrs.key_col:
+        keys = lrs.effective_key_col(tbl.column_names)
+        for kc in keys:
             out = out.append_column(f"__k_{kc}", tbl[kc])
         out = add_partition_cols(
             out,
-            tuple(f"__k_{kc}" for kc in lrs.key_col),
+            tuple(f"__k_{kc}" for kc in keys),
             num_partitions,
             side=side,
         )
         out = out.append_column(IDCOL, pc.cast(tbl[id_col], pa.int64()))
-        out = out.drop_columns([f"__k_{kc}" for kc in lrs.key_col])
+        out = out.drop_columns([f"__k_{kc}" for kc in keys])
         if bucket_size is not None:
             begs = out["beg"].to_numpy(zero_copy_only=False)
             ends = out["end"].to_numpy(zero_copy_only=False)

@@ -483,7 +483,9 @@ def cluster_events(
     ext = extend_op(ds, lrs, max_gap / 2, max_gap / 2)
 
     def part(t: pa.Table) -> pa.Table:
-        return add_partition_cols(t, lrs.key_col, num_partitions)
+        return add_partition_cols(
+            t, lrs.effective_key_col(t.column_names), num_partitions
+        )
 
     id_col = "event_id"
 
