@@ -124,6 +124,25 @@ def _round_cols(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _int_micro_cols(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
+    """Convert float columns to integer fixed-point (x * 10^k rounded to
+    int64). Integer compare is immune to the 1-ulp divergence between
+    pyarrow's and DuckDB's float round() — used where double-rounding still
+    left last-bit mismatches. Oracle side: cast(round(x * 10^k) as bigint).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c, k in cols.items():
+            idx = t.schema.get_field_index(c)
+            v = pc.round(t[c], ndigits=9, round_mode="half_towards_infinity")
+            v = pc.multiply(v, float(10**k))
+            v = pc.round(v, ndigits=0, round_mode="half_towards_infinity")
+            t = t.set_column(idx, c, pc.cast(v, pa.int64()))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_overlay_raw(sf_dir: str):
     from linref_ray.relate import Relation
 
@@ -463,8 +482,10 @@ def _q_separate(sf_dir: str):
 
 
 def _q_distribute(sf_dir: str):
-    """Sliding-window distribute with decay — neighbor semantics are
-    row offsets (not SQL-expressible); rows-only check."""
+    """Sliding-window distribute with linear decay. Neighbor semantics are
+    positional row offsets in per-route standard order (id tiebreak), which
+    SQL expresses with row_number() + a generate_series lateral; decay
+    weights are closed-form (1 - |off|/3). Integer fixed-point output."""
     from linref_ray.relate import Relation
 
     rel = Relation(
@@ -472,7 +493,7 @@ def _q_distribute(sf_dir: str):
         num_partitions=NPARTS,
     )
     out = rel.distribute(decay_size=2, decay_func="linear", out_col="score")
-    return _round_cols(out, {"score": 6})
+    return _int_micro_cols(out, {"score": 6})
 
 
 def _q_distribute_nodecay(sf_dir: str):
@@ -954,6 +975,65 @@ from w
 )
 select l.event_id, round(round(coalesce(s.score, 0), 9), 6) as score
 from l left join (select tid, sum(share) as score from w group by tid) s
+  on s.tid = l.event_id
+"""
+    oracles["separate"] = _SQL_EVENTS + """
+, s as (
+  select event_id, route_id, beg, "end",
+         (beg + "end") / 2 as c, ("end" - beg) as len
+  from l
+), dup as (
+  select *, row_number() over (partition by route_id, beg, "end"
+                               order by event_id) > 1 as is_dup
+  from s
+), ecl as (
+  select d.*, exists (
+    select 1 from s o
+    where o.route_id = d.route_id
+      and ((o.beg <= d.beg and o."end" > d."end")
+        or (o.beg < d.beg and o."end" >= d."end"))
+  ) as is_ecl
+  from dup d
+), valid as (
+  select *, lag("end") over (partition by route_id
+                             order by c, len desc, event_id) as prev_end
+  from ecl where not (is_dup or is_ecl)
+), outv as (
+  select event_id,
+         case when prev_end is not null and prev_end > beg then prev_end
+              else beg end as nb,
+         "end" as ne
+  from valid
+)
+select e2.event_id,
+       round(round(coalesce(o.nb, e2.c), 9), 6) as beg,
+       round(round(coalesce(o.ne, e2.c), 9), 6) as "end"
+from ecl e2 left join outv o on o.event_id = e2.event_id
+"""
+    oracles["distribute"] = _SQL_EVENTS + """
+, t as (
+  select event_id as tid, route_id, beg, "end", "end" - beg as len,
+         row_number() over (partition by route_id
+                            order by beg, "end", event_id) - 1 as pos
+  from l
+), m as (  -- point-in-interval matches (closed='right')
+  select t.route_id, t.pos as mpos, p.event_id as sid
+  from t join p on t.route_id = p.route_id
+   and p.loc > t.beg and p.loc <= t."end"
+), d as (  -- spread to +-2 positional neighbors, linear decay cap=3
+  select m.route_id, m.sid, m.mpos + o.off as pos,
+         1.0 - abs(o.off) / 3.0 as scale
+  from m, lateral (select unnest(generate_series(-2, 2)) as off) o
+), dd as (  -- clip to existing rows, length-normalize weight
+  select t.tid, d.sid, d.scale * t.len as wgt
+  from d join t on t.route_id = d.route_id and t.pos = d.pos
+), n as (
+  select tid, sid, wgt / sum(wgt) over (partition by sid) as share from dd
+)
+select l.event_id,
+       cast(round(round(coalesce(s.score, 0), 9) * 1000000) as bigint)
+         as score
+from l left join (select tid, sum(share) as score from n group by tid) s
   on s.tid = l.event_id
 """
     oracles["overlay_salted"] = oracles["overlay_raw"]

@@ -139,12 +139,23 @@ def separate(
     method: str = "balanced",
     drop_short: bool = False,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    id_col: str = "event_id",
 ) -> ray.data.Dataset:
-    """Resolve overlaps within one collection (``events/modify.py:435-595``)."""
+    """Resolve overlaps within one collection (``events/modify.py:435-595``).
+
+    Ties are broken deterministically: exact duplicates keep the lowest
+    ``id_col`` (the reference keeps "first in input order", which is not
+    stable under a distributed shuffle; sorting by id inside the partition
+    pins it — and lets the SQL oracle express the same choice).
+    """
 
     def kernel(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return tbl.drop_columns([PID, KEYCOL])
+        if id_col in tbl.column_names:
+            tbl = tbl.take(
+                pa.array(np.argsort(_np(tbl, id_col), kind="stable"))
+            )
         beg = _np(tbl, lrs.beg_col).astype(np.float64)
         end = _np(tbl, lrs.end_col).astype(np.float64)
         g = group_codes(_np(tbl, KEYCOL))

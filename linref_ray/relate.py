@@ -759,7 +759,10 @@ class Relation:
                 if col is not None
                 else np.ones(len(tbl))
             )
-            order = np.lexsort([end, beg, side, key])
+            # id tiebreak pins the positional (row-offset) neighbor order for
+            # targets with identical (beg, end) — deterministic across
+            # shuffles and expressible in the SQL oracle's row_number().
+            order = np.lexsort([ids, end, beg, side, key])
             out_ids: list[np.ndarray] = []
             out_vals: list[np.ndarray] = []
             key_s = key[order]
