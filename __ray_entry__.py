@@ -511,18 +511,45 @@ def _q_distribute_nodecay(sf_dir: str):
 
 
 def _q_image_invariants(sf_dir: str):
-    """Flagship invariant stage at fixed small scale (rows-only check):
-    synthesize 2k images, verify PSNR+caption, return per-format stats."""
-    from ray.data.aggregate import Count, Min
+    """Flagship invariant stage with deterministic corruption injection
+    (oracled): 2000 synthetic images; captions are corrupted where
+    i % 100 == 7 and pixel payloads are bit-inverted where i % 100 == 57.
+    The verifier must flag EXACTLY those rows — the oracle computes the
+    expected per-(fmt, ok) counts in closed form from the same index
+    arithmetic (fmt is 'raw' when i % 3 == 0, else 'qz')."""
+    from ray.data.aggregate import Count
 
     from linref_ray import synth
     from linref_ray.images import verify_invariants
 
     images = rd.from_arrow(synth.make_images(2000))
-    out = verify_invariants(images)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        idxs = [int(s.rsplit("-", 1)[1]) for s in t["image_id"].to_pylist()]
+        caps = t["caption"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        for j, i in enumerate(idxs):
+            if i % 100 == 7:
+                caps[j] = "CORRUPTED"
+            elif i % 100 == 57:
+                b = bytearray(blobs[j])
+                for k in range(12, len(b)):  # payload only, header intact
+                    b[k] ^= 0xFF
+                blobs[j] = bytes(b)
+        t = t.set_column(
+            t.schema.get_field_index("caption"), "caption", pa.array(caps)
+        )
+        return t.set_column(
+            t.schema.get_field_index("bytes"), "bytes",
+            pa.array(blobs, pa.binary()),
+        )
+
+    out = verify_invariants(
+        images.map_batches(corrupt, batch_format="pyarrow")
+    )
     return (
-        out.groupby("fmt")
-        .aggregate(Count(alias_name="n"), Min("invariant_ok", alias_name="all_ok"))
+        out.groupby(["fmt", "invariant_ok"])
+        .aggregate(Count(alias_name="n"))
     )
 
 
@@ -976,6 +1003,15 @@ from w
 select l.event_id, round(round(coalesce(s.score, 0), 9), 6) as score
 from l left join (select tid, sum(share) as score from w group by tid) s
   on s.tid = l.event_id
+"""
+    oracles["image_invariants"] = """
+with idx as (select unnest(generate_series(0, 1999)) as i),
+c as (
+  select case when i % 3 = 0 then 'raw' else 'qz' end as fmt,
+         not (i % 100 = 7 or i % 100 = 57) as invariant_ok
+  from idx
+)
+select fmt, invariant_ok, count(*) as n from c group by 1, 2
 """
     oracles["separate"] = _SQL_EVENTS + """
 , s as (

@@ -78,6 +78,44 @@ class Events:
 
         return self._wrap(ev.select_group(self.ds, self.lrs, key))
 
+    # -- selection surface (events/selection.py:146-294) -------------------
+    def select(self, selector) -> "Events":
+        """Select by slice, boolean mask (id-sorted positional order), or
+        id array."""
+        from linref_ray import events as ev
+
+        return self._wrap(ev.select(self.ds, selector, self.id_col))
+
+    def select_index(self, ids) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.select_index(self.ds, ids, self.id_col))
+
+    def select_mask(self, mask) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.select_mask(self.ds, mask, self.id_col))
+
+    def select_slice(self, slice_: slice) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.select_slice(self.ds, slice_, self.id_col))
+
+    def drop(self, ids) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.drop(self.ds, ids, self.id_col))
+
+    def drop_group(self, key) -> "Events":
+        from linref_ray import events as ev
+
+        return self._wrap(ev.drop_group(self.ds, self.lrs, key))
+
+    def check_exact_geoms(self, **kw) -> "Events":
+        from linref_ray import geometry as gm
+
+        return self._wrap(gm.check_exact_geoms(self.ds, **kw))
+
     # -- grouped ops (modify.py) ------------------------------------------
     def dissolve(self, retain: Sequence[str] = (), **kw) -> "Events":
         from linref_ray import modify as md

@@ -131,6 +131,100 @@ def select_group(ds: ray.data.Dataset, lrs: LRS, key_value):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def drop_group(ds: ray.data.Dataset, lrs: LRS, key_value):
+    """Drop one route key's rows (``events/selection.py:271-294``)."""
+    values = key_value if isinstance(key_value, tuple) else (key_value,)
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = None
+        for c, v in zip(lrs.key_col, values):
+            m = pc.equal(t[c], v)
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(pc.invert(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _id_filter(
+    ds: ray.data.Dataset, ids, id_col: str, invert: bool = False
+) -> ray.data.Dataset:
+    """Broadcast semi-join: keep (or drop) rows whose id is in ``ids``.
+
+    The id set is shipped once via ``ray.put`` and probed per batch with a
+    vectorized ``is_in`` — the dataset itself never shuffles.
+    """
+    arr = pa.array(np.unique(np.asarray(list(ids), dtype=np.int64)))
+    ref = ray.put(arr)
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        m = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=vals)
+        if invert:
+            m = pc.invert(pc.fill_null(m, False))
+        return t.filter(m)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def select_index(ds: ray.data.Dataset, ids, id_col: str = "event_id"):
+    """Select events by id values (``events/selection.py:199-219``)."""
+    return _id_filter(ds, ids, id_col)
+
+
+def drop(ds: ray.data.Dataset, ids, id_col: str = "event_id"):
+    """Drop events by id values (``events/selection.py:257-270``)."""
+    return _id_filter(ds, ids, id_col, invert=True)
+
+
+def _sorted_ids(ds: ray.data.Dataset, id_col: str) -> np.ndarray:
+    """All ids, ascending. The positional index of a distributed collection
+    is defined over id-sorted order (the engine's stable row identity); the
+    pull is slim (one int64 column) and is inherently no larger than the
+    positional selector the caller already holds.
+    """
+    import ray as _ray
+
+    parts = _ray.get(ds.select_columns([id_col]).to_arrow_refs())
+    ids = np.concatenate(
+        [p[id_col].to_numpy(zero_copy_only=False) for p in parts]
+    ) if parts else np.empty(0, dtype=np.int64)
+    return np.sort(ids.astype(np.int64))
+
+
+def select_mask(
+    ds: ray.data.Dataset, mask, id_col: str = "event_id"
+) -> ray.data.Dataset:
+    """Select by a boolean mask aligned to id-sorted positional order
+    (``events/selection.py:183-197``)."""
+    ids = _sorted_ids(ds, id_col)
+    mask = np.asarray(mask, dtype=bool)
+    if len(mask) != len(ids):
+        raise ValueError(
+            f"mask length {len(mask)} != collection size {len(ids)}"
+        )
+    return _id_filter(ds, ids[mask], id_col)
+
+
+def select_slice(
+    ds: ray.data.Dataset, slice_: slice, id_col: str = "event_id"
+) -> ray.data.Dataset:
+    """Select by positional slice over id-sorted order
+    (``events/selection.py:167-181``)."""
+    ids = _sorted_ids(ds, id_col)
+    return _id_filter(ds, ids[slice_], id_col)
+
+
+def select(ds: ray.data.Dataset, selector, id_col: str = "event_id"):
+    """Generic selector dispatch: slice, boolean mask, or id array
+    (``events/selection.py:146-165``)."""
+    if isinstance(selector, slice):
+        return select_slice(ds, selector, id_col)
+    arr = np.asarray(selector)
+    if arr.dtype == bool:
+        return select_mask(ds, arr, id_col)
+    return select_index(ds, arr, id_col)
+
+
 def lengths(ds: ray.data.Dataset, lrs: LRS, out_col: str = "length"):
     """Derived length column (``events/base.py:125-132``)."""
 

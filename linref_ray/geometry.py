@@ -95,6 +95,52 @@ def format_geom_wkt(ds: ray.data.Dataset, out_col: str = "wkt") -> ray.data.Data
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def check_exact_geoms(
+    ds: ray.data.Dataset,
+    wkt_col: str = "wkt",
+    if_missing: bool = True,
+    out_col: str = "geoms_exact",
+) -> ray.data.Dataset:
+    """Flag rows whose plain-XY geometry matches the M-typed geometry
+    exactly (``ext/base.py:694-709``). In this engine the M geometry IS the
+    xs/ys/ms columns, so the check compares the WKT column's vertices to
+    xs/ys with zero tolerance (the reference's ``equals_exact(tolerance=0)``).
+    Rows with either representation missing get ``if_missing``.
+    """
+    plain_re = re.compile(r"^\s*LINESTRING\s*\((.*)\)\s*$", re.IGNORECASE)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        have_lists = "xs" in t.column_names and "ys" in t.column_names
+        if wkt_col not in t.column_names or not have_lists:
+            return t.append_column(
+                out_col, pa.array(np.full(n, if_missing, dtype=bool))
+            )
+        out = np.full(n, if_missing, dtype=bool)
+        xs = t["xs"].to_pylist()
+        ys = t["ys"].to_pylist()
+        for i, w in enumerate(t[wkt_col].to_pylist()):
+            if w is None or xs[i] is None:
+                continue
+            m = plain_re.match(w) or _WKT_RE.match(w)
+            if not m:
+                continue
+            pts = [
+                [float(v) for v in part.split()[:2]]
+                for part in m.group(1).split(",")
+            ]
+            arr = np.asarray(pts, dtype=np.float64)
+            gx, gy = np.asarray(xs[i]), np.asarray(ys[i])
+            out[i] = (
+                len(arr) == len(gx)
+                and np.array_equal(arr[:, 0], gx)
+                and np.array_equal(arr[:, 1], gy)
+            )
+        return t.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def build_geom_m(ds: ray.data.Dataset, beg_col="beg", end_col="end") -> ray.data.Dataset:
     """Impute vertex M linearly in chord distance over [beg, end]
     (``ext/base.py:991-1036``; math ``geometry/linestring_m.py:348-372``)."""

@@ -686,6 +686,62 @@ class Relation:
 
         return self._agg_by_target(pairs, tid, kernel)
 
+    def equal_groups(self) -> ray.data.Dataset:
+        """(left_id, right_id) pairs whose group keys are equal
+        (``events/relate.py:2088-2110``): the dense boolean matrix of the
+        reference, emitted sparse as the within-group cross product. Runs in
+        the same co-partition shuffle as the other relations; per-group size
+        is O(n·m) pairs — the same cost the reference's dense matrix pays.
+        """
+        carry_schema = self._carry_schema()
+        lp = _prepare_side(
+            self.left, self.left_lrs, 0, self.id_col, self.left_cols,
+            self.num_partitions, carry_schema, None,
+        )
+        rp = _prepare_side(
+            self.right, self.right_lrs, 1, self.right_id_col,
+            self.right_cols, self.num_partitions, carry_schema, None,
+        )
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    LEFT_ID: pa.array([], pa.int64()),
+                    RIGHT_ID: pa.array([], pa.int64()),
+                }
+            )
+            if len(tbl) == 0:
+                return empty
+            key = _np(tbl, KEYCOL)
+            side = _np(tbl, SIDE)
+            ids = _np(tbl, "__id")
+            order = np.lexsort([ids, side, key])
+            key_s, side_s = key[order], side[order]
+            out_l, out_r = [], []
+            for a, z in iter_group_segments(key_s):
+                split = a + int(np.searchsorted(side_s[a:z], 1))
+                lids = ids[order[a:split]]
+                rids = ids[order[split:z]]
+                if not len(lids) or not len(rids):
+                    continue
+                out_l.append(np.repeat(lids, len(rids)))
+                out_r.append(np.tile(rids, len(lids)))
+            if not out_l:
+                return empty
+            return pa.table(
+                {
+                    LEFT_ID: pa.array(np.concatenate(out_l)),
+                    RIGHT_ID: pa.array(np.concatenate(out_r)),
+                }
+            )
+
+        return (
+            lp.union(rp)
+            .repartition(self.num_partitions)
+            .groupby(PID)
+            .map_groups(kernel, batch_format="pyarrow")
+        )
+
     def value_counts(self, col, target="left", **kwargs):
         """Long-format (id, value, n) counts (``relate.py:969-1018``)."""
         tid, _, _ = self._tid(target)
@@ -835,6 +891,34 @@ class Relation:
             .groupby(PID)
             .map_groups(kernel, batch_format="pyarrow")
         )
+
+
+def value_counts_wide(
+    vc: ray.data.Dataset,
+    id_col: str = "event_id",
+    value_col: str | None = None,
+    count_col: str = "n",
+):
+    """Collect-time pivot of :meth:`Relation.value_counts` long output to the
+    reference's wide frame (``relate.py:969-1018``): one column per distinct
+    value, zero-filled. The long aggregate is already small (ids × distinct
+    values); the pivot is a driver-side finishing step, not a pipeline stage.
+    """
+    import pandas as pd
+
+    df = vc.to_pandas()
+    if value_col is None:
+        value_col = [c for c in df.columns if c not in (id_col, count_col)][0]
+    wide = (
+        df.pivot_table(
+            index=id_col, columns=value_col, values=count_col,
+            aggfunc="sum", fill_value=0,
+        )
+        .astype(np.int64)
+        .reset_index()
+    )
+    wide.columns.name = None
+    return wide
 
 
 def attach(

@@ -637,6 +637,67 @@ def intersection_nodes(routes: pa.Table, res: int = 8, ndigits: int = 9) -> pa.T
     )
 
 
+def generate_intersections(
+    routes: pa.Table,
+    expand: bool = True,
+    res: int = 8,
+    ndigits: int = 9,
+) -> pa.Table:
+    """Intersection nodes projected onto the LRS
+    (``ext/base.py:2972-3054``): compose :func:`intersection_nodes` with a
+    measure projection onto every participating route's M-enabled geometry.
+
+    ``expand=True`` emits one row per (node, coincident route) with that
+    route's LRS location — the reference's expand semantics; ``expand=False``
+    emits one row per node projected onto its first (sorted) route. Same-
+    route segment pairs are inherently excluded (route geometry is one
+    polyline per key here), matching ``exclude_groups=True``.
+
+    Routes are a broadcast-sized table (the small side, like the snap
+    index); nodes ≪ routes, so this finishing step is driver-local.
+    """
+    from linref_ray.kernels.geometry import project_point_to_polyline
+
+    nodes = intersection_nodes(routes, res=res, ndigits=ndigits)
+    lookup = {
+        rid: (np.asarray(x), np.asarray(y), np.asarray(m))
+        for rid, x, y, m in zip(
+            routes["route_id"].to_pylist(),
+            routes["xs"].to_pylist(),
+            routes["ys"].to_pylist(),
+            routes["ms"].to_pylist(),
+        )
+    }
+    out_nid, out_x, out_y, out_rid, out_loc, out_d = [], [], [], [], [], []
+    for nid, x, y, rids in zip(
+        nodes["node_id"].to_pylist(),
+        nodes["x"].to_pylist(),
+        nodes["y"].to_pylist(),
+        nodes["routes"].to_pylist(),
+    ):
+        for rid in rids if expand else rids[:1]:
+            geom = lookup.get(rid)
+            if geom is None:
+                continue
+            m_val, dist = project_point_to_polyline(*geom, x, y)
+            out_nid.append(nid)
+            out_x.append(x)
+            out_y.append(y)
+            out_rid.append(rid)
+            out_loc.append(m_val)
+            out_d.append(dist)
+    return pa.table(
+        {
+            "node_id": pa.array(out_nid, pa.int64()),
+            "x": pa.array(out_x, pa.float64()),
+            "y": pa.array(out_y, pa.float64()),
+            "route_id": pa.array(out_rid, pa.string()),
+            "loc": pa.array(out_loc, pa.float64()),
+            "snap_dist": pa.array(out_d, pa.float64()),
+        }
+    )
+
+
 def _polygon_crossings(xs, ys, ms, poly_x, poly_y):
     """Measures where one route polyline crosses the polygon boundary."""
     ax, ay = xs[:-1], ys[:-1]

@@ -225,6 +225,50 @@ class TestNodesAndClip:
         assert list(nodes.routes[0]) == ["A", "B"]
         assert nodes.x[0] == pytest.approx(5.0)
 
+    def test_generate_intersections_expand(self, cross_routes):
+        # Reference ext/base.py:2972-3054 + test_ext_spatial.py semantics:
+        # each node expands to one row per coincident route with the LRS
+        # measure ON that route. A runs (0,0)->(10,0) m 0..10; B runs
+        # (5,-5)->(5,5) m 0..10; they cross at (5,0): m=5 on A, m=5 on B.
+        from linref_ray.spatial import generate_intersections
+
+        out = generate_intersections(cross_routes).to_pandas()
+        assert len(out) == 2
+        got = {(r.route_id, round(r.loc, 9)) for r in out.itertuples()}
+        assert got == {("A", 5.0), ("B", 5.0)}
+        assert (out.snap_dist < 1e-9).all()
+        one = generate_intersections(cross_routes, expand=False).to_pandas()
+        assert len(one) == 1
+        assert one.route_id[0] == "A"  # first sorted coincident route
+
+    def test_generate_intersections_multi_cross(self):
+        # Ported shape of reference test_ext_spatial.py crossing fixture:
+        # route A spans x in [0,20]; B1 crosses at x=5, B2 at x=15.
+        from linref_ray.spatial import generate_intersections
+
+        routes = pa.table(
+            {
+                "route_id": ["A", "B1", "B2"],
+                "xs": pa.array(
+                    [[0.0, 20.0], [5.0, 5.0], [15.0, 15.0]],
+                    pa.list_(pa.float64()),
+                ),
+                "ys": pa.array(
+                    [[0.0, 0.0], [-5.0, 5.0], [-5.0, 5.0]],
+                    pa.list_(pa.float64()),
+                ),
+                "ms": pa.array(
+                    [[0.0, 20.0], [0.0, 10.0], [0.0, 10.0]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        out = generate_intersections(routes).to_pandas()
+        got = {(r.route_id, round(r.loc, 9)) for r in out.itertuples()}
+        assert got == {("A", 5.0), ("B1", 5.0), ("A", 15.0), ("B2", 5.0)}
+        # two nodes, each expanded to its two coincident routes
+        assert out.node_id.nunique() == 2 and len(out) == 4
+
     def test_clip_conserves_mileage(self, ray_session, cross_routes):
         ev = rd.from_pandas(
             pd.DataFrame(
