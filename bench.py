@@ -70,6 +70,23 @@ def run_bench() -> dict:
         n_images, w=img_side, h=img_side, num_blocks=max(num_cpus * 4, 16)
     )
 
+    # Untimed 1/8-scale warmup: spawns the worker pool, imports the library
+    # in every worker, and touches the allocator paths — fixed per-process
+    # costs a long-running cluster job amortizes away, which would otherwise
+    # load the scaling ratio (same absolute cost at both CPU levels).
+    wu_pe, wu_tiles, _ = image_pipeline(
+        synth.images_dataset(
+            max(n_images // 8, 2000), w=img_side, h=img_side,
+            num_blocks=max(num_cpus * 4, 16),
+        ),
+        routes,
+        events,
+        buffer=6.0,
+        cell_res=6,
+        num_partitions=max(2 * num_cpus, 8),
+    )
+    wu_tiles.count()
+
     # 1. Flagship: image corpus → invariants → geotag → snap → join → tiles.
     t0 = time.time()
     per_event, tiles, snapped = image_pipeline(
@@ -186,6 +203,14 @@ def run_scaling() -> None:
     t_lo = best[lo]["value"]
     t_hi = best[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+
+    def median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    med_lo = median([r["value"] for r in results[lo]])
+    med_hi = median([r["value"] for r in results[hi]])
     print(
         json.dumps(
             {
@@ -194,6 +219,9 @@ def run_scaling() -> None:
                 f"sec_{hi}": t_hi,
                 "speedup": round(t_lo / t_hi, 3),
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_median": round(
+                    (med_lo / med_hi) / (hi / lo), 3
+                ),
                 f"queries_{lo}": best[lo]["queries"],
                 f"queries_{hi}": best[hi]["queries"],
                 "all_runs": {

@@ -113,6 +113,15 @@ def verify_invariants(
     )
 
 
+def _geotag_table(t: pa.Table, routes: pa.Table, jitter: float = 2.0) -> pa.Table:
+    ids = np.asarray(t["image_id"].to_pylist())
+    px, py = geocode_for(ids, routes, jitter=jitter)
+    keep = [c for c in t.column_names if c != "bytes"]
+    out = t.select(keep)
+    out = out.append_column("x", pa.array(px))
+    return out.append_column("y", pa.array(py))
+
+
 def geotag(
     images: ray.data.Dataset, routes: pa.Table, jitter: float = 2.0
 ) -> ray.data.Dataset:
@@ -123,12 +132,7 @@ def geotag(
     """
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["image_id"].to_pylist())
-        px, py = geocode_for(ids, routes, jitter=jitter)
-        keep = [c for c in t.column_names if c != "bytes"]
-        out = t.select(keep)
-        out = out.append_column("x", pa.array(px))
-        return out.append_column("y", pa.array(py))
+        return _geotag_table(t, routes, jitter=jitter)
 
     return images.map_batches(fn, batch_format="pyarrow")
 
@@ -229,11 +233,44 @@ def image_pipeline(
 
     from ray.data.aggregate import Sum
 
-    combined = (
-        snapped.map_batches(
+    if materialize_sidecar:
+        partial_rows = snapped.map_batches(
             combined_partials, batch_format="pyarrow", batch_size=16384
         )
-        .repartition(8)
+    else:
+        # Manual fusion: ONE map operator from raw images to slim partial
+        # rows. Left to the plan optimizer, the seven-map chain can split at
+        # a boundary where bytes-bearing blocks still queue between
+        # operators; object-store backpressure on those wide blocks then
+        # throttles the verify stage (measured: 2x flagship slowdown at 8
+        # CPUs from exactly that split). Fusing by hand guarantees the wide
+        # column never crosses an operator boundary.
+        from linref_ray.spatial import SnapPoints
+
+        verify = VerifyInvariants(psnr_min=40.0) if check_invariants else None
+        snapper = SnapPoints(
+            index_ref=index_ref, buffer=buffer, x_col="x", y_col="y",
+            keep_unmatched=False,
+        )
+
+        def fused(batch: pa.Table) -> pa.Table:
+            t = batch
+            if verify is not None:
+                t = verify(t)
+                t = t.filter(t["invariant_ok"])
+            t = _geotag_table(t, routes)
+            t = snapper(t)
+            return combined_partials(t)
+
+        partial_rows = images.map_batches(
+            fused, batch_format="pyarrow", batch_size=8192
+        )
+
+    # No repartition before this groupby: the fused map emits one slim
+    # partial block per task (tens of blocks), so the coalesce would cost a
+    # full extra exchange of the same rows it feeds to the sort shuffle.
+    combined = (
+        partial_rows
         .groupby(["kind", "ka", "kb"])
         .aggregate(Sum("__n", alias_name="n"))
         .materialize()  # tiny (events + occupied tiles rows)
