@@ -137,6 +137,48 @@ def geotag(
     return images.map_batches(fn, batch_format="pyarrow")
 
 
+def fused_sidecar_stage(
+    routes: pa.Table,
+    index_ref,
+    buffer: float = 5.0,
+    check_invariants: bool = True,
+    cell_res: int | None = None,
+    psnr_min: float = 40.0,
+):
+    """Per-batch callable composing verify → filter → geotag → snap
+    (→ cell assignment): the manually-fused image stage. One map operator
+    means the wide ``bytes`` column never crosses an operator boundary —
+    Ray's plan optimizer can otherwise split a long map chain at a point
+    where bytes-bearing blocks queue and backpressure throttles the
+    pipeline (measured 2x slowdown; see BASELINE.md round-2 notes)."""
+    from linref_ray.kernels.cells import cell_of_points, cell_size
+    from linref_ray.spatial import SnapPoints
+
+    verify = VerifyInvariants(psnr_min=psnr_min) if check_invariants else None
+    snapper = SnapPoints(
+        index_ref=index_ref, buffer=buffer, x_col="x", y_col="y",
+        keep_unmatched=False,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch
+        if verify is not None:
+            t = verify(t)
+            t = t.filter(t["invariant_ok"])
+        t = _geotag_table(t, routes)
+        t = snapper(t)
+        if cell_res is not None:
+            x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+            y = t["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = cell_size(cell_res)
+            t = t.append_column("cell", pa.array(cell_of_points(x, y, cell_res)))
+            t = t.append_column("ix", pa.array(np.floor(x / g).astype(np.int64)))
+            t = t.append_column("iy", pa.array(np.floor(y / g).astype(np.int64)))
+        return t
+
+    return fn
+
+
 def image_pipeline(
     images: ray.data.Dataset,
     routes: pa.Table,
@@ -245,22 +287,13 @@ def image_pipeline(
         # throttles the verify stage (measured: 2x flagship slowdown at 8
         # CPUs from exactly that split). Fusing by hand guarantees the wide
         # column never crosses an operator boundary.
-        from linref_ray.spatial import SnapPoints
-
-        verify = VerifyInvariants(psnr_min=40.0) if check_invariants else None
-        snapper = SnapPoints(
-            index_ref=index_ref, buffer=buffer, x_col="x", y_col="y",
-            keep_unmatched=False,
+        sidecar_fn = fused_sidecar_stage(
+            routes, index_ref, buffer=buffer,
+            check_invariants=check_invariants,
         )
 
         def fused(batch: pa.Table) -> pa.Table:
-            t = batch
-            if verify is not None:
-                t = verify(t)
-                t = t.filter(t["invariant_ok"])
-            t = _geotag_table(t, routes)
-            t = snapper(t)
-            return combined_partials(t)
+            return combined_partials(sidecar_fn(batch))
 
         partial_rows = images.map_batches(
             fused, batch_format="pyarrow", batch_size=8192
@@ -313,20 +346,20 @@ def image_pipeline_checkpointed(
         EventRangeIndex,
         broadcast_event_join_counts,
         build_route_index,
-        snap_points,
         tile_histogram,
     )
 
-    ds = images
-    if check_invariants:
-        ds = verify_invariants(ds)
-        ds = ds.filter(expr="invariant_ok == True")
-    pts = geotag(ds, routes)
     index_ref = build_route_index(routes, res=cell_res, pad=buffer)
-    snapped = snap_points(pts, index_ref, buffer=buffer)
-    from linref_ray.spatial import assign_cells
-
-    snapped = assign_cells(snapped, cell_res, grid_cols=True)
+    # One fused map from raw images to the slim cell-tagged sidecar — same
+    # manual fusion as image_pipeline (bytes never cross an operator
+    # boundary), feeding the partitioned checkpoint writer.
+    sidecar_fn = fused_sidecar_stage(
+        routes, index_ref, buffer=buffer,
+        check_invariants=check_invariants, cell_res=cell_res,
+    )
+    snapped = images.map_batches(
+        sidecar_fn, batch_format="pyarrow", batch_size=8192
+    )
     summary = write_resumable(
         snapped, out_dir, ("route_id",), num_partitions=num_partitions,
         cell_col="cell",
