@@ -471,6 +471,25 @@ def _q_embedding_neardup(sf_dir: str):
     return _round_cols(out, {"cosine": 6})
 
 
+def _q_embedding_neardup_exact(sf_dir: str):
+    """Exact cosine near-dup pairs: lsh_planes=0 collapses the hyperplane
+    bucketing to a single bucket, so the tiled within-bucket verifier runs
+    exact all-pairs — SQL-oracled against DuckDB's list_cosine_similarity
+    cross join. (The LSH query above keeps its honest recall<1 rows-only
+    check.) Integer fixed-point output (float32 storage → both engines
+    compute in double, but last-bit round differs)."""
+    from linref_ray.similarity import embedding_near_duplicates
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = embedding_near_duplicates(
+        emb, threshold=0.4, lsh_planes=0, num_partitions=NPARTS,
+        max_bucket=1_000_000,  # stay exact (no chain degradation) at any sf
+    )
+    return _int_micro_cols(out, {"cosine": 6})
+
+
 def _q_separate(sf_dir: str):
     from linref_ray import modify as md
 
@@ -719,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         "separate": _q_separate,
         "distribute": _q_distribute,
         "distribute_nodecay": _q_distribute_nodecay,
@@ -1012,6 +1032,16 @@ c as (
   from idx
 )
 select fmt, invariant_ok, count(*) as n from c group by 1, 2
+"""
+    oracles["embedding_neardup_exact"] = """
+select a.vec_id as id_a, b.vec_id as id_b,
+       cast(round(round(list_cosine_similarity(
+                    cast(a.embedding as double[]),
+                    cast(b.embedding as double[])), 9)
+                  * 1000000) as bigint) as cosine
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where list_cosine_similarity(cast(a.embedding as double[]),
+                             cast(b.embedding as double[])) >= 0.4
 """
     oracles["separate"] = _SQL_EVENTS + """
 , s as (

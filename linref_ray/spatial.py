@@ -637,6 +637,128 @@ def intersection_nodes(routes: pa.Table, res: int = 8, ndigits: int = 9) -> pa.T
     )
 
 
+def _polyline_crossings(xs, ys, ms, line_x, line_y):
+    """Measures where one route polyline crosses an OPEN polyline mask
+    (same segment×segment solve as :func:`_polygon_crossings`, without the
+    ring-closing wrap edge)."""
+    if len(line_x) < 2:
+        return np.empty(0, dtype=np.float64)
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    ex0, ey0 = line_x[:-1], line_y[:-1]
+    ex1, ey1 = line_x[1:], line_y[1:]
+    rx = (bx - ax)[:, None]
+    ry = (by - ay)[:, None]
+    sx = (ex1 - ex0)[None, :]
+    sy = (ey1 - ey0)[None, :]
+    denom = rx * sy - ry * sx
+    qpx = ex0[None, :] - ax[:, None]
+    qpy = ey0[None, :] - ay[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qpx * sy - qpy * sx) / denom
+        u = (qpx * ry - qpy * rx) / denom
+    hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    si, _ = np.nonzero(hit)
+    tt = t[hit]
+    return ms[:-1][si] + tt * (ms[1:][si] - ms[:-1][si])
+
+
+def split_events(
+    events: ray.data.Dataset,
+    routes: pa.Table,
+    masks,
+    lrs,
+) -> ray.data.Dataset:
+    """Split events at arbitrary geometry-mask crossings
+    (``ext/base.py:2090-2213``): polygon masks split at their boundary
+    rings, polyline masks at intersection points; ALL pieces are kept (use
+    :func:`clip_events` for polygon keep-inside/outside filtering).
+
+    ``masks``: iterable of ``("polygon"|"line", xs, ys)`` tuples — the
+    shapely-free analog of the reference's Geometry/GeoSeries mask.
+    Routes + masks are broadcast in the task closure; the event stream
+    never shuffles. Same vectorized per-route expansion as clip_events.
+    """
+    lookup = {
+        rid: (np.asarray(x), np.asarray(y), np.asarray(m))
+        for rid, x, y, m in zip(
+            routes["route_id"].to_pylist(),
+            routes["xs"].to_pylist(),
+            routes["ys"].to_pylist(),
+            routes["ms"].to_pylist(),
+        )
+    }
+    masks = list(masks)
+    if not masks:
+        raise ValueError("No valid geometries found in mask.")
+    crossings: dict = {}
+    for rid, (x, y, m) in lookup.items():
+        cuts = []
+        for kind, gx, gy in masks:
+            gx = np.asarray(gx, dtype=np.float64)
+            gy = np.asarray(gy, dtype=np.float64)
+            if kind == "polygon":
+                cuts.append(_polygon_crossings(x, y, m, gx, gy))
+            elif kind == "line":
+                cuts.append(_polyline_crossings(x, y, m, gx, gy))
+            else:
+                raise ValueError(f"unknown mask kind {kind!r}")
+        crossings[rid] = np.unique(np.concatenate(cuts)) if cuts else None
+    key_c = lrs.key_col[0]
+    beg_c, end_c = lrs.beg_col, lrs.end_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        rids = np.asarray(t[key_c].to_pylist())
+        beg = t[beg_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        end = t[end_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows_out, b_out, e_out = [], [], []
+        for rid in np.unique(rids):
+            rows = np.flatnonzero(rids == rid)
+            rb, re = beg[rows], end[rows]
+            cr = crossings.get(rid)
+            if cr is None or len(cr) == 0:
+                rows_out.append(rows)
+                b_out.append(rb)
+                e_out.append(re)
+                continue
+            lo = np.searchsorted(cr, rb, side="right")
+            hi = np.searchsorted(cr, re, side="left")
+            n_cut = np.maximum(0, hi - lo)
+            n_piece = n_cut + 1
+            total = int(n_piece.sum())
+            cum = np.concatenate([[0], np.cumsum(n_piece)])[:-1]
+            local = np.arange(total) - np.repeat(cum, n_piece)
+            row_of = np.repeat(np.arange(len(rows)), n_piece)
+            cut_idx = np.repeat(lo, n_piece) + local
+            pb = np.where(
+                local == 0, rb[row_of], cr[np.maximum(cut_idx - 1, 0)]
+            )
+            pe = np.where(
+                local == np.repeat(n_cut, n_piece),
+                re[row_of],
+                cr[np.minimum(cut_idx, len(cr) - 1)],
+            )
+            rows_out.append(rows[row_of])
+            b_out.append(pb)
+            e_out.append(pe)
+        if not rows_out:
+            return t.slice(0, 0)
+        rows_all = np.concatenate(rows_out)
+        b_all = np.concatenate(b_out)
+        e_all = np.concatenate(e_out)
+        srt = np.lexsort([b_all, rows_all])
+        rows_all, b_all, e_all = rows_all[srt], b_all[srt], e_all[srt]
+        out = t.take(pa.array(rows_all))
+        out = out.set_column(
+            out.schema.get_field_index(beg_c), beg_c, pa.array(b_all)
+        )
+        return out.set_column(
+            out.schema.get_field_index(end_c), end_c, pa.array(e_all)
+        )
+
+    return events.map_batches(fn, batch_format="pyarrow")
+
+
 def generate_intersections(
     routes: pa.Table,
     expand: bool = True,

@@ -241,6 +241,52 @@ class TestNodesAndClip:
         assert len(one) == 1
         assert one.route_id[0] == "A"  # first sorted coincident route
 
+    def test_split_events_polygon_and_line_masks(self, ray_session, cross_routes):
+        # Reference ext/base.py:2090-2213: polygon masks split at their
+        # boundary, line masks at crossing points, ALL pieces kept.
+        from linref_ray.spatial import split_events
+
+        ev = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [0, 1],
+                    "route_id": ["A", "A"],
+                    "beg": [0.0, 8.5],
+                    "end": [8.0, 10.0],
+                }
+            )
+        )
+        lrs = LRS(key_col=("route_id",), beg_col="beg", end_col="end")
+        square = ("polygon", np.array([3.0, 7.0, 7.0, 3.0]),
+                  np.array([-1.0, -1.0, 1.0, 1.0]))
+        vline = ("line", np.array([5.5, 5.5]), np.array([-9.0, 9.0]))
+        out = (
+            split_events(ev, cross_routes, [square, vline], lrs)
+            .to_pandas()
+            .sort_values(["event_id", "beg"])
+            .reset_index(drop=True)
+        )
+        # Event 0 [0,8] splits at 3, 5.5, 7 → 4 pieces; event 1 [8.5,10]
+        # has no crossings → unchanged single piece.
+        e0 = out[out.event_id == 0]
+        assert e0.beg.tolist() == [0.0, 3.0, 5.5, 7.0]
+        assert e0.end.tolist() == [3.0, 5.5, 7.0, 8.0]
+        e1 = out[out.event_id == 1]
+        assert e1.beg.tolist() == [8.5] and e1.end.tolist() == [10.0]
+        # total mileage conserved
+        assert (out.end - out.beg).sum() == pytest.approx(9.5)
+
+    def test_split_events_empty_mask_raises(self, ray_session, cross_routes):
+        from linref_ray.spatial import split_events
+
+        ev = rd.from_pandas(
+            pd.DataFrame({"event_id": [0], "route_id": ["A"],
+                          "beg": [0.0], "end": [1.0]})
+        )
+        lrs = LRS(key_col=("route_id",), beg_col="beg", end_col="end")
+        with pytest.raises(ValueError, match="No valid geometries"):
+            split_events(ev, cross_routes, [], lrs)
+
     def test_generate_intersections_multi_cross(self):
         # Ported shape of reference test_ext_spatial.py crossing fixture:
         # route A spans x in [0,20]; B1 crosses at x=5, B2 at x=15.
