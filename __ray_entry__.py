@@ -164,7 +164,7 @@ def _q_overlay_norm_sum(sf_dir: str):
         _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
         right_cols=["value"], num_partitions=NPARTS,
     )
-    return _round_cols(rel.sum("value", target="left", out_col="wsum"), {"wsum": 6})
+    return _int_micro_cols(rel.sum("value", target="left", out_col="wsum"), {"wsum": 6})
 
 
 def _q_overlay_mean(sf_dir: str):
@@ -174,7 +174,7 @@ def _q_overlay_mean(sf_dir: str):
         _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
         right_cols=["value"], num_partitions=NPARTS,
     )
-    return _round_cols(rel.mean("value", target="left", out_col="wmean"), {"wmean": 6})
+    return _int_micro_cols(rel.mean("value", target="left", out_col="wmean"), {"wmean": 6})
 
 
 def _q_overlay_conserve(sf_dir: str):
@@ -413,7 +413,7 @@ def _q_project(sf_dir: str):
     pts = ds.map_batches(fn, batch_format="pyarrow")
     ref = build_route_index(_straight_routes(), res=4, pad=600.0)
     out = snap_points(pts, ref, buffer=600.0, x_col="x", y_col="y")
-    return _round_cols(
+    return _int_micro_cols(
         out.select_columns(["event_id", "route_id", "loc", "snap_dist"]),
         {"loc": 6, "snap_dist": 6},
     )
@@ -437,7 +437,7 @@ def _q_overlay_profile(sf_dir: str):
         .aggregate(Sum("weight", alias_name="psum"))
         .rename_columns({"left_id": "event_id"})
     )
-    return _round_cols(out, {"psum": 6})
+    return _int_micro_cols(out, {"psum": 6})
 
 
 def _q_quality(sf_dir: str):
@@ -613,7 +613,7 @@ def _q_window_tumbling(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     out = tumbling_window(ds, "user_id", "ts", "value", 3600, NPARTS)
-    return _round_cols(out, {"total": 6})
+    return _int_micro_cols(out, {"total": 6})
 
 
 def _q_window_sliding(sf_dir: str):
@@ -623,7 +623,7 @@ def _q_window_sliding(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     out = sliding_window(ds, "user_id", "ts", "value", 3600, 900, NPARTS)
-    return _round_cols(out, {"total": 6})
+    return _int_micro_cols(out, {"total": 6})
 
 
 def _q_window_session(sf_dir: str):
@@ -763,20 +763,20 @@ from l join r on l.route_id = r.route_id
  and least(l."end", r."end") > greatest(l.beg, r.beg)
 """,
         "overlay_norm_sum": _SQL_EVENTS + """
-select l.event_id, round(round(sum(
+select l.event_id, cast(round(round(sum(
   (least(l."end", r."end") - greatest(l.beg, r.beg))
-  / (r."end" - r.beg) * r.value), 9), 6) as wsum
+  / (r."end" - r.beg) * r.value), 9) * 1000000) as bigint) as wsum
 from l join r on l.route_id = r.route_id
  and l.beg < r."end" and r.beg < l."end"
  and least(l."end", r."end") > greatest(l.beg, r.beg)
 group by l.event_id
 """,
         "overlay_mean": _SQL_EVENTS + """
-select l.event_id, round(round(sum(
+select l.event_id, cast(round(round(sum(
   (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)
   * r.value) / sum(
-  (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)), 9), 6)
-  as wmean
+  (least(l."end", r."end") - greatest(l.beg, r.beg)) / (r."end" - r.beg)), 9)
+  * 1000000) as bigint) as wmean
 from l join r on l.route_id = r.route_id
  and l.beg < r."end" and r.beg < l."end"
  and least(l."end", r."end") > greatest(l.beg, r.beg)
@@ -954,7 +954,9 @@ with pts as (
                         + (p.x - r.x0) ^ 2) end as dist
   from pts p cross join routes r
 )
-select event_id, route_id, round(round(loc, 9), 6) as loc, round(round(dist, 9), 6) as snap_dist
+select event_id, route_id,
+       cast(round(round(loc, 9) * 1000000) as bigint) as loc,
+       cast(round(round(dist, 9) * 1000000) as bigint) as snap_dist
 from (select proj.*, row_number() over (
         partition by event_id order by dist, ridx) as rk from proj)
 where rk = 1 and dist <= 600.0
@@ -975,7 +977,8 @@ where rk = 1 and dist <= 600.0
                  else -2 * a * a + 4 * a - 1 end) as wt
   from w
 )
-select event_id, round(round(sum(wt), 9), 6) as psum from f group by event_id
+select event_id, cast(round(round(sum(wt), 9) * 1000000) as bigint) as psum
+from f group by event_id
 """,
         "constrain_to": _SQL_EVENTS + """
 select l.event_id, l.route_id as route_key,
@@ -1122,13 +1125,15 @@ from l join r on l.route_id = r.route_id and l.event_type = r.event_type
 """
     oracles["window_tumbling"] = """
 select user_id, cast(floor(epoch(ts) / 3600) as bigint) as window,
-       count(*) as n, round(round(sum(value), 9), 6) as total
+       count(*) as n,
+       cast(round(round(sum(value), 9) * 1000000) as bigint) as total
 from events group by 1, 2
 """
     oracles["window_sliding"] = """
 select user_id,
        cast(floor(epoch(ts) / 900) as bigint) - g.o as window,
-       count(*) as n, round(round(sum(value), 9), 6) as total
+       count(*) as n,
+       cast(round(round(sum(value), 9) * 1000000) as bigint) as total
 from events, lateral (select unnest(generate_series(0, 3)) as o) g
 group by 1, 2
 """
