@@ -652,6 +652,28 @@ def _q_overlay_multikey(sf_dir: str):
     return _round_cols(out, {"ovl": 6})
 
 
+def _q_equal_groups(sf_dir: str):
+    """Standalone group-equality relation (``events/relate.py:2088-2110``):
+    every (left, right) pair sharing a route key, measures ignored. To keep
+    the pair count bounded for the gate, both sides are subsampled to
+    event_id % 16 == parity."""
+    from linref_ray.relate import Relation
+
+    def sub(ds, parity):
+        return ds.map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.bit_wise_and(t["event_id"], 15), parity)
+            ),
+            batch_format="pyarrow",
+        )
+
+    rel = Relation(
+        sub(_events_linear(sf_dir), 0), sub(_events_linear(sf_dir), 1), LIN,
+        num_partitions=NPARTS,
+    )
+    return rel.equal_groups()
+
+
 def _q_overlay_chained(sf_dir: str):
     """chain_col as a dynamic key level (reference ``ext/base.py:197-213``):
     a declared chain column present in the data joins the grouping key, so
@@ -750,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_session": _q_window_session,
         "overlay_multikey": _q_overlay_multikey,
         "overlay_chained": _q_overlay_chained,
+        "equal_groups": _q_equal_groups,
     }
 
 
@@ -1106,6 +1129,12 @@ from l left join (select tid, sum(share) as score from n group by tid) s
   on s.tid = l.event_id
 """
     oracles["overlay_salted"] = oracles["overlay_raw"]
+    oracles["equal_groups"] = _SQL_EVENTS + """
+select l2.event_id as left_id, r2.event_id as right_id
+from (select * from e where event_id % 16 = 0) l2
+join (select * from e where event_id % 16 = 1) r2
+  on l2.route_id = r2.route_id
+"""
     oracles["overlay_chained"] = _SQL_EVENTS + """
 select l.event_id as left_id, r.event_id as right_id,
        round(round(least(l."end", r."end") - greatest(l.beg, r.beg), 9), 6)

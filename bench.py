@@ -121,30 +121,21 @@ def run_bench() -> dict:
             "extra": {"snapped": n_snap, "tiles": n_tiles},
         }
 
-    # 2. Events overlay + weighted aggregate over the driver events table.
-    t0 = time.time()
-    out = entry_mod._q_overlay_norm_sum(sf_dir)
-    n = out.count()
-    timings["overlay_sum"] = time.time() - t0
-    rows["overlay_sum"] = n
-
-    # 3. Point-in-interval intersect count.
-    t0 = time.time()
-    n = entry_mod._q_intersect_count(sf_dir).count()
-    timings["intersect_count"] = time.time() - t0
-    rows["intersect_count"] = n
-
-    # 4. Dissolve over the full events derivation.
-    t0 = time.time()
-    n = entry_mod._q_dissolve(sf_dir).count()
-    timings["dissolve"] = time.time() - t0
-    rows["dissolve"] = n
-
-    # 5. TPC-H-style pricing aggregate over lineitem.
-    t0 = time.time()
-    n = entry_mod._q_tpch_pricing(sf_dir).count()
-    timings["tpch_pricing"] = time.time() - t0
-    rows["tpch_pricing"] = n
+    # 2-5: operator queries, each warmed at sf0.001 first (compiles the code
+    # path, touches the parquet reader and shuffle machinery) so the timed
+    # run measures the sf-level work, not first-use costs.
+    wu_dir = "/root/testdata/sf0.001"
+    for key, fn in (
+        ("overlay_sum", entry_mod._q_overlay_norm_sum),
+        ("intersect_count", entry_mod._q_intersect_count),
+        ("dissolve", entry_mod._q_dissolve),
+        ("tpch_pricing", entry_mod._q_tpch_pricing),
+    ):
+        if os.path.isdir(wu_dir):
+            fn(wu_dir).count()
+        t0 = time.time()
+        rows[key] = fn(sf_dir).count()
+        timings[key] = time.time() - t0
 
     ray.shutdown()
 
