@@ -138,3 +138,88 @@ class TestModifyProperties:
             # ``modify.py:545-548`` behavior, reproduced).
             assert (nb >= begs - 1e-9).all()
             assert (ne <= ends + 1e-9).all()
+
+
+class TestSegmentedCummax:
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=60
+        ),
+        st.integers(1, 8),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_matches_naive_loop(self, values, n_segments):
+        from linref_ray.kernels.intervals import segmented_cummax
+
+        x = np.asarray(values)
+        rng = np.random.Generator(np.random.PCG64(n_segments))
+        new_seg = np.zeros(len(x), dtype=bool)
+        new_seg[0] = True
+        extra = rng.choice(
+            len(x), size=min(n_segments, len(x)), replace=False
+        )
+        new_seg[extra] = True
+        expected = np.empty_like(x)
+        run = -np.inf
+        for i in range(len(x)):
+            run = x[i] if new_seg[i] else max(run, x[i])
+            expected[i] = run
+        got = segmented_cummax(x, new_seg)
+        np.testing.assert_array_equal(got, expected)
+
+
+class TestSplitMaskProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(0, 90, allow_nan=False),
+                st.floats(0.1, 10, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+        st.lists(st.floats(1, 99, allow_nan=False), min_size=1, max_size=6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_split_conserves_mileage(self, ray_session, ev_pairs, cut_xs):
+        """split_events keeps every piece: total mileage and per-event
+        coverage are conserved for any set of vertical line masks."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray.lrs import LRS
+        from linref_ray.spatial import split_events
+
+        routes = pa.table(
+            {
+                "route_id": ["A"],
+                "xs": pa.array([[0.0, 100.0]], pa.list_(pa.float64())),
+                "ys": pa.array([[0.0, 0.0]], pa.list_(pa.float64())),
+                "ms": pa.array([[0.0, 100.0]], pa.list_(pa.float64())),
+            }
+        )
+        ev = pd.DataFrame(
+            {
+                "event_id": range(len(ev_pairs)),
+                "route_id": "A",
+                "beg": [b for b, _ in ev_pairs],
+                "end": [min(b + l, 100.0) for b, l in ev_pairs],
+            }
+        )
+        masks = [
+            ("line", np.array([cx, cx]), np.array([-1.0, 1.0]))
+            for cx in cut_xs
+        ]
+        out = split_events(
+            rd.from_pandas(ev), routes, masks,
+            LRS(key_col=("route_id",), beg_col="beg", end_col="end"),
+        ).to_pandas()
+        got = out.groupby("event_id").apply(
+            lambda g: (g.end - g.beg).sum(), include_groups=False
+        )
+        for eid, b, e in zip(ev.event_id, ev.beg, ev.end):
+            assert abs(got.get(eid, 0.0) - (e - b)) < 1e-9
+        # pieces within each event are contiguous and ordered
+        for eid, g in out.groupby("event_id"):
+            assert (g.beg.values[1:] == g.end.values[:-1]).all()
