@@ -59,14 +59,19 @@ class _MinhashStage:
     """Actor stage: per-doc shingling + minhash + band keys (params built
     once per actor)."""
 
-    def __init__(self, num_perm: int, bands: int, shingle_k: int):
+    def __init__(
+        self, num_perm: int, bands: int, shingle_k: int,
+        id_col: str = "doc_id", text_col: str = "text",
+    ):
         self.a, self.b = minhash_params(num_perm)
         self.bands = bands
         self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        texts = t[self.text_col].to_pylist()
         n = len(ids)
         bands = self.bands
         out_id = np.repeat(ids, bands)
@@ -143,7 +148,8 @@ def minhash_near_duplicates(
     sig_rows = docs.map_batches(
         _MinhashStage,
         fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, shingle_k=shingle_k
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            id_col=id_col, text_col=text_col,
         ),
         batch_format="pyarrow",
         batch_size=1024,
@@ -152,7 +158,7 @@ def minhash_near_duplicates(
     )
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
-        ids = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))
+        ids = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))  # stage output column
         if len(ids) < 2:
             return pa.table(
                 {

@@ -188,7 +188,16 @@ def _sorted_ids(ds: ray.data.Dataset, id_col: str) -> np.ndarray:
     ids = np.concatenate(
         [p[id_col].to_numpy(zero_copy_only=False) for p in parts]
     ) if parts else np.empty(0, dtype=np.int64)
-    return np.sort(ids.astype(np.int64))
+    ids = np.sort(ids.astype(np.int64))
+    if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+        # Positional selection resolves to an id-set filter, which cannot
+        # distinguish rows sharing an id — fail loudly instead of silently
+        # selecting every duplicate.
+        raise ValueError(
+            f"positional selection requires unique {id_col!r} values; "
+            "duplicates present"
+        )
+    return ids
 
 
 def select_mask(

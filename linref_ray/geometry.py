@@ -121,18 +121,26 @@ def check_exact_geoms(
         ys = t["ys"].to_pylist()
         for i, w in enumerate(t[wkt_col].to_pylist()):
             if w is None or xs[i] is None:
-                continue
+                continue  # either representation missing → if_missing
             m = plain_re.match(w) or _WKT_RE.match(w)
             if not m:
+                # present but not a LINESTRING (or junk): demonstrably NOT
+                # an exact match (the reference's equals_exact is False).
+                out[i] = False
                 continue
-            pts = [
-                [float(v) for v in part.split()[:2]]
-                for part in m.group(1).split(",")
-            ]
-            arr = np.asarray(pts, dtype=np.float64)
+            try:
+                pts = [
+                    [float(v) for v in part.split()[:2]]
+                    for part in m.group(1).split(",")
+                ]
+                arr = np.asarray(pts, dtype=np.float64)
+            except (ValueError, IndexError):
+                out[i] = False  # malformed vertex text ≠ exact match
+                continue
             gx, gy = np.asarray(xs[i]), np.asarray(ys[i])
             out[i] = (
-                len(arr) == len(gx)
+                arr.ndim == 2
+                and len(arr) == len(gx)
                 and np.array_equal(arr[:, 0], gx)
                 and np.array_equal(arr[:, 1], gy)
             )

@@ -80,6 +80,34 @@ def segmented_cummax(values: np.ndarray, new_seg: np.ndarray) -> np.ndarray:
     return out
 
 
+def expand_pieces(
+    rb: np.ndarray, re: np.ndarray, cr: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split each [rb_i, re_i] interval at the sorted cut measures ``cr``
+    strictly inside it. Returns ``(row_of, piece_beg, piece_end)`` flat
+    arrays (the offsets-trick expansion shared by clip/split)."""
+    if len(cr) == 0:
+        n = len(rb)
+        return np.arange(n, dtype=np.int64), rb.copy(), re.copy()
+    lo = np.searchsorted(cr, rb, side="right")
+    hi = np.searchsorted(cr, re, side="left")
+    n_cut = np.maximum(0, hi - lo)
+    n_piece = n_cut + 1
+    total = int(n_piece.sum())
+    cum = np.concatenate([[0], np.cumsum(n_piece)])[:-1]
+    local = np.arange(total) - np.repeat(cum, n_piece)  # piece index j
+    row_of = np.repeat(np.arange(len(rb), dtype=np.int64), n_piece)
+    # piece j spans [edge_j, edge_{j+1}] where edges are rb, cr[lo:hi], re
+    cut_idx = np.repeat(lo, n_piece) + local
+    pb = np.where(local == 0, rb[row_of], cr[np.maximum(cut_idx - 1, 0)])
+    pe = np.where(
+        local == np.repeat(n_cut, n_piece),
+        re[row_of],
+        cr[np.minimum(cut_idx, len(cr) - 1)],
+    )
+    return row_of, pb, pe
+
+
 def group_codes(*arrays: np.ndarray) -> np.ndarray:
     """Integer codes for (possibly multi-column) group keys.
 

@@ -389,6 +389,13 @@ def constrain_to(
     from linref_ray.relate import _prepare_side
 
     other_lrs = other_lrs or lrs
+    lk = lrs.effective_key_col(ds.schema().names)
+    rk = other_lrs.effective_key_col(other.schema().names)
+    if len(lk) != len(rk):
+        raise ValueError(
+            f"key level mismatch: events group by {lk}, coverage by {rk} — "
+            "a chain_col must be present on both sides (or neither)"
+        )
     lp = _prepare_side(ds, lrs, 0, id_col, (), num_partitions, {}, None)
     rp = _prepare_side(
         other, other_lrs, 1, other_id_col, (), num_partitions, {}, None

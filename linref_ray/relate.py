@@ -323,6 +323,17 @@ class Relation:
         out: dict[str, pa.DataType] = {}
         ls = self.left.schema()
         rs = self.right.schema()
+        # Key levels must line up: a declared chain_col present on only one
+        # side would canonicalize to keys of different shapes
+        # ("route\\x1fchain" vs "route") and silently match NOTHING.
+        lk = self.left_lrs.effective_key_col(ls.names)
+        rk = self.right_lrs.effective_key_col(rs.names)
+        if len(lk) != len(rk):
+            raise ValueError(
+                f"key level mismatch between relation sides: left groups by "
+                f"{lk}, right by {rk} — a chain_col must be present on both "
+                "sides (or neither)"
+            )
         for c in self.left_cols:
             out[c] = _pa_type(ls.types[ls.names.index(c)])
         for c in self.right_cols:

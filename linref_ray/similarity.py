@@ -210,6 +210,10 @@ def embedding_near_duplicates(
 
     return (
         embeddings.map_batches(bucket, batch_format="pyarrow")
+        # Coalesce before the sort-based groupby shuffle — many tiny read
+        # blocks otherwise pay the fixed per-block exchange cost (same fix
+        # as the minhash path; see partition.py notes).
+        .repartition(num_partitions)
         .groupby("__bucket")
         .map_groups(verify, batch_format="pyarrow")
     )

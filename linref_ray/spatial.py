@@ -27,6 +27,7 @@ import ray.data
 
 from linref_ray.kernels.cells import cell_of_points, cell_size, cover_bbox
 from linref_ray.kernels.geometry import cumdist
+from linref_ray.kernels.intervals import expand_pieces
 
 
 class RouteIndex:
@@ -714,30 +715,10 @@ def split_events(
         rows_out, b_out, e_out = [], [], []
         for rid in np.unique(rids):
             rows = np.flatnonzero(rids == rid)
-            rb, re = beg[rows], end[rows]
             cr = crossings.get(rid)
-            if cr is None or len(cr) == 0:
-                rows_out.append(rows)
-                b_out.append(rb)
-                e_out.append(re)
-                continue
-            lo = np.searchsorted(cr, rb, side="right")
-            hi = np.searchsorted(cr, re, side="left")
-            n_cut = np.maximum(0, hi - lo)
-            n_piece = n_cut + 1
-            total = int(n_piece.sum())
-            cum = np.concatenate([[0], np.cumsum(n_piece)])[:-1]
-            local = np.arange(total) - np.repeat(cum, n_piece)
-            row_of = np.repeat(np.arange(len(rows)), n_piece)
-            cut_idx = np.repeat(lo, n_piece) + local
-            pb = np.where(
-                local == 0, rb[row_of], cr[np.maximum(cut_idx - 1, 0)]
-            )
-            pe = np.where(
-                local == np.repeat(n_cut, n_piece),
-                re[row_of],
-                cr[np.minimum(cut_idx, len(cr) - 1)],
-            )
+            if cr is None:
+                cr = np.empty(0, dtype=np.float64)
+            row_of, pb, pe = expand_pieces(beg[rows], end[rows], cr)
             rows_out.append(rows[row_of])
             b_out.append(pb)
             e_out.append(pe)
@@ -909,35 +890,10 @@ def clip_events(
             if geom is None:
                 continue
             rows = np.flatnonzero(rids == rid)
-            rb, re = beg[rows], end[rows]
             cr = crossings.get(rid)
-            if cr is None or len(cr) == 0:
-                lo = np.zeros(len(rows), dtype=np.int64)
-                hi = np.zeros(len(rows), dtype=np.int64)
+            if cr is None:
                 cr = np.empty(0, dtype=np.float64)
-            else:
-                lo = np.searchsorted(cr, rb, side="right")
-                hi = np.searchsorted(cr, re, side="left")
-            n_cut = np.maximum(0, hi - lo)
-            n_piece = n_cut + 1
-            total = int(n_piece.sum())
-            cum = np.concatenate([[0], np.cumsum(n_piece)])[:-1]
-            local = np.arange(total) - np.repeat(cum, n_piece)  # piece index j
-            row_of = np.repeat(np.arange(len(rows)), n_piece)
-            # piece j of a row spans [edge_j, edge_{j+1}] where edges are
-            # beg, cr[lo:hi], end
-            if len(cr) == 0:
-                pb, pe = rb[row_of], re[row_of]
-            else:
-                cut_idx = np.repeat(lo, n_piece) + local
-                pb = np.where(
-                    local == 0, rb[row_of], cr[np.maximum(cut_idx - 1, 0)]
-                )
-                pe = np.where(
-                    local == np.repeat(n_cut, n_piece),
-                    re[row_of],
-                    cr[np.minimum(cut_idx, len(cr) - 1)],
-                )
+            row_of, pb, pe = expand_pieces(beg[rows], end[rows], cr)
             mids = (pb + pe) / 2
             mx, my = interpolate_at_m(*geom, mids)
             inside = _point_in_polygon(mx, my, poly_x, poly_y)

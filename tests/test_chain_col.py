@@ -120,6 +120,19 @@ class TestChainedGrouping:
         pairs2 = rel2.overlay(normalize=False).to_pandas()
         assert sorted(pairs2.right_id.tolist()) == [0, 1, 2]
 
+    def test_one_sided_chain_raises(self, ray_session, chained_events):
+        # A declared chain column present on only one side would silently
+        # match nothing — must fail loudly instead.
+        no_chain = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [100], "route": ["A"],
+                 "beg": [0.0], "end": [15.0]}
+            )
+        )
+        rel = Relation(no_chain, chained_events, CH, num_partitions=4)
+        with pytest.raises(ValueError, match="key level mismatch"):
+            rel.overlay(normalize=False)
+
     def test_cluster_respects_chains(self, ray_session, chained_events):
         from linref_ray.spatial import cluster_events
 

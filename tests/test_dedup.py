@@ -107,6 +107,17 @@ class TestMinhashPipeline:
         assert len(capped) <= len(full)
         assert (capped.jaccard >= 0.8).all()
 
+    def test_custom_column_names(self, ray_session):
+        # id_col/text_col must flow through the signature stage too.
+        rows = _doc_corpus().rename(columns={"doc_id": "id", "text": "body"})
+        docs = rd.from_pandas(rows)
+        out = minhash_near_duplicates(
+            docs, threshold=0.6, num_partitions=4,
+            id_col="id", text_col="body",
+        ).to_pandas()
+        comp = _components(out)
+        assert len({comp[i] for i in range(4)}) == 1
+
     def test_no_candidates(self, ray_session):
         docs = rd.from_pandas(
             pd.DataFrame(

@@ -68,6 +68,18 @@ class TestSelection:
             .to_pandas().event_id
         ) == [3, 7]
 
+    def test_positional_selection_rejects_duplicate_ids(self, ray_session):
+        dup = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [1, 1, 2], "route": ["A"] * 3,
+                 "beg": [0.0, 1, 2], "end": [1.0, 2, 3]}
+            )
+        )
+        with pytest.raises(ValueError, match="unique"):
+            ev.select_mask(dup, [True, False, False])
+        with pytest.raises(ValueError, match="unique"):
+            ev.select_slice(dup, slice(0, 1))
+
     def test_drop_group(self, coll):
         out = ev.drop_group(coll, L, "B").to_pandas()
         assert sorted(out.event_id) == [3, 10]
@@ -165,3 +177,37 @@ class TestCheckExactGeoms:
             .sort_values("event_id")
         )
         assert out.geoms_exact.tolist() == [True, False, True]
+
+    def test_junk_wkt_is_false_not_missing(self, ray_session):
+        # Present-but-unparseable WKT is demonstrably NOT an exact match;
+        # only genuinely missing values get if_missing. Malformed numerics
+        # must not kill the batch.
+        from linref_ray.geometry import check_exact_geoms
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": [0, 1, 2],
+                    "wkt": [
+                        "POINT (1 2)",
+                        "LINESTRING (a b, c d)",
+                        "LINESTRING (0 0, 5 0)",
+                    ],
+                    "xs": pa.array(
+                        [[0.0, 5.0], [0.0, 5.0], [0.0, 5.0, 6.0]],
+                        pa.list_(pa.float64()),
+                    ),
+                    "ys": pa.array(
+                        [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0, 0.0]],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        )
+        out = (
+            check_exact_geoms(ds)
+            .select_columns(["event_id", "geoms_exact"])
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert out.geoms_exact.tolist() == [False, False, False]
