@@ -318,6 +318,57 @@ def _q_knn(sf_dir: str):
     return _round_cols(knn_brute_force(emb, query_ids=(0, 1, 2), k=5), {"cosine": 6})
 
 
+def _q_knn_ivf_full(sf_dir: str):
+    """IVF path with nprobe == n_centroids: every cell probed, so the
+    result is exact and shares the brute-force SQL oracle — exercises the
+    coarse-quantizer prefilter machinery end to end."""
+    from linref_ray.similarity import knn_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_cols(
+        knn_ivf(emb, query_ids=(0, 1, 2), k=5, n_centroids=8, nprobe=8),
+        {"cosine": 6},
+    )
+
+
+def _q_concatenate(sf_dir: str):
+    """Union-all of two event layers (``events/modify.py:102-180``)."""
+    from linref_ray.modify import concatenate
+
+    out = concatenate(_events_linear(sf_dir, 0), _events_linear(sf_dir, 1))
+    return out.select_columns(["event_id", "route_id", "beg", "end"])
+
+
+def _q_interpolate(sf_dir: str):
+    """Measure → (x, y) on known straight routes (relation ``interpolate``,
+    ``geometry/operations.py:158-203``) — the axis-aligned geometry makes
+    the lerp closed-form in SQL."""
+    from linref_ray.geometry import interpolate_points
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    names = pa.array(["H0", "H1", "V2"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.subtract(
+                t["user_id"], pc.multiply(pc.divide(t["user_id"], 3), 3)
+            ),
+            pa.int64(),
+        )
+        route = names.take(code)
+        loc = pc.multiply(t["value"], 10.0)
+        return t.append_column("route_id", route).append_column("loc", loc)
+
+    pts = ds.map_batches(fn, batch_format="pyarrow")
+    out = interpolate_points(pts, _straight_routes())
+    return _int_micro_cols(
+        out.select_columns(["event_id", "route_id", "x", "y"]),
+        {"x": 6, "y": 6},
+    )
+
+
 def _q_dedup_exact(sf_dir: str):
     from linref_ray.dedup import exact_dedup
 
@@ -749,6 +800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing": _q_tpch_pricing,
         "tile_histogram": _q_tile_histogram,
         "knn": _q_knn,
+        "knn_ivf_full": _q_knn_ivf_full,
+        "concatenate": _q_concatenate,
+        "interpolate": _q_interpolate,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "langid": _q_langid,
@@ -1049,6 +1103,30 @@ from w
 select l.event_id, round(round(coalesce(s.score, 0), 9), 6) as score
 from l left join (select tid, sum(share) as score from w group by tid) s
   on s.tid = l.event_id
+"""
+    oracles["knn_ivf_full"] = oracles["knn"]
+    oracles["concatenate"] = _SQL_EVENTS + """
+select event_id, route_id, beg, "end" from l
+union all
+select event_id, route_id, beg, "end" from r
+"""
+    oracles["interpolate"] = """
+with pts as (
+  select event_id, user_id % 3 as code, value * 10 as loc from events
+), t as (
+  select event_id, code,
+         least(greatest(loc / 100.0, 0.0), 1.0) as tt
+  from pts
+)
+select event_id,
+       case code when 0 then 'H0' when 1 then 'H1' else 'V2' end as route_id,
+       cast(round(round(case when code in (0, 1) then 0.0 + tt * 100.0
+                             else 50.0 end, 9) * 1000000) as bigint) as x,
+       cast(round(round(case when code = 0 then 0.0
+                             when code = 1 then 40.0
+                             else 100.0 + tt * 100.0 end, 9) * 1000000)
+            as bigint) as y
+from t
 """
     oracles["image_invariants"] = """
 with idx as (select unnest(generate_series(0, 1999)) as i),
