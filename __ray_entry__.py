@@ -541,6 +541,84 @@ def _q_embedding_neardup_exact(sf_dir: str):
     return _int_micro_cols(out, {"cosine": 6})
 
 
+def _planted_dup_corpus() -> rd.Dataset:
+    """Deterministic near-dup corpus: 30 families × 6 near-identical copies
+    (one short suffix token differs on a 40-token base) + 120 unique
+    gibberish fillers (seeded; uniform letter 3-gram distribution so
+    cross-document simhashes sit ~32 bits apart). Family member ids are
+    fam*100+copy; fillers 10000+i — closed-form for the SQL oracles."""
+
+    def gib(seed: int, n_words: int) -> str:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return " ".join(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, size=8))
+            for _ in range(n_words)
+        )
+
+    rows_id, rows_text = [], []
+    for fam in range(30):
+        base = gib(fam, 40)
+        for copy in range(6):
+            rows_id.append(fam * 100 + copy)
+            rows_text.append(base + f" v{copy}")
+    for i in range(120):
+        rows_id.append(10_000 + i)
+        rows_text.append(gib(10_000 + i, 30))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(rows_id, pa.int64()),
+                "text": pa.array(rows_text),
+            }
+        )
+    )
+
+
+def _q_minhash_planted(sf_dir: str):
+    """MinHash-LSH near-dup over the planted corpus — signatures are
+    deterministic (fixed seed), and with jaccard≈0.97 within families the
+    16-band LSH finds every within-family pair and nothing else, so the
+    expected pair set is closed-form (the sf-table query above keeps its
+    honest rows-only check on organic data)."""
+    from linref_ray.dedup import minhash_near_duplicates
+
+    out = minhash_near_duplicates(
+        _planted_dup_corpus(), threshold=0.7, num_partitions=4
+    )
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _q_simhash_planted(sf_dir: str):
+    """SimHash near-dup over the planted corpus: near-identical texts land
+    in the same 12-bit prefix bucket with hamming ≤ 4; unrelated docs sit
+    ~32 bits apart — deterministic, closed-form expected pairs."""
+    from linref_ray.dedup import simhash_near_duplicates
+
+    out = simhash_near_duplicates(_planted_dup_corpus(), max_hamming=4)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _q_langid_planted(sf_dir: str):
+    """Language-ID over a planted corpus where the marker-word heuristic's
+    answer is certain: doc i is en/de/fr/zh by i % 4 — closed-form oracle."""
+    from linref_ray.text import language_id
+
+    sentences = {
+        0: "the and of that with for the and of that with for",
+        1: "der die das und nicht mit der die das und nicht mit",
+        2: "le la les et dans pour le la les et dans pour",
+        3: "这是一个完全使用中文书写的文档内容",
+    }
+    ids = list(range(400))
+    texts = [sentences[i % 4] + f" doc{i}" for i in ids]
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    return language_id(docs).select_columns(["doc_id", "lang_pred"])
+
+
 def _q_separate(sf_dir: str):
     from linref_ray import modify as md
 
@@ -806,7 +884,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "langid": _q_langid,
+        "langid_planted": _q_langid_planted,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_planted": _q_minhash_planted,
+        "simhash_planted": _q_simhash_planted,
         "simhash": _q_simhash,
         "cluster": _q_cluster,
         "project": _q_project,
@@ -1127,6 +1208,20 @@ select event_id,
                              else 100.0 + tt * 100.0 end, 9) * 1000000)
             as bigint) as y
 from t
+"""
+    oracles["minhash_planted"] = """
+with fam as (select unnest(generate_series(0, 29)) as f),
+     c as (select unnest(generate_series(0, 5)) as i)
+select fam.f * 100 + a.i as id_a, fam.f * 100 + b.i as id_b
+from fam, c a, c b where a.i < b.i
+"""
+    oracles["simhash_planted"] = oracles["minhash_planted"]
+    oracles["langid_planted"] = """
+with idx as (select unnest(generate_series(0, 399)) as i)
+select i as doc_id,
+       case i % 4 when 0 then 'en' when 1 then 'de'
+                  when 2 then 'fr' else 'zh' end as lang_pred
+from idx
 """
     oracles["image_invariants"] = """
 with idx as (select unnest(generate_series(0, 1999)) as i),
