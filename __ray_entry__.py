@@ -369,6 +369,17 @@ def _q_interpolate(sf_dir: str):
     )
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer counts; the lookahead-free pattern is
+    interpreted identically by Python re and DuckDB's RE2."""
+    from linref_ray.text import bpe_token_counts
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_token_counts(docs)
+
+
 def _q_dedup_exact(sf_dir: str):
     from linref_ray.dedup import exact_dedup
 
@@ -883,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interpolate": _q_interpolate,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
+        "bpe_tokens": _q_bpe_tokens,
         "langid": _q_langid,
         "langid_planted": _q_langid_planted,
         "minhash_dedup": _q_minhash_dedup,
@@ -1065,6 +1077,12 @@ where rk <= 5
         "dedup_exact": """
 select min(doc_id) as doc_id, count(*) as n_copies
 from documents group by text
+""",
+        "bpe_tokens": """
+select doc_id,
+       cast(length(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) as bigint) as n_bpe_tokens
+from documents
 """,
         "token_stats": """
 select doc_id, length(text) as n_chars,

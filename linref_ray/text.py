@@ -37,6 +37,33 @@ def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer shape (letter runs / single digits / punct),
+# deliberately lookahead-free so Python re and RE2 (DuckDB) agree exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(id, n_bpe_tokens) under the BPE-ish pre-tokenizer split — the
+    "token counting (whitespace + a BPE-ish regex)" training-pipeline op;
+    :func:`token_stats` is the whitespace half."""
+    import re
+
+    pat = re.compile(BPE_ISH_PATTERN)
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        counts = np.fromiter(
+            (len(pat.findall(s)) for s in texts), np.int64, len(texts)
+        )
+        return pa.table(
+            {id_col: t[id_col], "n_bpe_tokens": pa.array(counts)}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+
+
 def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Heuristic quality features per doc: length, mean word length,
     punctuation ratio, uppercase ratio, stopword ratio, repetition ratio."""

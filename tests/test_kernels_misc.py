@@ -211,3 +211,30 @@ class TestHashing:
         f1 = rolling_fingerprint(base + " suffix one")
         f2 = rolling_fingerprint("prefix two " + base)
         assert len(np.intersect1d(f1, f2)) > 0
+
+
+class TestBpeTokens:
+    def test_counts_match_re(self, ray_session):
+        import re
+
+        import pandas as pd
+        import ray.data as rd
+
+        from linref_ray.text import BPE_ISH_PATTERN, bpe_token_counts
+
+        texts = [
+            "Hello, world! 42 times.",
+            "  spaces   and\ttabs\nnewlines  ",
+            "",
+            "unicode naïve café — ok?",
+        ]
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        out = (
+            bpe_token_counts(docs).to_pandas().sort_values("doc_id")
+        )
+        pat = re.compile(BPE_ISH_PATTERN)
+        assert out.n_bpe_tokens.tolist() == [
+            len(pat.findall(s)) for s in texts
+        ]
