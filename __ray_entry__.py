@@ -712,6 +712,30 @@ def _q_image_invariants(sf_dir: str):
     )
 
 
+def _q_frame_sample(sf_dir: str):
+    """Video frame sampling over a deterministic synthetic corpus: 40
+    videos × 12 frames, k=4 uniform — sampled indices {0,4,7,11} and
+    timestamps idx/30 are closed-form for the oracle. Frame bytes are
+    dropped for the gate (the pixel path is covered by composition tests
+    with the image stages)."""
+    from linref_ray.media import sample_frames
+
+    vids = rd.from_arrow(synth.make_videos(40, frames=12, w=8, h=8))
+    out = sample_frames(vids, k=4, concurrency=2).select_columns(
+        ["image_id", "video_id", "frame_idx", "ts_sec"]
+    )
+    return _int_micro_cols(out, {"ts_sec": 6})
+
+
+def _q_audio_features(sf_dir: str):
+    """Audio spectral features over a deterministic tone corpus (rows-only:
+    windowed-FFT centroids have no SQL formulation)."""
+    from linref_ray.media import extract_audio_features
+
+    auds = rd.from_arrow(synth.make_audio(40, seconds=0.5, sample_rate=8000))
+    return extract_audio_features(auds, concurrency=2)
+
+
 def _q_overlay_salted(sf_dir: str):
     """Salted measure-bucket shuffle (skewed mega-route path): window-clipped
     per-bucket weights summed per pair must equal the unsharded overlay —
@@ -912,6 +936,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribute": _q_distribute,
         "distribute_nodecay": _q_distribute_nodecay,
         "image_invariants": _q_image_invariants,
+        "frame_sample": _q_frame_sample,
+        "audio_features": _q_audio_features,
         "constrain_to": _q_constrain,
         "overlay_salted": _q_overlay_salted,
         "window_tumbling": _q_window_tumbling,
@@ -1240,6 +1266,15 @@ select i as doc_id,
        case i % 4 when 0 then 'en' when 1 then 'de'
                   when 2 then 'fr' else 'zh' end as lang_pred
 from idx
+"""
+    oracles["frame_sample"] = """
+with v as (select unnest(generate_series(0, 39)) as i),
+     f as (select unnest([0, 4, 7, 11]) as idx)
+select printf('vid-%06d#f%04d', v.i, f.idx) as image_id,
+       printf('vid-%06d', v.i) as video_id,
+       cast(f.idx as int) as frame_idx,
+       cast(round(round(f.idx / 30.0, 9) * 1000000) as bigint) as ts_sec
+from v, f
 """
     oracles["image_invariants"] = """
 with idx as (select unnest(generate_series(0, 1999)) as i),

@@ -1,0 +1,231 @@
+"""Video frame-sampling and audio feature-extraction stages (the remaining
+multimodal training-pipeline ops from the brief).
+
+Media payloads are opaque ``binary`` columns with typed metadata, exactly
+like the image corpus. Real container decoders (mp4/h264, mp3/flac) are not
+in this container, so the DECODE step is stubbed: a deterministic fake
+container (``LRVD``/``LRAU`` headers + raw payload) carries real per-frame
+pixels / PCM samples, and any other codec raises ``NotImplementedError``
+with the integration point named. Everything Ray-side — schema, batch
+sizing, actor signature, row-expansion output layout — is real and tested,
+and sampled frames re-encode into the IMAGE container so the existing
+image stages (verify / resize / feature-extract) compose downstream.
+
+Scale notes: frame sampling is a row-expansion ``map_batches`` (small
+batches — each input row fans out to k wide rows); audio features drop the
+payload column before any shuffle, same rule as the image sidecar.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from linref_ray.kernels import codec
+
+_VID_HEADER = struct.Struct("<4sHHHB3s")  # magic, w, h, n_frames, codec, pad
+_AUD_HEADER = struct.Struct("<4sIIB3s")   # magic, sample_rate, n_samples, codec, pad
+VID_MAGIC = b"LRVD"
+AUD_MAGIC = b"LRAU"
+_VCODEC = {"rawv": 0}
+_ACODEC = {"pcm16": 0}
+
+
+# -- fake containers (deterministic; the stub decode target) ----------------
+
+
+def encode_video(pixels: np.ndarray, vcodec: str = "rawv") -> bytes:
+    """(n_frames, h, w, 3) uint8 → fake container bytes."""
+    if vcodec not in _VCODEC:
+        raise NotImplementedError(
+            f"video codec {vcodec!r}: real encoders (h264/vp9) are not in "
+            "this container — plug pyav/ffmpeg here"
+        )
+    n, h, w, _ = pixels.shape
+    return (
+        _VID_HEADER.pack(VID_MAGIC, w, h, n, _VCODEC[vcodec], b"\x00" * 3)
+        + pixels.tobytes()
+    )
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    """Fake-container bytes → (n_frames, h, w, 3) uint8. The stub decode:
+    anything that is not the deterministic ``LRVD`` container raises, naming
+    the integration point for a real decoder."""
+    magic, w, h, n, code, _ = _VID_HEADER.unpack_from(data, 0)
+    if magic != VID_MAGIC:
+        raise NotImplementedError(
+            "real video decode (h264/vp9 via pyav/ffmpeg) is stubbed in "
+            "this container; only the deterministic LRVD container decodes"
+        )
+    px = np.frombuffer(data, dtype=np.uint8, offset=_VID_HEADER.size)
+    return px.reshape(n, h, w, 3).copy()
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int, acodec: str = "pcm16") -> bytes:
+    """int16 PCM samples → fake container bytes."""
+    if acodec not in _ACODEC:
+        raise NotImplementedError(
+            f"audio codec {acodec!r}: real encoders (mp3/flac) are not in "
+            "this container — plug soundfile/librosa here"
+        )
+    s = np.asarray(samples, dtype=np.int16)
+    return (
+        _AUD_HEADER.pack(AUD_MAGIC, sample_rate, len(s), _ACODEC[acodec], b"\x00" * 3)
+        + s.tobytes()
+    )
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Fake-container bytes → (int16 samples, sample_rate)."""
+    magic, sr, n, code, _ = _AUD_HEADER.unpack_from(data, 0)
+    if magic != AUD_MAGIC:
+        raise NotImplementedError(
+            "real audio decode (mp3/flac via soundfile) is stubbed in this "
+            "container; only the deterministic LRAU container decodes"
+        )
+    s = np.frombuffer(data, dtype=np.int16, offset=_AUD_HEADER.size)[:n]
+    return s.copy(), sr
+
+
+# -- stages ------------------------------------------------------------------
+
+
+class SampleFrames:
+    """Actor stage: decode each video and emit ``k`` uniformly-spaced frames
+    as IMAGE-container rows (so the image verify/resize/feature stages
+    compose downstream). Setup (nothing heavy here, but a real decoder's
+    codec context would init once per actor) in ``__init__``; per-batch work
+    in ``__call__``."""
+
+    def __init__(self, k: int = 4, fmt: str = "raw"):
+        self.k = k
+        self.fmt = fmt
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vids = t["video_id"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        fps = (
+            t["fps"].to_numpy(zero_copy_only=False)
+            if "fps" in t.column_names
+            else np.full(len(t), 30.0)
+        )
+        out_id, out_vid, out_idx, out_ts, out_bytes = [], [], [], [], []
+        out_w, out_h = [], []
+        for i, blob in enumerate(blobs):
+            frames = decode_video(blob)
+            n = len(frames)
+            take = np.unique(
+                np.linspace(0, n - 1, num=min(self.k, n)).round().astype(int)
+            )
+            for j in take:
+                out_id.append(f"{vids[i]}#f{int(j):04d}")
+                out_vid.append(vids[i])
+                out_idx.append(int(j))
+                out_ts.append(float(j) / float(fps[i] or 30.0))
+                out_bytes.append(codec.encode_image(frames[j], self.fmt))
+                out_h.append(frames.shape[1])
+                out_w.append(frames.shape[2])
+        return pa.table(
+            {
+                "image_id": pa.array(out_id),
+                "video_id": pa.array(out_vid),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "ts_sec": pa.array(out_ts, pa.float64()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "w": pa.array(out_w, pa.int32()),
+                "h": pa.array(out_h, pa.int32()),
+                "fmt": pa.array([self.fmt] * len(out_id)),
+            }
+        )
+
+
+def sample_frames(
+    videos: ray.data.Dataset,
+    k: int = 4,
+    fmt: str = "raw",
+    concurrency: int = 4,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Uniform k-frame sampling as an actor-pool stage. Batches are SMALL
+    (64 videos) because each row fans out to k wide frame rows — the
+    memory-aware sizing rule for large binary payloads."""
+    return videos.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs=dict(k=k, fmt=fmt),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+class AudioFeatures:
+    """Actor stage: decode PCM and compute real spectral features with
+    numpy's rFFT (no external audio lib needed for the math): RMS level,
+    zero-crossing rate, spectral centroid and rolloff (85%). The wide
+    payload column is dropped — only the slim feature sidecar continues."""
+
+    def __init__(self, n_fft: int = 1024):
+        self.n_fft = n_fft
+        # Hann window (built once per actor): a rectangular window's slow
+        # sidelobe falloff smears tones across the spectrum and biases the
+        # centroid high by hundreds of Hz.
+        self.window = np.hanning(n_fft)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = t["bytes"].to_pylist()
+        n = len(blobs)
+        rms = np.empty(n)
+        zcr = np.empty(n)
+        centroid = np.empty(n)
+        rolloff = np.empty(n)
+        for i, blob in enumerate(blobs):
+            s, sr = decode_audio(blob)
+            x = s.astype(np.float64) / 32768.0
+            if len(x) == 0:
+                rms[i] = zcr[i] = centroid[i] = rolloff[i] = 0.0
+                continue
+            rms[i] = float(np.sqrt(np.mean(x * x)))
+            zcr[i] = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))) if len(x) > 1 else 0.0
+            seg = x[: self.n_fft] if len(x) >= self.n_fft else np.pad(
+                x, (0, self.n_fft - len(x))
+            )
+            mag = np.abs(np.fft.rfft(seg * self.window))
+            freqs = np.fft.rfftfreq(self.n_fft, d=1.0 / sr)
+            tot = mag.sum()
+            if tot <= 0:
+                centroid[i] = rolloff[i] = 0.0
+                continue
+            centroid[i] = float((freqs * mag).sum() / tot)
+            cum = np.cumsum(mag)
+            rolloff[i] = float(freqs[np.searchsorted(cum, 0.85 * tot)])
+        keep = [c for c in t.column_names if c != "bytes"]
+        out = t.select(keep)
+        for name, arr in (
+            ("rms", rms), ("zcr", zcr),
+            ("spectral_centroid", centroid), ("spectral_rolloff", rolloff),
+        ):
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+def extract_audio_features(
+    audios: ray.data.Dataset,
+    n_fft: int = 1024,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Audio feature-extract as an actor-pool stage (decoder/FFT plan state
+    lives per actor)."""
+    return audios.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs=dict(n_fft=n_fft),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )

@@ -215,3 +215,57 @@ def make_images(
     the standard public aHash (8×8 mean-threshold) construction."""
     ids = [f"{seed_prefix}-{i:08d}" for i in range(n)]
     return _images_table(ids, w, h)
+
+
+def make_videos(
+    n: int = 20, frames: int = 12, w: int = 16, h: int = 16, fps: float = 30.0
+) -> pa.Table:
+    """Deterministic video corpus in the fake LRVD container: frame f of
+    video i reuses the image reference-pixel generator with seed (i, f), so
+    sampled frames are reproducible pure functions of (video_id, frame)."""
+    from linref_ray.media import encode_video
+
+    ids, blobs = [], []
+    for i in range(n):
+        seeds = codec.id_seeds([f"vid-{i:06d}-{f:04d}" for f in range(frames)])
+        px = codec.reference_pixels_batch(seeds, w, h).copy()
+        ids.append(f"vid-{i:06d}")
+        blobs.append(encode_video(px))
+    return pa.table(
+        {
+            "video_id": pa.array(ids),
+            "bytes": pa.array(blobs, pa.binary()),
+            "n_frames": pa.array([frames] * n, pa.int32()),
+            "fps": pa.array([fps] * n, pa.float64()),
+            "w": pa.array([w] * n, pa.int32()),
+            "h": pa.array([h] * n, pa.int32()),
+        }
+    )
+
+
+def make_audio(
+    n: int = 20, seconds: float = 1.0, sample_rate: int = 8000
+) -> pa.Table:
+    """Deterministic audio corpus in the fake LRAU container: clip i is a
+    pure tone at (100 + 50*i) Hz plus seeded noise — spectral features have
+    known expected ordering for tests."""
+    from linref_ray.media import encode_audio
+
+    ids, blobs, tones = [], [], []
+    t = np.arange(int(seconds * sample_rate)) / sample_rate
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(1000 + i))
+        freq = 100.0 + 50.0 * i
+        x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.002 * rng.normal(size=len(t))
+        s = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        ids.append(f"aud-{i:06d}")
+        blobs.append(encode_audio(s, sample_rate))
+        tones.append(freq)
+    return pa.table(
+        {
+            "audio_id": pa.array(ids),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sample_rate": pa.array([sample_rate] * n, pa.int32()),
+            "tone_hz": pa.array(tones, pa.float64()),
+        }
+    )

@@ -1,0 +1,88 @@
+"""Video frame-sampling and audio feature stages: container round-trips,
+stubbed real-codec gating, sampling layout, composition with the image
+stages, and spectral-feature sanity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linref_ray import synth
+from linref_ray.media import (
+    decode_audio,
+    decode_video,
+    encode_audio,
+    encode_video,
+    extract_audio_features,
+    sample_frames,
+)
+
+
+class TestContainers:
+    def test_video_round_trip(self):
+        px = np.arange(2 * 4 * 3 * 3, dtype=np.uint8).reshape(2, 4, 3, 3)
+        back = decode_video(encode_video(px))
+        np.testing.assert_array_equal(back, px)
+
+    def test_audio_round_trip(self):
+        s = (np.sin(np.linspace(0, 20, 500)) * 1000).astype(np.int16)
+        back, sr = decode_audio(encode_audio(s, 8000))
+        assert sr == 8000
+        np.testing.assert_array_equal(back, s)
+
+    def test_real_codecs_stubbed(self):
+        with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
+            decode_video(b"\x00\x00\x00\x18ftypmp42 not a fake container")
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"ID3\x04 not a fake container either")
+        with pytest.raises(NotImplementedError):
+            encode_video(np.zeros((1, 2, 2, 3), np.uint8), vcodec="h264")
+
+
+class TestSampleFrames:
+    def test_uniform_sampling_layout(self, ray_session):
+        vids = rd.from_arrow(synth.make_videos(6, frames=12, w=8, h=8))
+        out = sample_frames(vids, k=4, concurrency=1).to_pandas()
+        assert len(out) == 24  # 6 videos x 4 frames
+        per = out.groupby("video_id").frame_idx.apply(sorted)
+        for idxs in per:
+            assert idxs == [0, 4, 7, 11]  # uniform over 12 frames
+        # timestamps follow frame index / fps
+        assert np.allclose(out.ts_sec, out.frame_idx / 30.0)
+
+    def test_k_exceeds_frames(self, ray_session):
+        vids = rd.from_arrow(synth.make_videos(2, frames=3, w=8, h=8))
+        out = sample_frames(vids, k=10, concurrency=1).to_pandas()
+        assert sorted(out[out.video_id == "vid-000000"].frame_idx) == [0, 1, 2]
+
+    def test_composes_with_image_stages(self, ray_session):
+        # Sampled frames are valid IMAGE-container rows: resize and
+        # feature-extract run unchanged downstream.
+        from linref_ray.images import extract_features, resize_images
+
+        vids = rd.from_arrow(synth.make_videos(3, frames=6, w=16, h=16))
+        frames = sample_frames(vids, k=2, concurrency=1)
+        small = resize_images(frames, 8, 8).to_pandas()
+        assert (small.w == 8).all() and len(small) == 6
+        feats = extract_features(frames).to_pandas()
+        assert "bytes" not in feats.columns
+        assert feats.mean_r.between(0, 255).all()
+
+
+class TestAudioFeatures:
+    def test_spectral_ordering_and_payload_dropped(self, ray_session):
+        auds = rd.from_arrow(synth.make_audio(5, seconds=0.5, sample_rate=8000))
+        out = (
+            extract_audio_features(auds, concurrency=1)
+            .to_pandas()
+            .sort_values("audio_id")
+            .reset_index(drop=True)
+        )
+        assert "bytes" not in out.columns
+        # pure tones at 100+50i Hz: centroid tracks the tone (spectral
+        # leakage + the noise floor blur exact ordering between neighbors,
+        # so assert the coarse relationship and per-clip proximity)
+        assert out.spectral_centroid.iloc[-1] > out.spectral_centroid.iloc[0]
+        assert (np.abs(out.spectral_centroid - out.tone_hz) < 200).all()
+        assert (out.rms > 0.2).all() and (out.rms < 0.5).all()
+        assert (out.zcr > 0).all()
