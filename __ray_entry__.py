@@ -217,6 +217,23 @@ def _q_value_counts(sf_dir: str):
     return rel.value_counts("event_type", target="left")
 
 
+def _q_value_counts_wide(sf_dir: str):
+    """Wide-pivot value_counts (the reference's frame shape,
+    ``relate.py:969-1018``): one zero-filled column per event_type. The
+    type domain is fixed in the driver data, so the oracle is conditional
+    aggregation."""
+    from linref_ray.relate import Relation, value_counts_wide
+
+    rel = Relation(
+        _events_points(sf_dir), _events_linear(sf_dir, 0), PT, LIN,
+        right_cols=["event_type"], num_partitions=NPARTS,
+    )
+    return value_counts_wide(
+        rel.value_counts("event_type", target="left"), "event_id",
+        "event_type",
+    )
+
+
 def _q_dissolve(sf_dir: str):
     from linref_ray import modify as md
 
@@ -904,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_count": _q_intersect_count,
         "intersect_mode": _q_intersect_mode,
         "value_counts": _q_value_counts,
+        "value_counts_wide": _q_value_counts_wide,
         "dissolve": _q_dissolve,
         "resegment": _q_resegment,
         "find_inside": _q_find_inside,
@@ -1017,6 +1035,18 @@ from p join (select l.*, ev.event_type from l
              join events ev on ev.event_id = l.event_id) e2
   on p.route_id = e2.route_id and p.loc > e2.beg and p.loc <= e2."end"
 group by p.event_id, e2.event_type
+""",
+        "value_counts_wide": _SQL_EVENTS + """
+select p.event_id,
+       cast(sum(case when e2.event_type = 'click' then 1 else 0 end) as bigint) as click,
+       cast(sum(case when e2.event_type = 'error' then 1 else 0 end) as bigint) as error,
+       cast(sum(case when e2.event_type = 'purchase' then 1 else 0 end) as bigint) as purchase,
+       cast(sum(case when e2.event_type = 'signup' then 1 else 0 end) as bigint) as signup,
+       cast(sum(case when e2.event_type = 'view' then 1 else 0 end) as bigint) as view
+from p join (select l.*, ev.event_type from l
+             join events ev on ev.event_id = l.event_id) e2
+  on p.route_id = e2.route_id and p.loc > e2.beg and p.loc <= e2."end"
+group by p.event_id
 """,
         "dissolve": _SQL_EVENTS + """
 , s as (
