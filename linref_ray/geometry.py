@@ -365,29 +365,59 @@ def generate_linear_events(
     chained = add_chaining(fragments, key_col, num_partitions)
 
     def fn(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        # Fully vectorized over the flat list buffers: within-row chord
+        # cumsum via a global cumsum minus row-start prefixes, then a
+        # segmented exclusive prefix of row lengths per (key, chain) for
+        # the beg/end assignment — no per-row Python loop.
+        if len(t) == 0:
+            return (
+                t.append_column("beg", pa.array([], pa.float64()))
+                .append_column("end", pa.array([], pa.float64()))
+                .append_column("ms", pa.array([], pa.list_(pa.float64())))
+            )
+        key = np.asarray(t[key_col].to_pylist())
+        chain = t["chain"].to_numpy(zero_copy_only=False)
+        cpos = t["chain_pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([cpos, chain, key])
+        t = t.take(pa.array(order))
+        key, chain = key[order], chain[order]
 
-        df = t.to_pandas()
-        df = df.sort_values([key_col, "chain", "chain_pos"])
-        begs = np.empty(len(df))
-        ends = np.empty(len(df))
-        ms_out = []
-        pos = 0
-        for (_, _), g in df.groupby([key_col, "chain"], sort=True):
-            acc = 0.0
-            for _, row in g.iterrows():
-                x = np.asarray(row["xs"])
-                y = np.asarray(row["ys"])
-                cd = cumdist(x, y)
-                begs[pos] = acc
-                ends[pos] = acc + cd[-1]
-                ms_out.append((acc + cd).tolist())
-                acc += cd[-1]
-                pos += 1
-        df["beg"] = begs
-        df["end"] = ends
-        df["ms"] = ms_out
-        return pa.Table.from_pandas(df, preserve_index=False)
+        xs = t["xs"].combine_chunks()
+        ys = t["ys"].combine_chunks()
+        off = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fx = xs.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        fy = ys.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        row_len = np.diff(off)
+        n_flat = len(fx)
+        seg = np.zeros(n_flat, dtype=np.float64)
+        if n_flat > 1:
+            d = np.sqrt(np.diff(fx) ** 2 + np.diff(fy) ** 2)
+            seg[1:] = d
+            seg[off[1:-1]] = 0.0  # no distance across row boundaries
+        gc = np.cumsum(seg)
+        cd_within = gc - np.repeat(gc[off[:-1]], row_len)
+        lengths = cd_within[off[1:] - 1]
+
+        from linref_ray.kernels.intervals import group_codes
+
+        g = group_codes(key, chain)
+        new_g = np.concatenate([[True], g[1:] != g[:-1]])
+        cum = np.cumsum(lengths)
+        excl = cum - lengths  # global exclusive prefix
+        base = np.repeat(excl[np.flatnonzero(new_g)],
+                         np.diff(np.concatenate(
+                             [np.flatnonzero(new_g), [len(g)]])))
+        beg = excl - base
+        end = beg + lengths
+        ms_flat = cd_within + np.repeat(beg, row_len)
+        ms = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(ms_flat, pa.float64())
+        )
+        return (
+            t.append_column("beg", pa.array(beg))
+            .append_column("end", pa.array(end))
+            .append_column("ms", ms)
+        )
 
     # Per-(key, chain) cumulative measures need chain-atomic groups — reuse
     # the chained output's partition structure (chain ⊆ key ⊆ partition).

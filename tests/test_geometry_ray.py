@@ -133,3 +133,39 @@ class TestChaining:
         assert out.loc[0, "beg"] == 10.0 and out.loc[0, "end"] == 20.0
         assert list(out.loc[0, "ms"]) == [10.0, 20.0]
         assert out.loc[2, "beg"] == 0.0 and out.loc[2, "end"] == 10.0
+
+    def test_generate_multi_key_multi_chain(self, ray_session):
+        # Two routes, multi-vertex fragments, one disjoint chain: cumulative
+        # measures restart per (key, chain); ms is continuous within chains.
+        frags = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "frag_id": [0, 1, 2, 3, 4],
+                    "route_id": ["A", "A", "A", "B", "B"],
+                    "xs": [
+                        [0.0, 3.0, 4.0],   # A chain0 pos0, len 4
+                        [4.0, 10.0],        # A chain0 pos1, len 6
+                        [100.0, 105.0],     # A chain1 (disjoint), len 5
+                        [0.0, 2.0],         # B chain0 pos0, len 2
+                        [2.0, 2.0, 5.0],    # B chain0 pos1 (dup vertex), len 3
+                    ],
+                    "ys": [[0.0] * 3, [0.0] * 2, [0.0] * 2, [0.0] * 2,
+                           [0.0] * 3],
+                }
+            )
+        )
+        out = (
+            geo.generate_linear_events(frags, num_partitions=4)
+            .to_pandas()
+            .set_index("frag_id")
+        )
+        assert out.loc[0, "beg"] == 0.0 and out.loc[0, "end"] == 4.0
+        assert list(out.loc[0, "ms"]) == [0.0, 3.0, 4.0]
+        assert out.loc[1, "beg"] == 4.0 and out.loc[1, "end"] == 10.0
+        assert list(out.loc[1, "ms"]) == [4.0, 10.0]
+        # disjoint chain restarts at 0
+        assert out.loc[2, "beg"] == 0.0 and out.loc[2, "end"] == 5.0
+        # second route independent; zero-length segment contributes 0
+        assert out.loc[3, "beg"] == 0.0 and out.loc[3, "end"] == 2.0
+        assert out.loc[4, "beg"] == 2.0 and out.loc[4, "end"] == 5.0
+        assert list(out.loc[4, "ms"]) == [2.0, 2.0, 5.0]
