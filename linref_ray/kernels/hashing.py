@@ -15,14 +15,34 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit FNV-1a hashes of tokens (no PYTHONHASHSEED dependence)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode("utf-8", "ignore"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    """Stable 64-bit FNV-1a hashes of tokens (no PYTHONHASHSEED dependence).
+
+    Vectorized column-wise over a padded byte matrix: the outer loop runs
+    max-token-LENGTH times (≈10), not total-bytes times — a per-byte Python
+    loop here made MinHash the dedup pipeline's bottleneck (~6 ms/doc).
+    Bit-identical to the scalar FNV-1a (asserted by a differential test).
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8", "ignore") for t in tokens]
+    lens = np.fromiter(map(len, bs), np.int64, n)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    arr = np.zeros((n, maxlen), dtype=np.uint8)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(len(flat)) - np.repeat(off[:-1], lens)
+    arr[rows, cols] = flat
+    fnv = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash ring
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ arr[active, j].astype(np.uint64)) * fnv
+    return h
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:

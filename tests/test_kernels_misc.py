@@ -238,3 +238,28 @@ class TestBpeTokens:
         assert out.n_bpe_tokens.tolist() == [
             len(pat.findall(s)) for s in texts
         ]
+
+
+class TestFnvVectorized:
+    def test_bit_identical_to_scalar_fnv1a(self):
+        import random
+        import string
+
+        from linref_ray.kernels.hashing import _hash_tokens_u64
+
+        def scalar(tokens):
+            out = np.empty(len(tokens), dtype=np.uint64)
+            for i, t in enumerate(tokens):
+                h = 0xCBF29CE484222325
+                for b in t.encode("utf-8", "ignore"):
+                    h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                out[i] = h
+            return out
+
+        random.seed(3)
+        toks = ["", "a", "héllo", "中文字"] + [
+            "".join(random.choices(string.printable, k=random.randint(1, 25)))
+            for _ in range(300)
+        ]
+        np.testing.assert_array_equal(_hash_tokens_u64(toks), scalar(toks))
+        assert len(_hash_tokens_u64([])) == 0
