@@ -241,34 +241,29 @@ def image_pipeline(
         y = batch["y"].to_numpy(zero_copy_only=False)
         ix = np.floor(x / g).astype(np.int64)
         iy = np.floor(y / g).astype(np.int64)
-        import pandas as pd
-
-        tile_counts = (
-            pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"]).size()
-        )
+        # (ix, iy) histogram via a packed-key sort — no pandas round-trip in
+        # the flagship hot path. Grid indices fit comfortably in 32 bits.
+        packed = (ix << np.int64(32)) | (iy & np.int64(0xFFFFFFFF))
+        _, tfirst, tn = np.unique(packed, return_index=True, return_counts=True)
+        t_ix, t_iy = ix[tfirst], iy[tfirst]
         return pa.table(
             {
                 "kind": pa.array(
                     np.concatenate(
                         [np.zeros(len(ev), np.int8),
-                         np.ones(len(tile_counts), np.int8)]
+                         np.ones(len(tfirst), np.int8)]
                     )
                 ),
                 "ka": pa.array(
-                    np.concatenate(
-                        [ev, tile_counts.index.get_level_values(0).to_numpy()]
-                    ).astype(np.int64)
+                    np.concatenate([ev, t_ix]).astype(np.int64)
                 ),
                 "kb": pa.array(
                     np.concatenate(
-                        [np.zeros(len(ev), np.int64),
-                         tile_counts.index.get_level_values(1).to_numpy()]
+                        [np.zeros(len(ev), np.int64), t_iy]
                     ).astype(np.int64)
                 ),
                 "__n": pa.array(
-                    np.concatenate(
-                        [ev_n, tile_counts.to_numpy()]
-                    ).astype(np.int64)
+                    np.concatenate([ev_n, tn]).astype(np.int64)
                 ),
             }
         )

@@ -652,17 +652,45 @@ class Relation:
         id_col = self._out_id(target)
 
         def kernel(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = t.select([tid, col, WEIGHT]).to_pandas()
-            score = (
-                df.groupby([tid, col], sort=True)[WEIGHT].sum().reset_index()
+            vals_arr = t[col]
+            if isinstance(vals_arr, pa.ChunkedArray):
+                vals_arr = vals_arr.combine_chunks()
+            valid = pc.is_valid(vals_arr).to_numpy(zero_copy_only=False)
+            tids = _np(t, tid)[valid]
+            w = _np(t, WEIGHT).astype(np.float64)[valid]
+            vals = vals_arr.to_numpy(zero_copy_only=False)[valid]
+            if len(tids) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        out_col: vals_arr.slice(0, 0),
+                    }
+                )
+            # codes ascend with value order (np.unique sorts), so the
+            # first-max tie break below == "smallest value wins".
+            uniq, codes = np.unique(vals, return_inverse=True)
+            order = np.lexsort([codes, tids])
+            t_s, c_s, w_s = tids[order], codes[order], w[order]
+            starts = np.concatenate(
+                [[True], (t_s[1:] != t_s[:-1]) | (c_s[1:] != c_s[:-1])]
             )
-            # Stable: within tid, values ascending; idxmax picks first max.
-            best = score.loc[score.groupby(tid)[WEIGHT].idxmax()]
+            first = np.flatnonzero(starts)
+            score = np.add.reduceat(w_s, first)
+            g_tid = t_s[first]
+            g_code = c_s[first]
+            trun = np.concatenate([[True], g_tid[1:] != g_tid[:-1]])
+            tfirst = np.flatnonzero(trun)
+            tlen = np.diff(np.concatenate([tfirst, [len(g_tid)]]))
+            runmax = np.repeat(np.maximum.reduceat(score, tfirst), tlen)
+            cand = np.where(
+                score == runmax, np.arange(len(score)), len(score)
+            )
+            best = np.minimum.reduceat(cand, tfirst)  # first max per tid
             return pa.table(
-                {id_col: pa.array(best[tid].to_numpy()),
-                 out_col: pa.Array.from_pandas(best[col])}
+                {
+                    id_col: pa.array(g_tid[best]),
+                    out_col: pa.array(uniq[g_code[best]]),
+                }
             )
 
         return self._agg_by_target(pairs, tid, kernel)

@@ -35,6 +35,38 @@ def _epoch_seconds(col: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(col, pa.int64())
 
 
+def _window_partials(
+    key_arr, win: np.ndarray, vals: np.ndarray, key_col: str
+) -> pa.Table:
+    """Per-(key, window) count + sum partials — lexsort + reduceat, no
+    pandas round-trip inside the Arrow kernel."""
+    keys = key_arr.to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        return pa.table(
+            {
+                key_col: key_arr,
+                "window": pa.array([], pa.int64()),
+                "__n": pa.array([], pa.int64()),
+                "__s": pa.array([], pa.float64()),
+            }
+        )
+    order = np.lexsort([win, keys])
+    k_s, w_s, v_s = keys[order], win[order], vals[order]
+    starts = np.concatenate(
+        [[True], (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+    )
+    first = np.flatnonzero(starts)
+    n = np.diff(np.concatenate([first, [len(k_s)]]))
+    return pa.table(
+        {
+            key_col: pa.array(k_s[first]),
+            "window": pa.array(w_s[first].astype(np.int64)),
+            "__n": pa.array(n.astype(np.int64)),
+            "__s": pa.array(np.add.reduceat(v_s, first)),
+        }
+    )
+
+
 def tumbling_window(
     ds: ray.data.Dataset,
     key_col: str,
@@ -49,28 +81,14 @@ def tumbling_window(
     """
 
     def fn(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         win = pc.cast(
             pc.floor(pc.divide(_epoch_seconds(t[ts_col]), float(size_s))),
             pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        vals = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
         )
-        df = pa.table(
-            {
-                key_col: t[key_col],
-                "window": win,
-                value_col: pc.cast(t[value_col], pa.float64()),
-            }
-        ).to_pandas()
-        g = (
-            df.groupby([key_col, "window"], sort=False)[value_col]
-            .agg(["count", "sum"])
-            .reset_index()
-        )
-        return pa.Table.from_pandas(
-            g.rename(columns={"count": "__n", "sum": "__s"}),
-            preserve_index=False,
-        )
+        return _window_partials(t[key_col], win, vals, key_col)
 
     partials = ds.map_batches(fn, batch_format="pyarrow")
     return (
@@ -97,8 +115,6 @@ def sliding_window(
     k = size_s // hop_s
 
     def expand(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         sec = _epoch_seconds(t[ts_col]).to_numpy(zero_copy_only=False)
         base = np.floor_divide(sec, hop_s)
         n = len(sec)
@@ -106,22 +122,10 @@ def sliding_window(
         offs = np.tile(np.arange(k, dtype=np.int64), n)
         win = base[rows] - offs
         out = t.take(pa.array(rows))
-        df = pa.table(
-            {
-                key_col: out[key_col],
-                "window": pa.array(win),
-                value_col: pc.cast(out[value_col], pa.float64()),
-            }
-        ).to_pandas()
-        g = (
-            df.groupby([key_col, "window"], sort=False)[value_col]
-            .agg(["count", "sum"])
-            .reset_index()
+        vals = pc.cast(out[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
         )
-        return pa.Table.from_pandas(
-            g.rename(columns={"count": "__n", "sum": "__s"}),
-            preserve_index=False,
-        )
+        return _window_partials(out[key_col], win, vals, key_col)
 
     partials = ds.map_batches(expand, batch_format="pyarrow")
     return (
