@@ -686,6 +686,24 @@ def _q_distribute_nodecay(sf_dir: str):
     return _round_cols(out, {"score": 6})
 
 
+def _q_distribute_right(sf_dir: str):
+    """Transposed distribute (reference axis=0 / target='right'): left linear
+    segments spread onto the RIGHT events index over the overlay relation,
+    decaying over the right rows' per-route positional order. Same SQL shape
+    as `distribute` with the roles of l and r swapped and overlay (not
+    point-intersect) match weights."""
+    from linref_ray.relate import Relation
+
+    rel = Relation(
+        _events_linear(sf_dir, 0), _events_linear(sf_dir, 1), LIN,
+        num_partitions=NPARTS,
+    )
+    out = rel.distribute(
+        target="right", decay_size=2, decay_func="linear", out_col="score"
+    )
+    return _int_micro_cols(out, {"score": 6})
+
+
 def _q_image_invariants(sf_dir: str):
     """Flagship invariant stage with deterministic corruption injection
     (oracled): 2000 synthetic images; captions are corrupted where
@@ -953,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "separate": _q_separate,
         "distribute": _q_distribute,
         "distribute_nodecay": _q_distribute_nodecay,
+        "distribute_right": _q_distribute_right,
         "image_invariants": _q_image_invariants,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -1383,6 +1402,34 @@ select l.event_id,
          as score
 from l left join (select tid, sum(share) as score from n group by tid) s
   on s.tid = l.event_id
+"""
+    oracles["distribute_right"] = _SQL_EVENTS + """
+, t as (
+  select event_id as tid, route_id, beg, "end", "end" - beg as len,
+         row_number() over (partition by route_id
+                            order by beg, "end", event_id) - 1 as pos
+  from r
+), m as (  -- overlay matches, weight = overlap / target (right) length
+  select t.route_id, t.pos as mpos, l.event_id as sid,
+         (least(t."end", l."end") - greatest(t.beg, l.beg)) / t.len as w
+  from t join l on t.route_id = l.route_id
+   and l.beg < t."end" and t.beg < l."end"
+   and least(t."end", l."end") > greatest(t.beg, l.beg)
+), d as (  -- spread to +-2 positional neighbors, linear decay cap=3
+  select m.route_id, m.sid, m.mpos + o.off as pos,
+         m.w * (1.0 - abs(o.off) / 3.0) as w
+  from m, lateral (select unnest(generate_series(-2, 2)) as off) o
+), dd as (  -- clip to existing rows, length-normalize weight
+  select t.tid, d.sid, d.w * t.len as wgt
+  from d join t on t.route_id = d.route_id and t.pos = d.pos
+), n as (
+  select tid, sid, wgt / sum(wgt) over (partition by sid) as share from dd
+)
+select r.event_id,
+       cast(round(round(coalesce(s.score, 0), 9) * 1000000) as bigint)
+         as score
+from r left join (select tid, sum(share) as score from n group by tid) s
+  on s.tid = r.event_id
 """
     oracles["overlay_salted"] = oracles["overlay_raw"]
     oracles["equal_groups"] = _SQL_EVENTS + """

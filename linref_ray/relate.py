@@ -811,11 +811,18 @@ class Relation:
         and runs the banded distribute in one pass. Neighbor semantics are
         row offsets in within-route standard order; routes must not be
         measure-sharded for this operator (route-atomic partitioning).
+        ``target='left'`` aggregates right events onto the left index
+        (reference ``axis=1``); ``target='right'`` the reverse (``axis=0``).
         """
         from linref_ray.kernels.distribute import distribute_group
 
-        if target != "left":
-            raise NotImplementedError("distribute currently targets left")
+        if target not in ("left", "right"):
+            raise ValueError("target must be 'left' or 'right'")
+        # Reference ``axis``: 1 aggregates right→left (target='left'), 0
+        # aggregates left→right (target='right') by transposing the SAME
+        # relation matrix and swapping the length vector
+        # (``relate.py:1410-1417``). Here the transpose is just a role swap
+        # of the (li, ri, w) pair arrays inside each route group.
         tgt_lrs, src_lrs = self.left_lrs, self.right_lrs
         if method is None:
             method = (
@@ -830,7 +837,8 @@ class Relation:
             self.right, src_lrs, 1, self.right_id_col, self.right_cols,
             self.num_partitions, carry_schema, None,
         )
-        id_col = self.id_col
+        tgt_left = target == "left"
+        id_col = self.id_col if tgt_left else self.right_id_col
         l_closed, r_closed = tgt_lrs.closed, src_lrs.closed
         l_point, r_point = tgt_lrs.is_point, src_lrs.is_point
         enforce_edges = kwargs.get("enforce_edges", True)
@@ -866,12 +874,13 @@ class Relation:
                 seg = order[a:z]
                 split = a + int(np.searchsorted(side_s[a:z], 1))
                 lseg, rseg = order[a:split], order[split:z]
-                nl, nr = len(lseg), len(rseg)
-                if nl == 0:
+                tseg, sseg = (lseg, rseg) if tgt_left else (rseg, lseg)
+                nt, ns = len(tseg), len(sseg)
+                if nt == 0:
                     continue
-                if nr == 0:
-                    out_ids.append(ids[lseg])
-                    out_vals.append(np.zeros(nl))
+                if ns == 0:
+                    out_ids.append(ids[tseg])
+                    out_vals.append(np.zeros(nt))
                     continue
                 if method == "overlay":
                     li, ri, w = overlay_pairs(
@@ -907,13 +916,14 @@ class Relation:
                             modified_edges_sorted(beg[rseg], end[rseg], r_closed),
                         )
                     w = np.ones(len(li))
+                ti_, si_ = (li, ri) if tgt_left else (ri, li)
                 res = distribute_group(
-                    li, ri, w, nl, nr, data[rseg],
-                    target_lengths=end[lseg] - beg[lseg],
+                    ti_, si_, w, nt, ns, data[sseg],
+                    target_lengths=end[tseg] - beg[tseg],
                     decay_size=decay_size, decay_func=decay_func,
                     direction=direction, length_normalize=length_normalize,
                 )
-                out_ids.append(ids[lseg])
+                out_ids.append(ids[tseg])
                 out_vals.append(res[:, 0])
             if not out_ids:
                 return kernel(tbl.slice(0, 0))

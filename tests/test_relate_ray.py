@@ -303,6 +303,56 @@ class TestTargetRight:
         first = rel.first("lval", target="right").to_pandas().set_index("event_id")
         assert first.first_lval[0] == 100.0
 
+    def test_distribute_target_right_matches_swapped_relation(
+        self, ray_session
+    ):
+        """distribute(target='right') on (A, B) is the reference's axis=0 —
+        the SAME overlay matrix transposed (``relate.py:1410-1417``). So it
+        must equal distribute(target='left') on the swapped relation (B, A)
+        with norm_by='left' (weights normalized by the target=B side in
+        both formulations)."""
+        a = pd.DataFrame(
+            {
+                "event_id": [0, 1, 2, 3],
+                "route": ["1"] * 4,
+                "beg": [0.0, 2.0, 5.0, 7.0],
+                "end": [3.0, 6.0, 8.0, 9.0],
+            }
+        )
+        b = pd.DataFrame(
+            {
+                "event_id": [10, 11, 12, 13, 14],
+                "route": ["1"] * 5,
+                "beg": [0.0, 1.5, 3.0, 6.0, 8.5],
+                "end": [2.0, 4.0, 7.0, 8.5, 9.5],
+            }
+        )
+        lrs = LRS(key_col=("route",))
+        kw = dict(decay_size=1, decay_func="linear", out_col="score")
+        right_t = (
+            Relation(
+                rd.from_pandas(a), rd.from_pandas(b), lrs, num_partitions=4
+            )
+            .distribute(target="right", **kw)
+            .to_pandas()
+            .set_index("event_id")
+            .score
+        )
+        swapped = (
+            Relation(
+                rd.from_pandas(b), rd.from_pandas(a), lrs, num_partitions=4
+            )
+            .distribute(target="left", norm_by="left", **kw)
+            .to_pandas()
+            .set_index("event_id")
+            .score
+        )
+        assert len(right_t) == 5
+        for eid in b.event_id:
+            assert right_t[eid] == pytest.approx(swapped[eid])
+        # Conservation: every matched source's share normalizes to 1.0.
+        assert right_t.sum() == pytest.approx(4.0)
+
 
 class TestSaltedSkew:
     def test_salted_parity_on_synthetic_network(self, ray_session):
