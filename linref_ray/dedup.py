@@ -19,10 +19,10 @@ _LOG = logging.getLogger(__name__)
 
 from linref_ray.kernels.hashing import (
     hamming64,
-    lsh_bands,
+    lsh_bands_many,
     minhash_params,
-    minhash_signature,
-    shingle_hashes,
+    minhash_signature_many,
+    shingle_hashes_many,
     simhash,
 )
 
@@ -74,21 +74,14 @@ class _MinhashStage:
         texts = t[self.text_col].to_pylist()
         n = len(ids)
         bands = self.bands
-        out_id = np.repeat(ids, bands)
-        out_band = np.tile(np.arange(bands, dtype=np.int64), n)
-        out_key = np.empty(n * bands, dtype=np.uint64)
-        sigs = []
-        for i, text in enumerate(texts):
-            sig = minhash_signature(
-                shingle_hashes(text, self.shingle_k), self.a, self.b
-            )
-            sigs.append(sig)
-            out_key[i * bands : (i + 1) * bands] = lsh_bands(sig, bands)
+        all_h, lens = shingle_hashes_many(texts, self.shingle_k)
+        sigs = minhash_signature_many(all_h, lens, self.a, self.b)
+        keys = lsh_bands_many(sigs, bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "band": pa.array(out_band),
-                "band_key": pa.array(out_key.astype(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
             }
         )
 
@@ -221,19 +214,31 @@ def minhash_near_duplicates(
         ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         ta = t["__text_a"].to_pylist()
         tb = t["__text_b"].to_pylist()
-        cache: dict[int, np.ndarray] = {}
-
-        def sh(i: int, txt: str) -> np.ndarray:
-            if i not in cache:
-                cache[i] = shingle_hashes(txt, shingle_k)
-            return cache[i]
-
-        jac = np.empty(len(ia))
-        for r in range(len(ia)):
-            sa, sb = sh(int(ia[r]), ta[r]), sh(int(ib[r]), tb[r])
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[r] = inter / union if union else 0.0
+        npairs = len(ia)
+        # Shingle each UNIQUE doc once in ONE vectorized pass (no per-doc,
+        # no per-pair Python), then count every pair's intersection with a
+        # row-wise merge: concatenate the two docs' padded sorted-hash rows,
+        # sort each row, and count adjacent duplicates — shingles are unique
+        # per doc, so a value seen twice in a row is exactly one shared
+        # shingle (sentinel-pad duplicates are subtracted in closed form).
+        all_ids = np.concatenate([ia, ib])
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        texts: list = [None] * len(uniq)
+        for r in range(npairs):
+            texts[inv[r]] = ta[r]
+            texts[inv[npairs + r]] = tb[r]
+        _, lens, mat = shingle_hashes_many(
+            texts, shingle_k, return_matrix=True
+        )
+        da, db = inv[:npairs], inv[npairs:]
+        width = mat.shape[1]
+        merged = np.concatenate([mat[da], mat[db]], axis=1)
+        merged.sort(axis=1)
+        dup = (merged[:, 1:] == merged[:, :-1]).sum(axis=1)
+        n_sent = 2 * width - lens[da] - lens[db]
+        inter = dup - np.maximum(n_sent - 1, 0)
+        union = lens[da] + lens[db] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         hit = jac >= threshold
         return pa.table(
             {

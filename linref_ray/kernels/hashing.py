@@ -14,35 +14,54 @@ import numpy as np
 _MERSENNE = (1 << 61) - 1
 
 
+def _fnv1a_segments(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """FNV-1a over CSR byte segments: ``flat[starts[i] : starts[i]+lens[i]]``
+    hashes to ``out[i]``. Bit-identical to the scalar FNV-1a.
+
+    Vectorized column-wise with segments SORTED by length descending so the
+    per-column active set is a contiguous prefix slice — the boolean-mask
+    formulation this replaces went superlinear past ~100k tokens (two masked
+    gathers + one masked scatter per column).
+    """
+    n = len(lens)
+    out = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if n == 0 or len(flat) == 0:
+        return out
+    fnv = np.uint64(0x100000001B3)
+    # Bucket by segment length (a handful of distinct values for words /
+    # n-grams): each bucket hashes column-by-column over plain gathers — no
+    # argsort, no padded matrix, total work O(total bytes).
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash ring
+        for length in np.unique(lens):
+            if length == 0:
+                continue
+            idx = np.flatnonzero(lens == length)
+            s = starts[idx]
+            h = out[idx]
+            for j in range(length):
+                h = (h ^ flat[s + j].astype(np.uint64)) * fnv
+            out[idx] = h
+    return out
+
+
 def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
     """Stable 64-bit FNV-1a hashes of tokens (no PYTHONHASHSEED dependence).
 
-    Vectorized column-wise over a padded byte matrix: the outer loop runs
-    max-token-LENGTH times (≈10), not total-bytes times — a per-byte Python
-    loop here made MinHash the dedup pipeline's bottleneck (~6 ms/doc).
-    Bit-identical to the scalar FNV-1a (asserted by a differential test).
+    Tokens may contain any bytes (simhash feeds char n-grams with spaces);
+    word-only callers use the faster join-encode path in
+    :func:`shingle_hashes_many`. Bit-identical to the scalar FNV-1a
+    (asserted by a differential test).
     """
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     bs = [t.encode("utf-8", "ignore") for t in tokens]
     lens = np.fromiter(map(len, bs), np.int64, n)
-    maxlen = int(lens.max()) if n else 0
-    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
-    if maxlen == 0:
-        return h
     flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    arr = np.zeros((n, maxlen), dtype=np.uint8)
-    off = np.concatenate([[0], np.cumsum(lens)])
-    rows = np.repeat(np.arange(n), lens)
-    cols = np.arange(len(flat)) - np.repeat(off[:-1], lens)
-    arr[rows, cols] = flat
-    fnv = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash ring
-        for j in range(maxlen):
-            active = lens > j
-            h[active] = (h[active] ^ arr[active, j].astype(np.uint64)) * fnv
-    return h
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return _fnv1a_segments(flat, starts, lens)
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -56,6 +75,191 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     for j in range(k):
         acc = (acc * 1000003 + wh[j : j + n]) % _MERSENNE
     return np.unique(acc.astype(np.uint64))
+
+
+# ASCII bytes on which str.split() breaks (str.isspace() singles).
+_WS_TABLE = np.zeros(256, dtype=bool)
+for _b in b"\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f\x20":
+    _WS_TABLE[_b] = True
+del _b
+
+
+def _has_multibyte_ws(blob: np.ndarray) -> bool:
+    """True if the utf-8 blob contains any whitespace char that encodes to
+    more than one byte (U+0085, U+00A0, U+1680, U+2000–200A, U+2028/29/2F,
+    U+205F, U+3000) — byte-level splitting would diverge from str.split()."""
+    if len(blob) >= 2:
+        b0, b1 = blob[:-1], blob[1:]
+        if ((b0 == 0xC2) & ((b1 == 0x85) | (b1 == 0xA0))).any():
+            return True
+    if len(blob) >= 3:
+        b0, b1, b2 = blob[:-2], blob[1:-1], blob[2:]
+        tri = (
+            ((b0 == 0xE1) & (b1 == 0x9A) & (b2 == 0x80))
+            | (
+                (b0 == 0xE2)
+                & (b1 == 0x80)
+                & ((b2 <= 0x8A) | (b2 == 0xA8) | (b2 == 0xA9) | (b2 == 0xAF))
+            )
+            | ((b0 == 0xE2) & (b1 == 0x81) & (b2 == 0x9F))
+            | ((b0 == 0xE3) & (b1 == 0x80) & (b2 == 0x80))
+        )
+        if tri.any():
+            return True
+    return False
+
+
+def _tokenize_batch(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch word tokenization: ``(blob, word_starts, word_lens, words_per_doc)``
+    with words in doc order and short docs padded to ``k`` empty words —
+    word-for-word identical to per-doc ``text.lower().split()``.
+
+    Fast path: one ``lower()`` per doc (full unicode), ONE NUL-joined utf-8
+    encode, then vectorized byte scanning (ASCII whitespace only splits at
+    single bytes; utf-8 continuation bytes are >= 0x80 so no false splits
+    inside multi-byte chars). Falls back to the per-doc Python split for
+    the rare batch containing NUL chars or multi-byte unicode whitespace.
+    """
+    nd = len(texts)
+    lowered = [t.lower() for t in texts]
+    blob = np.frombuffer(
+        "\x00".join(lowered).encode("utf-8", "ignore"), dtype=np.uint8
+    )
+    nul_pos = np.flatnonzero(blob == 0)
+    if len(nul_pos) != nd - 1 or (
+        int(blob.max(initial=0)) >= 0x80 and _has_multibyte_ws(blob)
+    ):
+        # Slow path: exact str.split() semantics via Python; per-word
+        # encode because words may themselves contain NUL here.
+        flat_words: list[str] = []
+        wcp = np.empty(nd, dtype=np.int64)
+        for i, t in enumerate(lowered):
+            w = t.split()
+            if len(w) < k:
+                w = w + [""] * (k - len(w))
+            wcp[i] = len(w)
+            flat_words.extend(w)
+        bs = [w.encode("utf-8", "ignore") for w in flat_words]
+        w_lens = np.fromiter(map(len, bs), np.int64, len(bs))
+        blob = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        w_starts = np.concatenate(([0], np.cumsum(w_lens[:-1])))
+        return blob, w_starts, w_lens, wcp
+    is_sep = _WS_TABLE[blob]
+    is_sep[nul_pos] = True
+    is_word = ~is_sep
+    prev_sep = np.concatenate(([True], is_sep[:-1]))
+    next_sep = np.concatenate((is_sep[1:], [True]))
+    w_starts = np.flatnonzero(is_word & prev_sep)
+    w_lens = (np.flatnonzero(is_word & next_sep) + 1) - w_starts
+    w_doc = np.searchsorted(nul_pos, w_starts)
+    wc = np.bincount(w_doc, minlength=nd)
+    if (wc < k).any():
+        # Append zero-length pad words to short docs (stable sort keeps
+        # real words first within each doc, matching the scalar path).
+        pad = np.maximum(k - wc, 0)
+        pad_doc = np.repeat(np.arange(nd), pad)
+        w_doc2 = np.concatenate([w_doc, pad_doc])
+        w_starts = np.concatenate(
+            [w_starts, np.zeros(len(pad_doc), np.int64)]
+        )
+        w_lens = np.concatenate([w_lens, np.zeros(len(pad_doc), np.int64)])
+        order = np.argsort(w_doc2, kind="stable")
+        w_starts, w_lens = w_starts[order], w_lens[order]
+        wc = wc + pad
+    return blob, w_starts, w_lens, wc.astype(np.int64)
+
+
+def shingle_hashes_many(
+    texts: list[str], k: int = 5, return_matrix: bool = False
+):
+    """Sorted-unique shingle hashes for MANY docs in one vectorized pass.
+
+    Returns ``(all_h, lens)``: per-doc sorted-unique hashes concatenated in
+    doc order plus per-doc counts (a CSR layout). Bit-identical per doc to
+    :func:`shingle_hashes` (differential-tested) — the per-call numpy
+    overhead of the scalar path made unique-doc shingling the minhash
+    verify stage's real bottleneck, not the pair intersection.
+
+    With ``return_matrix=True`` additionally returns the padded
+    ``(ndocs, max_shingles)`` uint64 matrix whose row i holds doc i's
+    sorted-unique hashes followed by uint64-max sentinels — the zero-copy
+    input for row-wise pair intersection counting.
+    """
+    nd = len(texts)
+    if nd == 0:
+        if return_matrix:
+            return (
+                np.empty(0, np.uint64),
+                np.zeros(0, np.int64),
+                np.empty((0, 0), np.uint64),
+            )
+        return np.empty(0, np.uint64), np.zeros(0, np.int64)
+    blob, w_starts, w_lens, wcp = _tokenize_batch(texts, k)
+    wh = (
+        _fnv1a_segments(blob, w_starts, w_lens).astype(np.int64) % _MERSENNE
+    )
+    n_sh = wcp - k + 1
+    starts = np.concatenate(([0], np.cumsum(wcp[:-1])))
+    total = int(n_sh.sum())
+    doc_idx = np.repeat(np.arange(nd), n_sh)
+    seg_off = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    within = np.arange(total) - seg_off[doc_idx]
+    pos = starts[doc_idx] + within
+    acc = np.zeros(total, dtype=np.int64)
+    # Same elementwise int64 ops (incl. wraparound) as the scalar path.
+    for j in range(k):
+        acc = (acc * 1000003 + wh[pos + j]) % _MERSENNE
+    # Per-doc sorted-unique via ONE row-wise sort of a padded matrix
+    # (hashes < 2^61, so the uint64 max sentinel pads cleanly past every
+    # real value) — much cheaper than a lexsort over (doc, hash).
+    sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mat = np.full((nd, int(n_sh.max())), sent, dtype=np.uint64)
+    mat[doc_idx, within] = acc.astype(np.uint64)
+    mat.sort(axis=1)
+    keep = mat != sent
+    keep[:, 1:] &= mat[:, 1:] != mat[:, :-1]
+    lens_out = keep.sum(axis=1).astype(np.int64)
+    if return_matrix:
+        # Duplicate (non-first) occurrences are re-padded to the sentinel
+        # and re-sorted so each row is its doc's sorted-unique set + pad.
+        mat[~keep] = sent
+        mat.sort(axis=1)
+        return mat[keep], lens_out, mat
+    return mat[keep], lens_out
+
+
+def minhash_signature_many(
+    all_h: np.ndarray, lens: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """``(ndocs, num_perm)`` MinHash signatures from CSR shingle hashes.
+
+    Row-for-row equal to :func:`minhash_signature` per doc (empty docs get
+    the sentinel-p row). Permutations are processed in chunks so scratch
+    stays ≈16 MB — large fresh allocations page-fault on this host.
+    """
+    nd = len(lens)
+    num_perm = len(a)
+    out = np.full((nd, num_perm), _MERSENNE, dtype=np.int64)
+    x = all_h.astype(np.int64) % _MERSENNE
+    total = len(x)
+    if nd == 0 or total == 0:
+        return out
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    # Clipped starts keep reduceat in bounds when trailing docs are empty;
+    # zero-length segments produce garbage rows that nz masks out.
+    idx = np.minimum(starts, total - 1)
+    nz = lens > 0
+    chunk = max(1, (1 << 20) // max(total, 1))
+    for p0 in range(0, num_perm, chunk):
+        p1 = min(p0 + chunk, num_perm)
+        vals = (
+            _modmul(a[p0:p1, None], x[None, :]) + b[p0:p1, None].astype(np.int64)
+        ) % _MERSENNE
+        mins = np.minimum.reduceat(vals, idx, axis=1)
+        out[nz, p0:p1] = mins[:, nz].T
+    return out
 
 
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -113,6 +317,22 @@ def lsh_bands(sig: np.ndarray, bands: int) -> np.ndarray:
             h = np.uint64((int(h) ^ (int(v) & 0xFFFFFFFFFFFFFFFF)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
         out[bi] = h
     return out
+
+
+def lsh_bands_many(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Band bucket keys for MANY signatures at once: ``(ndocs, bands)``
+    uint64. Bit-identical to :func:`lsh_bands` per row (same mod-2^64 FNV
+    ring), with the loop over band ROWS (≈4) instead of per-value Python.
+    """
+    nd, num_perm = sigs.shape
+    rows = num_perm // bands
+    v = sigs.astype(np.uint64).reshape(nd, bands, rows)
+    h = np.full((nd, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    fnv = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = (h ^ v[:, :, r]) * fnv
+    return h
 
 
 def simhash(text: str, ngram: int = 3) -> np.uint64:

@@ -206,6 +206,38 @@ class TestHashing:
             np.array([h1]), np.array([h3])
         )[0]
 
+    def test_batched_kernels_bit_identical_to_scalar(self):
+        """shingle_hashes_many / minhash_signature_many / lsh_bands_many must
+        reproduce the scalar kernels bit-for-bit, including the degenerate
+        docs (empty string, fewer words than k, duplicate shingles)."""
+        from linref_ray.kernels.hashing import (
+            lsh_bands_many,
+            minhash_signature_many,
+            shingle_hashes_many,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "",
+            "one two",
+            "repeat repeat repeat repeat repeat repeat repeat",
+            "zzz completely unrelated content 12345 " * 20,
+            "Unicode héllo wörld ünïcode test words here",
+        ]
+        k = 3
+        all_h, lens = shingle_hashes_many(texts, k)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        a, b = minhash_params(64)
+        sigs = minhash_signature_many(all_h, lens, a, b)
+        keys = lsh_bands_many(sigs, 16)
+        for i, t in enumerate(texts):
+            ref = shingle_hashes(t, k)
+            got = all_h[starts[i] : starts[i] + lens[i]]
+            assert (got == ref).all(), f"shingles differ for doc {i}"
+            sref = minhash_signature(ref, a, b)
+            assert (sigs[i] == sref).all(), f"signature differs for doc {i}"
+            assert (keys[i] == lsh_bands(sref, 16)).all(), f"bands doc {i}"
+
     def test_rolling_fingerprint_overlap_for_shared_content(self):
         base = "shared content block that is long enough to fingerprint " * 4
         f1 = rolling_fingerprint(base + " suffix one")
