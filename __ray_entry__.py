@@ -704,6 +704,64 @@ def _q_distribute_right(sf_dir: str):
     return _int_micro_cols(out, {"score": 6})
 
 
+def _q_cut_merge(sf_dir: str):
+    """Relation cut with multiple='merge' (reference relate.py:1623-1724):
+    every route is tiled by 5-m straight-line fragments with integer-m
+    vertices, so each target's matched cuts are 1-3 contiguous pieces that
+    merge into one chain spanning exactly [beg, min(end, 4910)] — the
+    merged mileage is closed-form in SQL. (Vertex counts are NOT oracled:
+    the kernel's 1e-10 endpoint dedup makes them epsilon-sensitive.)"""
+    from linref_ray.relate import Relation
+
+    targets = _events_linear(sf_dir, 0)
+    hi = 4910
+    tiles = hi // 5
+    n = 32 * tiles
+    rid = np.repeat(np.arange(32), tiles)
+    beg = np.tile(np.arange(tiles, dtype=np.float64) * 5, 32)
+    ms = beg[:, None] + np.arange(6, dtype=np.float64)[None, :]
+    ys = np.repeat(rid.astype(np.float64), 6)
+    offs = pa.array(np.arange(n + 1, dtype=np.int32) * 6)
+
+    def lst(flat: np.ndarray) -> pa.Array:
+        return pa.ListArray.from_arrays(offs, pa.array(flat, pa.float64()))
+
+    srcs = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n) + 10**6),
+                "route_id": pa.array(rid.astype(str)),
+                "beg": pa.array(beg),
+                "end": pa.array(beg + 5),
+                "xs": lst(ms.ravel()),
+                "ys": lst(ys),
+                "ms": lst(ms.ravel()),
+            }
+        )
+    )
+    rel = Relation(targets, srcs, LIN, num_partitions=NPARTS)
+    cut = rel.cut(multiple="merge")
+
+    def mileage(t: pa.Table) -> pa.Table:
+        arr = t["ms"].combine_chunks()
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        first = vals[np.minimum(off[:-1], max(len(vals) - 1, 0))]
+        last = vals[np.maximum(off[1:] - 1, 0)]
+        m = np.where(valid, last - first, np.nan)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "mileage": pa.array(m, pa.float64(), mask=~valid),
+            }
+        )
+
+    return _int_micro_cols(
+        cut.map_batches(mileage, batch_format="pyarrow"), {"mileage": 6}
+    )
+
+
 def _q_image_invariants(sf_dir: str):
     """Flagship invariant stage with deterministic corruption injection
     (oracled): 2000 synthetic images; captions are corrupted where
@@ -972,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribute": _q_distribute,
         "distribute_nodecay": _q_distribute_nodecay,
         "distribute_right": _q_distribute_right,
+        "cut_merge": _q_cut_merge,
         "image_invariants": _q_image_invariants,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -1430,6 +1489,12 @@ select r.event_id,
          as score
 from r left join (select tid, sum(share) as score from n group by tid) s
   on s.tid = r.event_id
+"""
+    oracles["cut_merge"] = _SQL_EVENTS + """
+select event_id,
+       cast(round(round(least("end", 4910) - beg, 9) * 1000000) as bigint)
+         as mileage
+from l
 """
     oracles["overlay_salted"] = oracles["overlay_raw"]
     oracles["equal_groups"] = _SQL_EVENTS + """

@@ -941,6 +941,247 @@ class Relation:
             .map_groups(kernel, batch_format="pyarrow")
         )
 
+    def cut(
+        self,
+        target="left",
+        multiple="first",
+        xs_col="xs",
+        ys_col="ys",
+        ms_col="ms",
+    ):
+        """Relation ``cut`` (``relate.py:1623-1724``): substring each
+        intersecting SOURCE geometry to the target's [beg, end] measure
+        range, with the reference's multiple-match policies.
+
+        ``multiple``:
+        - ``'first'`` / ``'last'``: cut the first/last intersecting source
+          in within-route standard order (one row per target; unmatched
+          targets emit null geometry).
+        - ``'raise'``: error if any target intersects more than one source.
+        - ``'merge'``: chain all matched cuts into one geometry by terminus
+          matching (:func:`merge_chains`); raises if the pieces are not
+          contiguous (the reference's ``allow_multiple=False``).
+        - ``'list'``: one OUTPUT ROW per (target, match) with ``cut_idx``
+          giving the match rank — the Dataset-idiomatic explosion of the
+          reference's per-row Python list.
+
+        Both sides must be linear; the source side carries its geometry in
+        ``xs/ys/ms`` ``list<double>`` columns. Matching uses the intersect
+        relation with ``enforce_edges=False`` (as the reference forces for
+        cutting). Route-atomic partitioning, like ``distribute``.
+        """
+        from linref_ray.kernels.geometry import (
+            merge_chains,
+            substring_by_m_many,
+        )
+
+        if target not in ("left", "right"):
+            raise ValueError("target must be 'left' or 'right'")
+        if multiple not in ("first", "last", "merge", "list", "raise"):
+            raise ValueError(f"invalid multiple policy {multiple!r}")
+        if self.left_lrs.is_point or self.right_lrs.is_point:
+            raise ValueError("both relation sides must be linear for cut")
+        tgt_left = target == "left"
+        geom_cols = (xs_col, ys_col, ms_col)
+        src_names = (self.right if tgt_left else self.left).schema().names
+        missing = [c for c in geom_cols if c not in src_names]
+        if missing:
+            raise ValueError(f"source side lacks geometry columns {missing}")
+        carry_schema = {c: pa.list_(pa.float64()) for c in geom_cols}
+        lp = _prepare_side(
+            self.left, self.left_lrs, 0, self.id_col,
+            () if tgt_left else geom_cols, self.num_partitions,
+            carry_schema, None,
+        )
+        rp = _prepare_side(
+            self.right, self.right_lrs, 1, self.right_id_col,
+            geom_cols if tgt_left else (), self.num_partitions,
+            carry_schema, None,
+        )
+        id_col = self.id_col if tgt_left else self.right_id_col
+        l_closed, r_closed = self.left_lrs.closed, self.right_lrs.closed
+
+        def _empty() -> pa.Table:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cut_idx": pa.array([], pa.int64()),
+                    "xs": pa.array([], pa.list_(pa.float64())),
+                    "ys": pa.array([], pa.list_(pa.float64())),
+                    "ms": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return _empty()
+            key = _np(tbl, KEYCOL)
+            side = _np(tbl, SIDE)
+            beg = _np(tbl, "beg")
+            end = _np(tbl, "end")
+            ids = _np(tbl, IDCOL)
+            gx = tbl[xs_col].to_pylist()
+            gy = tbl[ys_col].to_pylist()
+            gm = tbl[ms_col].to_pylist()
+            order = np.lexsort([ids, end, beg, side, key])
+            key_s, side_s = key[order], side[order]
+            out_ids: list[int] = []
+            out_idx: list[int] = []
+            out_geoms: list[tuple | None] = []
+
+            def emit_unmatched(rows: np.ndarray) -> None:
+                for row in rows:
+                    out_ids.append(int(ids[row]))
+                    out_idx.append(0)
+                    out_geoms.append(None)
+
+            for a, z in iter_group_segments(key_s):
+                split = a + int(np.searchsorted(side_s[a:z], 1))
+                lseg, rseg = order[a:split], order[split:z]
+                tseg, sseg = (lseg, rseg) if tgt_left else (rseg, lseg)
+                nt, ns = len(tseg), len(sseg)
+                if nt == 0:
+                    continue
+                if ns == 0:
+                    emit_unmatched(tseg)
+                    continue
+                li, ri = intersect_linear_linear_pairs(
+                    beg[lseg], end[lseg], beg[rseg], end[rseg],
+                    l_closed, r_closed, False,
+                    modified_edges_sorted(beg[lseg], end[lseg], l_closed),
+                    modified_edges_sorted(beg[rseg], end[rseg], r_closed),
+                )
+                ti, si = (li, ri) if tgt_left else (ri, li)
+                po = np.lexsort([si, ti])
+                ti, si = ti[po], si[po]
+                counts = np.bincount(ti, minlength=nt)
+                if multiple == "raise" and (counts > 1).any():
+                    raise ValueError(
+                        "multiple intersecting geometries found with "
+                        "multiple='raise' for cut"
+                    )
+                firsts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                if multiple in ("first", "last", "raise"):
+                    matched = np.flatnonzero(counts > 0)
+                    pick = (
+                        firsts[matched]
+                        if multiple != "last"
+                        else firsts[matched] + counts[matched] - 1
+                    )
+                    keep_t, keep_s = ti[pick], si[pick]
+                    keep_idx = np.zeros(len(pick), np.int64)
+                else:
+                    keep_t, keep_s = ti, si
+                    keep_idx = np.arange(len(ti)) - firsts[ti]
+                # Substring per unique source, vectorized over its targets
+                # (per-geometry looping is inherent to variable-length
+                # polyline payloads; the cut math itself is the vectorized
+                # substring kernel).
+                res: list[tuple | None] = [None] * len(keep_t)
+                for s in np.unique(keep_s):
+                    rows = np.flatnonzero(keep_s == s)
+                    src_row = sseg[s]
+                    sx = np.asarray(gx[src_row], dtype=np.float64)
+                    sy = np.asarray(gy[src_row], dtype=np.float64)
+                    sm = np.asarray(gm[src_row], dtype=np.float64)
+                    tr = tseg[keep_t[rows]]
+                    ln, fx, fy, fm = substring_by_m_many(
+                        sx, sy, sm, beg[tr], end[tr]
+                    )
+                    offs = np.concatenate(([0], np.cumsum(ln)))
+                    for j, r in enumerate(rows):
+                        res[r] = (
+                            fx[offs[j] : offs[j + 1]],
+                            fy[offs[j] : offs[j + 1]],
+                            fm[offs[j] : offs[j + 1]],
+                        )
+                if multiple == "merge":
+                    for tloc in np.unique(keep_t):
+                        rows = np.flatnonzero(keep_t == tloc)
+                        merged = _merge_cut_pieces(
+                            [res[r] for r in rows], merge_chains
+                        )
+                        out_ids.append(int(ids[tseg[tloc]]))
+                        out_idx.append(0)
+                        out_geoms.append(merged)
+                else:
+                    for j in range(len(keep_t)):
+                        out_ids.append(int(ids[tseg[keep_t[j]]]))
+                        out_idx.append(int(keep_idx[j]))
+                        out_geoms.append(res[j])
+                emit_unmatched(tseg[np.flatnonzero(counts == 0)])
+            if not out_ids:
+                return _empty()
+            lens = np.array(
+                [0 if g is None else len(g[0]) for g in out_geoms], np.int64
+            )
+            valid = np.array([g is not None for g in out_geoms], bool)
+            off = np.concatenate(([0], np.cumsum(lens)))
+            if valid.all():
+                offsets = pa.array(off, pa.int64())
+            else:
+                offsets = pa.array(
+                    off, pa.int64(),
+                    mask=np.concatenate([~valid, [False]]),
+                )
+
+            def lst(part: int) -> pa.Array:
+                flat = (
+                    np.concatenate([g[part] for g in out_geoms if g is not None])
+                    if valid.any()
+                    else np.empty(0, np.float64)
+                )
+                return pa.LargeListArray.from_arrays(
+                    offsets, pa.array(flat, pa.float64())
+                ).cast(pa.list_(pa.float64()))
+
+            return pa.table(
+                {
+                    id_col: pa.array(out_ids, pa.int64()),
+                    "cut_idx": pa.array(out_idx, pa.int64()),
+                    "xs": lst(0),
+                    "ys": lst(1),
+                    "ms": lst(2),
+                }
+            )
+
+        return (
+            lp.union(rp)
+            .repartition(self.num_partitions)
+            .groupby(PID)
+            .map_groups(kernel, batch_format="pyarrow")
+        )
+
+
+def _merge_cut_pieces(pieces: list, merge_chains) -> tuple:
+    """Chain cut fragments into one polyline (reference ``line_merge_m`` with
+    ``allow_multiple=False``): order by terminus matching, drop the
+    duplicated junction vertex of each appended fragment, raise if the
+    pieces do not form a single contiguous chain."""
+    if len(pieces) == 1:
+        return pieces[0]
+    first_pts = np.array([[p[0][0], p[1][0]] for p in pieces])
+    last_pts = np.array([[p[0][-1], p[1][-1]] for p in pieces])
+    chain_id, pos = merge_chains(first_pts, last_pts)
+    if int(chain_id.max()) > 0:
+        raise ValueError(
+            "cut pieces do not merge into a single contiguous geometry "
+            "(multiple='merge' requires one chain, as the reference's "
+            "line_merge_m with allow_multiple=False)"
+        )
+    order = np.argsort(pos)
+    xs_p: list[np.ndarray] = []
+    ys_p: list[np.ndarray] = []
+    ms_p: list[np.ndarray] = []
+    for j, idx in enumerate(order):
+        px, py, pm = pieces[idx]
+        if j > 0:
+            px, py, pm = px[1:], py[1:], pm[1:]
+        xs_p.append(px)
+        ys_p.append(py)
+        ms_p.append(pm)
+    return np.concatenate(xs_p), np.concatenate(ys_p), np.concatenate(ms_p)
+
 
 def value_counts_wide(
     vc: ray.data.Dataset,

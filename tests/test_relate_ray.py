@@ -354,6 +354,110 @@ class TestTargetRight:
         assert right_t.sum() == pytest.approx(4.0)
 
 
+class TestRelationCut:
+    """Relation.cut multiple-match policies (reference relate.py:1623-1724).
+
+    Route '1': two contiguous source fragments S10 [0,5] / S11 [5,10] on
+    y=0 plus a parallel overlapping source S12 [2,8] on y=1. Target T0
+    [3,7] intersects all three; T2 [0,1] only S10.
+    """
+
+    def _relation(self, targets_rows, multiple_sources=True):
+        tgt = rd.from_pandas(pd.DataFrame(targets_rows))
+        src_rows = [
+            dict(event_id=10, route="1", beg=0.0, end=5.0,
+                 xs=[0.0, 1, 2, 3, 4, 5], ys=[0.0] * 6,
+                 ms=[0.0, 1, 2, 3, 4, 5]),
+            dict(event_id=11, route="1", beg=5.0, end=10.0,
+                 xs=[5.0, 6, 7, 8, 9, 10], ys=[0.0] * 6,
+                 ms=[5.0, 6, 7, 8, 9, 10]),
+        ]
+        if multiple_sources:
+            src_rows.append(
+                dict(event_id=12, route="1", beg=2.0, end=8.0,
+                     xs=[2.0, 5.0, 8.0], ys=[1.0] * 3, ms=[2.0, 5.0, 8.0])
+            )
+        src = rd.from_pandas(pd.DataFrame(src_rows))
+        lrs = LRS(key_col=("route",))
+        return Relation(tgt, src, lrs, num_partitions=4)
+
+    def test_first_and_clipping(self, ray_session):
+        rel = self._relation(
+            [dict(event_id=0, route="1", beg=3.0, end=7.0)]
+        )
+        out = rel.cut(multiple="first").to_pandas()
+        assert len(out) == 1
+        # First source in standard order is S10 [0,5]; the [3,7] window
+        # clips to its extent.
+        assert out["xs"][0] == pytest.approx([3.0, 4.0, 5.0])
+        assert out["ms"][0] == pytest.approx([3.0, 4.0, 5.0])
+        assert out["ys"][0] == pytest.approx([0.0, 0.0, 0.0])
+
+    def test_last(self, ray_session):
+        rel = self._relation(
+            [dict(event_id=0, route="1", beg=3.0, end=7.0)]
+        )
+        out = rel.cut(multiple="last").to_pandas()
+        # Standard order is (beg, end, id): S10 (0,5), S12 (2,8), S11
+        # (5,10) — last intersecting is S11, clipped to [5,7].
+        assert out["ms"][0] == pytest.approx([5.0, 6.0, 7.0])
+        assert out["ys"][0] == pytest.approx([0.0, 0.0, 0.0])
+
+    def test_list_explodes_with_rank(self, ray_session):
+        rel = self._relation(
+            [dict(event_id=0, route="1", beg=3.0, end=7.0)]
+        )
+        out = (
+            rel.cut(multiple="list")
+            .to_pandas()
+            .sort_values("cut_idx")
+            .reset_index(drop=True)
+        )
+        assert out.cut_idx.tolist() == [0, 1, 2]
+        assert out.event_id.tolist() == [0, 0, 0]
+        assert out["ms"][0] == pytest.approx([3.0, 4.0, 5.0])  # S10 clip
+        assert out["ms"][1] == pytest.approx([3.0, 5.0, 7.0])  # S12
+        assert out["ms"][2] == pytest.approx([5.0, 6.0, 7.0])  # S11 clip
+
+    def test_merge_contiguous(self, ray_session):
+        rel = self._relation(
+            [dict(event_id=0, route="1", beg=3.0, end=7.0)],
+            multiple_sources=False,
+        )
+        out = rel.cut(multiple="merge").to_pandas()
+        assert len(out) == 1
+        assert out["xs"][0] == pytest.approx([3.0, 4.0, 5.0, 6.0, 7.0])
+        assert out["ms"][0] == pytest.approx([3.0, 4.0, 5.0, 6.0, 7.0])
+
+    def test_merge_discontiguous_raises(self, ray_session):
+        rel = self._relation(
+            [dict(event_id=0, route="1", beg=3.0, end=7.0)]
+        )
+        with pytest.raises(Exception, match="contiguous"):
+            rel.cut(multiple="merge").to_pandas()
+
+    def test_raise_policy(self, ray_session):
+        ok = self._relation([dict(event_id=2, route="1", beg=0.0, end=1.0)])
+        out = ok.cut(multiple="raise").to_pandas()
+        assert out["ms"][0] == pytest.approx([0.0, 1.0])
+        bad = self._relation([dict(event_id=0, route="1", beg=3.0, end=7.0)])
+        with pytest.raises(Exception, match="[Mm]ultiple"):
+            bad.cut(multiple="raise").to_pandas()
+
+    def test_unmatched_target_null_geometry(self, ray_session):
+        rel = self._relation(
+            [
+                dict(event_id=0, route="1", beg=3.0, end=4.0),
+                dict(event_id=1, route="99", beg=0.0, end=1.0),
+            ]
+        )
+        out = rel.cut(multiple="first").to_pandas().set_index("event_id")
+        assert out.loc[0, "ms"] == pytest.approx([3.0, 4.0])
+        assert out.loc[1, "xs"] is None or (
+            isinstance(out.loc[1, "xs"], float) and np.isnan(out.loc[1, "xs"])
+        )
+
+
 class TestSaltedSkew:
     def test_salted_parity_on_synthetic_network(self, ray_session):
         """Salted path on the Zipf-skewed synthetic network (mega-route)
