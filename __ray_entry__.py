@@ -543,10 +543,19 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Hyperplane-LSH near-dup at the SAME threshold (0.4) as the exact
+    twin below, so LSH recall is measurable against the twin's oracled
+    ground truth (rows here / rows of `embedding_neardup_exact`; every LSH
+    pair is exact-cosine verified, so precision is 1.0 by construction).
+    Recall figures are recorded in BASELINE.md."""
     from linref_ray.similarity import embedding_near_duplicates
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_near_duplicates(emb, threshold=0.8, num_partitions=NPARTS)
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = embedding_near_duplicates(
+        emb, threshold=0.4, lsh_planes=4, lsh_sets=16, num_partitions=NPARTS
+    )
     return _round_cols(out, {"cosine": 6})
 
 

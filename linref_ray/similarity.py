@@ -123,6 +123,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     num_partitions: int = 16,
     lsh_planes: int = 12,
+    lsh_sets: int = 1,
     seed: int = 11,
     max_bucket: int = 4096,
 ) -> ray.data.Dataset:
@@ -131,27 +132,45 @@ def embedding_near_duplicates(
     Vectors hash to a sign-pattern bucket (Charikar SimHash for vectors);
     exact cosine is verified within buckets — tiled so per-task scratch is
     bounded, with hot buckets degrading to logged chain pairs at
-    ``max_bucket``. Emits (id_a, id_b, cosine) with id_a < id_b. Recall is
-    per-bucket (standard LSH trade-off) — multiple plane sets can be OR-ed
-    for higher recall.
+    ``max_bucket``. Emits (id_a, id_b, cosine) with id_a < id_b.
+
+    ``lsh_sets`` ORs multiple independent plane sets (banding): each vector
+    lands in one bucket PER SET and a pair is a candidate if ANY set
+    agrees, so recall ≈ 1-(1-p^planes)^sets for per-plane agreement p —
+    the lever for moderate thresholds where a single sign-pattern's recall
+    collapses (p^planes). Cross-set duplicate pairs are merged by a final
+    (id_a, id_b) groupby. Precision stays 1.0: every candidate is
+    exact-cosine verified in-bucket.
     """
-    rng = np.random.Generator(np.random.PCG64(seed))
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def bucket(t: pa.Table) -> pa.Table:
         m = _to_matrix(t[vec_col])
-        d = m.shape[1]
+        n, d = m.shape
         if d not in planes_by_dim:
             planes_by_dim[d] = np.random.Generator(
                 np.random.PCG64(seed)
-            ).normal(size=(d, lsh_planes))
+            ).normal(size=(d, lsh_planes * lsh_sets))
         signs = (m @ planes_by_dim[d]) > 0
-        code = (signs * (1 << np.arange(lsh_planes))).sum(axis=1)
+        weights = 1 << np.arange(lsh_planes)
+        codes = np.empty((n, lsh_sets), np.int64)
+        for s in range(lsh_sets):
+            seg = signs[:, s * lsh_planes : (s + 1) * lsh_planes]
+            codes[:, s] = (seg * weights).sum(axis=1) + (s << lsh_planes)
+        if lsh_sets == 1:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    vec_col: t[vec_col],
+                    "__bucket": pa.array(codes[:, 0]),
+                }
+            )
+        take = pa.array(np.repeat(np.arange(n), lsh_sets))
         return pa.table(
             {
-                id_col: t[id_col],
-                vec_col: t[vec_col],
-                "__bucket": pa.array(code.astype(np.int64)),
+                id_col: t[id_col].take(take),
+                vec_col: t[vec_col].take(take),
+                "__bucket": pa.array(codes.ravel()),
             }
         )
 
@@ -208,7 +227,7 @@ def embedding_near_duplicates(
             }
         )
 
-    return (
+    out = (
         embeddings.map_batches(bucket, batch_format="pyarrow")
         # Coalesce before the sort-based groupby shuffle — many tiny read
         # blocks otherwise pay the fixed per-block exchange cost (same fix
@@ -217,6 +236,17 @@ def embedding_near_duplicates(
         .groupby("__bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
+    if lsh_sets > 1:
+        from ray.data.aggregate import Min
+
+        # Merge pairs found by more than one plane set (cosine is the same
+        # deterministic dot product in every bucket).
+        out = (
+            out.repartition(max(num_partitions // 2, 2))
+            .groupby(["id_a", "id_b"])
+            .aggregate(Min("cosine", alias_name="cosine"))
+        )
+    return out
 
 
 def kmeans_centroids(

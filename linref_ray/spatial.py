@@ -348,19 +348,22 @@ def tile_histogram(
     Select only the tiny (ix, iy) columns before the shuffle.
     """
     with_cells = assign_cells(ds, res, x_col, y_col)
-    from ray.data.aggregate import Count
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        g = (
-            t.select(["ix", "iy"])
-            .to_pandas()
-            .groupby(["ix", "iy"], sort=False)
-            .size()
-            .reset_index(name="__n")
+        # Packed-key combiner (same formulation as the flagship tile path,
+        # images.py): grid indices fit in 32 bits, so one np.unique over
+        # the packed int64 replaces the pandas groupby round-trip.
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        packed = (ix << np.int64(32)) | (iy & np.int64(0xFFFFFFFF))
+        _, first, n = np.unique(packed, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "ix": pa.array(ix[first]),
+                "iy": pa.array(iy[first]),
+                "__n": pa.array(n.astype(np.int64)),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     # Pre-aggregate per batch (combiner), then a tiny final groupby.
     partials = with_cells.map_batches(partial, batch_format="pyarrow")
