@@ -64,53 +64,133 @@ def bpe_token_counts(
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
+_STOPWORDS = (
+    "the", "and", "of", "a", "to", "in", "is", "it", "that",
+    "for", "on", "as", "with",
+)
+
+
+def _quality_features(texts: list[str]) -> dict[str, np.ndarray] | None:
+    """Vectorized quality features over a whole batch: one utf-32 decode,
+    then char-class masks + run detection + per-doc prefix sums — no
+    per-char or per-word Python. Char classes are the ASCII RE2 classes of
+    the reference SQL spec (``[A-Za-z]+`` words, ``[\\w\\s]`` / ``[A-Z]``
+    ratios). Word identity uses 64-bit FNV hashes (collision odds are
+    ~n²/2⁶⁴ — negligible). Returns None if a text contains NUL (the
+    batch separator) — caller falls back to the scalar path.
+    """
+    from linref_ray.kernels.hashing import _fnv1a_segments, _hash_tokens_u64
+
+    n = len(texts)
+    cp = np.frombuffer(
+        "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
+    )
+    sep_pos = np.flatnonzero(cp == 0)
+    if len(sep_pos) != n - 1:
+        return None
+    bounds = np.concatenate((sep_pos, [len(cp)]))
+    doc_starts = np.concatenate(([0], sep_pos + 1))
+    n_chars = bounds - doc_starts
+    lower32 = cp | np.uint32(32)
+    is_alpha = (lower32 >= 97) & (lower32 <= 122)
+    is_upper = (cp >= 65) & (cp <= 90)
+    is_word_ch = is_alpha | ((cp >= 48) & (cp <= 57)) | (cp == 95)
+    is_space = (cp == 32) | ((cp >= 9) & (cp <= 13))
+    is_punct = ~(is_word_ch | is_space) & (cp != 0)
+
+    def per_doc(mask: np.ndarray) -> np.ndarray:
+        pref = np.concatenate(([0], np.cumsum(mask)))
+        return pref[bounds] - pref[doc_starts]
+
+    denom_c = np.maximum(n_chars, 1).astype(np.float64)
+    # Word runs of [A-Za-z]+ (separators are never alpha, so runs cannot
+    # cross doc boundaries).
+    prev = np.concatenate(([False], is_alpha[:-1]))
+    nxt = np.concatenate((is_alpha[1:], [False]))
+    ws = np.flatnonzero(is_alpha & ~prev)
+    we = np.flatnonzero(is_alpha & ~nxt)
+    w_len = we - ws + 1
+    w_doc = np.searchsorted(sep_pos, ws)
+    n_words = np.bincount(w_doc, minlength=n)
+    denom_w = np.maximum(n_words, 1).astype(np.float64)
+    sum_wlen = np.bincount(w_doc, weights=w_len, minlength=n)
+    # Word hashes over the gathered alpha chars (runs stay contiguous).
+    alpha_rank = np.cumsum(is_alpha)
+    starts_flat = (alpha_rank[ws] - 1) if len(ws) else np.empty(0, np.int64)
+    flat_cs = cp[is_alpha].astype(np.uint8)
+    flat_lo = (lower32[is_alpha]).astype(np.uint8)
+    h_cs = _fnv1a_segments(flat_cs, starts_flat, w_len)
+    h_lo = _fnv1a_segments(flat_lo, starts_flat, w_len)
+    stop_h = _hash_tokens_u64(list(_STOPWORDS))
+    n_stop = np.bincount(
+        w_doc, weights=np.isin(h_lo, stop_h), minlength=n
+    )
+    order = np.lexsort((h_cs, w_doc))
+    d_s, h_s = w_doc[order], h_cs[order]
+    uniq = (
+        np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]))
+        )
+        if len(d_s)
+        else np.zeros(0, bool)
+    )
+    n_dist = np.bincount(d_s[uniq], minlength=n)
+    return {
+        "n_chars": n_chars.astype(np.int64),
+        "mean_word_len": np.where(n_words > 0, sum_wlen / denom_w, 0.0),
+        "punct_ratio": per_doc(is_punct) / denom_c,
+        "upper_ratio": per_doc(is_upper) / denom_c,
+        "stop_ratio": n_stop / denom_w,
+        "rep_ratio": 1.0 - n_dist / denom_w,
+    }
+
+
 def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Heuristic quality features per doc: length, mean word length,
-    punctuation ratio, uppercase ratio, stopword ratio, repetition ratio."""
+    punctuation ratio, uppercase ratio, stopword ratio, repetition ratio.
+    Fully vectorized (see :func:`_quality_features`); a rare batch
+    containing NUL chars falls back to a per-doc scalar path with the
+    same ASCII-class semantics."""
+    import re
 
-    class Scorer:
-        def __init__(self):
-            import re
+    word_re = re.compile(r"[A-Za-z]+")
+    punct_re = re.compile(r"[^0-9A-Za-z_ \t\n\r\f\v]")
+    upper_re = re.compile(r"[A-Z]")
+    stop = set(_STOPWORDS)
 
-            self.word = re.compile(r"[A-Za-z]+")
-            self.punct = re.compile(r"[^\w\s]")
-            self.stop = {
-                "the", "and", "of", "a", "to", "in", "is", "it", "that",
-                "for", "on", "as", "with",
-            }
+    def scalar(texts: list[str]) -> dict[str, np.ndarray]:
+        n = len(texts)
+        out = {
+            "n_chars": np.empty(n, np.int64),
+            "mean_word_len": np.empty(n),
+            "punct_ratio": np.empty(n),
+            "upper_ratio": np.empty(n),
+            "stop_ratio": np.empty(n),
+            "rep_ratio": np.empty(n),
+        }
+        for i, s in enumerate(texts):
+            words = word_re.findall(s)
+            nw = max(len(words), 1)
+            out["n_chars"][i] = len(s)
+            out["mean_word_len"][i] = (
+                sum(map(len, words)) / nw if words else 0.0
+            )
+            out["punct_ratio"][i] = len(punct_re.findall(s)) / max(len(s), 1)
+            out["upper_ratio"][i] = len(upper_re.findall(s)) / max(len(s), 1)
+            out["stop_ratio"][i] = sum(w.lower() in stop for w in words) / nw
+            out["rep_ratio"][i] = 1.0 - len(set(words)) / nw
+        return out
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t["text"].to_pylist()
-            n = len(texts)
-            out = {
-                "n_chars": np.empty(n, np.int64),
-                "mean_word_len": np.empty(n),
-                "punct_ratio": np.empty(n),
-                "upper_ratio": np.empty(n),
-                "stop_ratio": np.empty(n),
-                "rep_ratio": np.empty(n),
-            }
-            for i, s in enumerate(texts):
-                words = self.word.findall(s)
-                nw = max(len(words), 1)
-                out["n_chars"][i] = len(s)
-                out["mean_word_len"][i] = (
-                    sum(map(len, words)) / nw if words else 0.0
-                )
-                out["punct_ratio"][i] = len(self.punct.findall(s)) / max(len(s), 1)
-                out["upper_ratio"][i] = sum(c.isupper() for c in s) / max(len(s), 1)
-                out["stop_ratio"][i] = (
-                    sum(w.lower() in self.stop for w in words) / nw
-                )
-                out["rep_ratio"][i] = 1.0 - len(set(words)) / nw
-            cols = {"doc_id": t["doc_id"]}
-            cols.update({k: pa.array(v) for k, v in out.items()})
-            return pa.table(cols)
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        feats = _quality_features(texts)
+        if feats is None:
+            feats = scalar(texts)
+        cols = {"doc_id": t["doc_id"]}
+        cols.update({k: pa.array(v) for k, v in feats.items()})
+        return pa.table(cols)
 
-    return docs.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=1024, concurrency=2,
-        num_cpus=1,
-    )
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
 
 _LANG_MARKERS = {

@@ -238,6 +238,47 @@ class TestHashing:
             assert (sigs[i] == sref).all(), f"signature differs for doc {i}"
             assert (keys[i] == lsh_bands(sref, 16)).all(), f"bands doc {i}"
 
+    def test_quality_features_vectorized_matches_scalar(self):
+        """The batch codepoint kernel must match a straightforward per-doc
+        computation of the same ASCII-class spec on every edge case."""
+        import re
+
+        from linref_ray.text import _STOPWORDS, _quality_features
+
+        texts = [
+            "The quick brown Fox, JUMPED over 2 lazy dogs!!",
+            "",
+            "    ",
+            "12345 _under_ %%%",
+            "the the the and and of",
+            "word " * 50 + "unique",
+            "Tabs\tand\nnewlines\r\nhere",
+        ]
+        feats = _quality_features(texts)
+        word_re = re.compile(r"[A-Za-z]+")
+        punct_re = re.compile(r"[^0-9A-Za-z_ \t\n\r\f\v]")
+        upper_re = re.compile(r"[A-Z]")
+        for i, s in enumerate(texts):
+            words = word_re.findall(s)
+            nw = max(len(words), 1)
+            assert feats["n_chars"][i] == len(s)
+            exp_mean = sum(map(len, words)) / nw if words else 0.0
+            assert feats["mean_word_len"][i] == pytest.approx(exp_mean)
+            assert feats["punct_ratio"][i] == pytest.approx(
+                len(punct_re.findall(s)) / max(len(s), 1)
+            )
+            assert feats["upper_ratio"][i] == pytest.approx(
+                len(upper_re.findall(s)) / max(len(s), 1)
+            )
+            assert feats["stop_ratio"][i] == pytest.approx(
+                sum(w.lower() in set(_STOPWORDS) for w in words) / nw
+            )
+            assert feats["rep_ratio"][i] == pytest.approx(
+                1.0 - len(set(words)) / nw
+            )
+        # NUL-containing batch falls back (returns None)
+        assert _quality_features(["a\x00b"]) is None
+
     def test_rolling_fingerprint_overlap_for_shared_content(self):
         base = "shared content block that is long enough to fingerprint " * 4
         f1 = rolling_fingerprint(base + " suffix one")
