@@ -1,9 +1,17 @@
-"""Event value profiles for weighted overlay.
+"""Overlay weight shaping along normalized event positions.
 
-Reimplements the reference's profile math (linref ``events/profile.py``):
-closed-form antiderivatives of the uniform / triangular / parabolic /
-trapezoidal shape functions, each normalized so the integral over [0, 1] is
-1.0. Profiles are plain objects cloudpickled to workers by Ray.
+A *shape* assigns relative weight ``f(u)`` to the normalized position
+``u ∈ [0, 1]`` along a source event; profile-weighted overlay then uses the
+definite integral of ``f`` over the overlapped sub-range in place of the
+plain length fraction. Every shape is expressed through its antiderivative
+``F`` (with ``F(0) = 0`` and ``F(1) = 1``, so a full-event overlap weighs
+exactly 1), which is also what makes window-clipped weights additive across
+salted measure buckets — the invariant the salted overlay path relies on.
+
+The shape functions match the reference's profile math numerically (linref
+``events/profile.py`` — parity required for byte-equal overlay results);
+the implementation is closure-based rather than a class-per-shape
+hierarchy.
 """
 
 from __future__ import annotations
@@ -11,120 +19,113 @@ from __future__ import annotations
 import numpy as np
 
 
-class EventProfile:
-    """Base profile; subclasses implement ``_integral(a, b)`` on [0,1]."""
+class ShapeProfile:
+    """A weight shape bundled as (value, antiderivative) closures.
 
-    def __call__(self, t):
-        t = np.asarray(t, dtype=float)
-        if np.any(t < 0) or np.any(t > 1):
-            raise ValueError("Profile positions must be in [0, 1].")
-        return self._evaluate(t)
+    ``shape(u)`` evaluates the density; ``shape.integral(lo, hi)`` is the
+    definite integral — the only method the overlay kernel calls.
+    """
 
-    def integral(self, a, b):
-        a = np.asarray(a, dtype=float)
-        b = np.asarray(b, dtype=float)
-        return self._integral(a, b)
+    __slots__ = ("name", "_value", "_accum")
 
-    def _evaluate(self, t):
-        raise NotImplementedError
+    def __init__(self, name: str, value, accum):
+        self.name = name
+        self._value = value
+        self._accum = accum
 
-    def _integral(self, a, b):
-        raise NotImplementedError
+    def __call__(self, u):
+        u = np.asarray(u, dtype=np.float64)
+        if ((u < 0.0) | (u > 1.0)).any():
+            raise ValueError(
+                f"shape position outside the unit range for {self.name!r}"
+            )
+        return self._value(u)
 
-    def __repr__(self):
-        return f"{self.__class__.__name__}()"
+    def integral(self, lo, hi):
+        lo = np.asarray(lo, dtype=np.float64)
+        hi = np.asarray(hi, dtype=np.float64)
+        return self._accum(hi) - self._accum(lo)
 
-
-class UniformProfile(EventProfile):
-    """f(t) = 1."""
-
-    def _evaluate(self, t):
-        return np.ones_like(t)
-
-    def _integral(self, a, b):
-        return b - a
+    def __repr__(self) -> str:
+        return f"<shape {self.name}>"
 
 
-class TriangularProfile(EventProfile):
-    """Peak at center: f(t) = 4t (t<0.5), 4(1-t) otherwise."""
-
-    def _evaluate(self, t):
-        return np.where(t < 0.5, 4.0 * t, 4.0 * (1.0 - t))
-
-    @staticmethod
-    def _antideriv(t):
-        return np.where(t < 0.5, 2.0 * t**2, -2.0 * t**2 + 4.0 * t - 1.0)
-
-    def _integral(self, a, b):
-        return self._antideriv(b) - self._antideriv(a)
+def _flat_shape() -> ShapeProfile:
+    # f(u) = 1: the default length-fraction weighting.
+    return ShapeProfile("uniform", lambda u: np.ones_like(u), lambda u: u)
 
 
-class ParabolicProfile(EventProfile):
-    """Smooth peak: f(t) = 6t(1-t)."""
+def _peak_shape() -> ShapeProfile:
+    # Linear rise to a center peak and back: f(u) = 4u rising, 4(1-u)
+    # falling (area-normalized).
+    def value(u):
+        return np.where(u < 0.5, 4.0 * u, 4.0 * (1.0 - u))
 
-    def _evaluate(self, t):
-        return 6.0 * t * (1.0 - t)
+    def accum(u):
+        return np.where(u < 0.5, 2.0 * u * u, 4.0 * u - 2.0 * u * u - 1.0)
 
-    @staticmethod
-    def _antideriv(t):
-        return 3.0 * t**2 - 2.0 * t**3
-
-    def _integral(self, a, b):
-        return self._antideriv(b) - self._antideriv(a)
+    return ShapeProfile("triangular", value, accum)
 
 
-class TrapezoidalProfile(EventProfile):
-    """Flat center with linear ramps of width ``ramp`` on each side."""
+def _dome_shape() -> ShapeProfile:
+    # Smooth quadratic dome: f(u) = 6u(1-u); F(u) = u²(3 - 2u).
+    return ShapeProfile(
+        "parabolic",
+        lambda u: 6.0 * u * (1.0 - u),
+        lambda u: u * u * (3.0 - 2.0 * u),
+    )
 
-    def __init__(self, ramp: float = 0.25):
-        if not (0 < ramp <= 0.5):
-            raise ValueError(f"ramp must satisfy 0 < ramp <= 0.5, got {ramp}")
-        self.ramp = ramp
-        self._scale = 1.0 / (1.0 - ramp)
 
-    def _evaluate(self, t):
-        r = self.ramp
-        res = np.where(t < r, t / r, np.where(t > 1.0 - r, (1.0 - t) / r, 1.0))
-        return res * self._scale
+def _ramped_shape(ramp: float = 0.25) -> ShapeProfile:
+    # Plateau with linear ramps of width ``ramp`` at both ends; plateau
+    # height 1/(1-ramp) normalizes the area to 1.
+    if not (0.0 < ramp <= 0.5):
+        raise ValueError(
+            f"trapezoid ramp width must lie in (0, 0.5], got {ramp}"
+        )
+    h = 1.0 / (1.0 - ramp)
 
-    def _antideriv(self, t):
-        r, s = self.ramp, self._scale
+    def value(u):
+        return h * np.clip(np.minimum(u, 1.0 - u) / ramp, 0.0, 1.0)
+
+    def accum(u):
+        tail = 1.0 - u
         return np.where(
-            t < r,
-            s * t**2 / (2.0 * r),
+            u < ramp,
+            h * u * u / (2.0 * ramp),
             np.where(
-                t <= 1.0 - r,
-                s * (t - r / 2.0),
-                s * (1.0 - r - (1.0 - t) ** 2 / (2.0 * r)),
+                u <= 1.0 - ramp,
+                h * (u - 0.5 * ramp),
+                1.0 - h * tail * tail / (2.0 * ramp),
             ),
         )
 
-    def _integral(self, a, b):
-        return self._antideriv(b) - self._antideriv(a)
-
-    def __repr__(self):
-        return f"TrapezoidalProfile(ramp={self.ramp})"
+    return ShapeProfile(f"trapezoidal(ramp={ramp})", value, accum)
 
 
-PROFILE_REGISTRY: dict[str, type[EventProfile]] = {
-    "uniform": UniformProfile,
-    "triangular": TriangularProfile,
-    "parabolic": ParabolicProfile,
-    "trapezoidal": TrapezoidalProfile,
+PROFILE_REGISTRY = {
+    "uniform": _flat_shape,
+    "triangular": _peak_shape,
+    "parabolic": _dome_shape,
+    "trapezoidal": _ramped_shape,
 }
 
 
-def resolve_profile(profile):
-    """None / name / instance → EventProfile | None (``profile.py:228-269``)."""
-    if profile is None:
+def resolve_profile(spec) -> ShapeProfile | None:
+    """``None`` → ``None``; a registry name → fresh shape; a
+    :class:`ShapeProfile` passes through unchanged."""
+    if spec is None:
         return None
-    if isinstance(profile, EventProfile):
-        return profile
-    if isinstance(profile, str):
-        key = profile.lower()
-        if key not in PROFILE_REGISTRY:
+    if isinstance(spec, ShapeProfile):
+        return spec
+    if isinstance(spec, str):
+        try:
+            return PROFILE_REGISTRY[spec.lower()]()
+        except KeyError:
             raise ValueError(
-                f"Unknown profile {profile!r}; available: {list(PROFILE_REGISTRY)}"
-            )
-        return PROFILE_REGISTRY[key]()
-    raise TypeError("profile must be None, a string, or an EventProfile")
+                f"no overlay shape named {spec!r} "
+                f"(have: {sorted(PROFILE_REGISTRY)})"
+            ) from None
+    raise TypeError(
+        "overlay profile must be None, a shape name, or a ShapeProfile"
+    )
