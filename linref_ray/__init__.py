@@ -12,6 +12,7 @@ are owned by the driver, ``bench.py``, or the test fixture.
 """
 
 from linref_ray.lrs import LRS, DEFAULT_LRS
+from linref_ray.options import get_default_lrs, options, set_default_lrs
 
 
 def __getattr__(name):
@@ -28,5 +29,13 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
-__all__ = ["LRS", "DEFAULT_LRS", "Events", "Relation"]
+__all__ = [
+    "LRS",
+    "DEFAULT_LRS",
+    "Events",
+    "Relation",
+    "options",
+    "set_default_lrs",
+    "get_default_lrs",
+]
 __version__ = "0.1.0"

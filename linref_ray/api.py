@@ -22,7 +22,18 @@ from linref_ray.lrs import LRS
 
 
 class Events:
-    def __init__(self, ds: ray.data.Dataset, lrs: LRS, id_col: str = "event_id"):
+    def __init__(
+        self,
+        ds: ray.data.Dataset,
+        lrs: LRS | None = None,
+        id_col: str = "event_id",
+    ):
+        if lrs is None:
+            # Package default (linref_ray.options / set_default_lrs) — the
+            # reference's ``options.default_lrs`` fallback.
+            from linref_ray.options import get_default_lrs
+
+            lrs = get_default_lrs()
         self.ds = ds
         self.lrs = lrs
         self.id_col = id_col

@@ -149,6 +149,66 @@ def check_exact_geoms(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def coords_from_shapely_m(geom, reverse: bool = False):
+    """Convert ONE shapely-style M-enabled geometry to ``(xs, ys, ms)``
+    float64 arrays — the struct-ingestion recipe for users arriving from
+    the reference's shapely surface (``ext/base.py:3381-3425``).
+
+    Works with any object exposing ``.coords`` yielding ``(x, y, m)`` or
+    ``(x, y, z, m)`` tuples — which is exactly shapely ≥ 2.1's LineString
+    with M — so no shapely import is required here (the engine itself is
+    deliberately shapely-free; geometry lives in Arrow ``list<double>``
+    columns). M values must be monotonic non-decreasing; pass
+    ``reverse=True`` to accept decreasing-M geometries by reversing them
+    (mirroring the reference's ``parse_geoms_m_shapely(reverse=...)``).
+    """
+    coords = np.asarray(list(geom.coords), dtype=np.float64)
+    if coords.ndim != 2 or coords.shape[1] not in (3, 4):
+        raise ValueError(
+            "geometry coords must be (x, y, m) or (x, y, z, m) tuples; "
+            f"got shape {coords.shape}"
+        )
+    xs, ys, ms = coords[:, 0], coords[:, 1], coords[:, -1]
+    if np.any(np.diff(ms) < 0):
+        if not reverse:
+            raise ValueError(
+                "M values must be monotonic non-decreasing; pass "
+                "reverse=True to accept reversed geometries"
+            )
+        xs, ys, ms = xs[::-1].copy(), ys[::-1].copy(), ms[::-1].copy()
+        if np.any(np.diff(ms) < 0):
+            raise ValueError(
+                "M values are not monotonic in either direction"
+            )
+    return xs, ys, ms
+
+
+def table_from_shapely_m(
+    records: list[dict],
+    geom_key: str = "geometry",
+    reverse: bool = False,
+) -> pa.Table:
+    """Driver-side ingestion helper: rows of ``{..., geometry: <shapely-M>}``
+    → an Arrow table with ``xs/ys/ms`` ``list<double>`` columns ready for
+    ``ray.data.from_arrow`` and every geometry operator in this engine.
+    (Per-object Python is inherent to opaque geometry objects — convert
+    once at ingest, then everything downstream is vectorized Arrow.)
+    """
+    if not records:
+        raise ValueError("records must be non-empty")
+    parsed = [coords_from_shapely_m(r[geom_key], reverse) for r in records]
+    cols: dict[str, pa.Array] = {}
+    for name in records[0]:
+        if name == geom_key:
+            continue
+        cols[name] = pa.array([r[name] for r in records])
+    for i, part in enumerate(("xs", "ys", "ms")):
+        cols[part] = pa.array(
+            [p[i].tolist() for p in parsed], pa.list_(pa.float64())
+        )
+    return pa.table(cols)
+
+
 def build_geom_m(ds: ray.data.Dataset, beg_col="beg", end_col="end") -> ray.data.Dataset:
     """Impute vertex M linearly in chord distance over [beg, end]
     (``ext/base.py:991-1036``; math ``geometry/linestring_m.py:348-372``)."""

@@ -169,3 +169,92 @@ class TestChaining:
         assert out.loc[3, "beg"] == 0.0 and out.loc[3, "end"] == 2.0
         assert out.loc[4, "beg"] == 2.0 and out.loc[4, "end"] == 5.0
         assert list(out.loc[4, "ms"]) == [2.0, 2.0, 5.0]
+
+
+class _FakeLineStringM:
+    """Stands in for shapely>=2.1 LineString-with-M: exposes .coords."""
+
+    def __init__(self, coords):
+        self.coords = coords
+
+
+class TestShapelyIngestion:
+    def test_coords_from_shapely_m_xym(self):
+        from linref_ray.geometry import coords_from_shapely_m
+
+        g = _FakeLineStringM([(0.0, 0.0, 0.0), (3.0, 4.0, 5.0)])
+        xs, ys, ms = coords_from_shapely_m(g)
+        assert xs.tolist() == [0.0, 3.0]
+        assert ms.tolist() == [0.0, 5.0]
+
+    def test_coords_from_shapely_m_xyzm_and_reverse(self):
+        from linref_ray.geometry import coords_from_shapely_m
+
+        g = _FakeLineStringM([(3.0, 4.0, 9.0, 5.0), (0.0, 0.0, 9.0, 0.0)])
+        with pytest.raises(ValueError, match="monotonic"):
+            coords_from_shapely_m(g)
+        xs, ys, ms = coords_from_shapely_m(g, reverse=True)
+        assert ms.tolist() == [0.0, 5.0]
+        assert xs.tolist() == [0.0, 3.0]
+
+    def test_table_from_shapely_m_feeds_engine(self, ray_session):
+        """Ingested shapely-M rows drive a real operator end-to-end."""
+        import ray.data as rd
+
+        from linref_ray.geometry import table_from_shapely_m
+        from linref_ray.lrs import LRS
+        from linref_ray.relate import Relation
+
+        tbl = table_from_shapely_m(
+            [
+                dict(
+                    event_id=10, route="1", beg=0.0, end=10.0,
+                    geometry=_FakeLineStringM(
+                        [(0.0, 0.0, 0.0), (10.0, 0.0, 10.0)]
+                    ),
+                )
+            ]
+        )
+        assert tbl.schema.field("xs").type == pa.list_(pa.float64())
+        targets = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [0], "route": ["1"], "beg": [2.0], "end": [4.0]}
+            )
+        )
+        rel = Relation(
+            targets, rd.from_arrow(tbl), LRS(key_col=("route",)),
+            num_partitions=2,
+        )
+        out = rel.cut(multiple="first").to_pandas()
+        assert out["ms"][0] == pytest.approx([2.0, 4.0])
+
+
+class TestOptions:
+    def test_set_default_lrs_and_events_fallback(self, ray_session):
+        import ray.data as rd
+
+        import linref_ray
+        from linref_ray.api import Events
+
+        try:
+            installed = linref_ray.set_default_lrs(
+                key_col=("route",), closed="right"
+            )
+            assert linref_ray.get_default_lrs() is installed
+            ds = rd.from_pandas(
+                pd.DataFrame(
+                    {"event_id": [0], "route": ["1"],
+                     "beg": [0.0], "end": [1.0]}
+                )
+            )
+            ev = Events(ds)  # no lrs argument → package default
+            assert ev.lrs is installed
+        finally:
+            linref_ray.options.reset()
+        assert linref_ray.get_default_lrs().closed == "left_mod"
+
+    def test_invalid_default_rejected(self):
+        import linref_ray
+
+        with pytest.raises(ValueError, match="LRS instance"):
+            linref_ray.options.default_lrs = "not-an-lrs"
