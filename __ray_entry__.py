@@ -713,17 +713,9 @@ def _q_distribute_right(sf_dir: str):
     return _int_micro_cols(out, {"score": 6})
 
 
-def _q_cut_merge(sf_dir: str):
-    """Relation cut with multiple='merge' (reference relate.py:1623-1724):
-    every route is tiled by 5-m straight-line fragments with integer-m
-    vertices, so each target's matched cuts are 1-3 contiguous pieces that
-    merge into one chain spanning exactly [beg, min(end, 4910)] — the
-    merged mileage is closed-form in SQL. (Vertex counts are NOT oracled:
-    the kernel's 1e-10 endpoint dedup makes them epsilon-sensitive.)"""
-    from linref_ray.relate import Relation
-
-    targets = _events_linear(sf_dir, 0)
-    hi = 4910
+def _tile_fragments(hi: int) -> rd.Dataset:
+    """Deterministic straight-line fragment geometries tiling every route:
+    [5k, 5k+5] with integer-m vertices, xs = m, ys = route index."""
     tiles = hi // 5
     n = 32 * tiles
     rid = np.repeat(np.arange(32), tiles)
@@ -735,7 +727,7 @@ def _q_cut_merge(sf_dir: str):
     def lst(flat: np.ndarray) -> pa.Array:
         return pa.ListArray.from_arrays(offs, pa.array(flat, pa.float64()))
 
-    srcs = rd.from_arrow(
+    return rd.from_arrow(
         pa.table(
             {
                 "event_id": pa.array(np.arange(n) + 10**6),
@@ -748,6 +740,19 @@ def _q_cut_merge(sf_dir: str):
             }
         )
     )
+
+
+def _q_cut_merge(sf_dir: str):
+    """Relation cut with multiple='merge' (reference relate.py:1623-1724):
+    every route is tiled by 5-m straight-line fragments with integer-m
+    vertices, so each target's matched cuts are 1-3 contiguous pieces that
+    merge into one chain spanning exactly [beg, min(end, 4910)] — the
+    merged mileage is closed-form in SQL. (Vertex counts are NOT oracled:
+    the kernel's 1e-10 endpoint dedup makes them epsilon-sensitive.)"""
+    from linref_ray.relate import Relation
+
+    targets = _events_linear(sf_dir, 0)
+    srcs = _tile_fragments(4910)
     rel = Relation(targets, srcs, LIN, num_partitions=NPARTS)
     cut = rel.cut(multiple="merge")
 
@@ -768,6 +773,23 @@ def _q_cut_merge(sf_dir: str):
 
     return _int_micro_cols(
         cut.map_batches(mileage, batch_format="pyarrow"), {"mileage": 6}
+    )
+
+
+def _q_interpolate_geom(sf_dir: str):
+    """Relation interpolate (reference relate.py:1523-1621): each point
+    event interpolated at its measure on the matched fragment's OWN
+    geometry. On the straight-line tiles (xs = m, ys = route index) every
+    point matches exactly one fragment, so x == loc and y == route —
+    closed-form in SQL."""
+    from linref_ray.relate import Relation
+
+    pts = _events_points(sf_dir)
+    srcs = _tile_fragments(9810)
+    rel = Relation(pts, srcs, PT, LIN, num_partitions=NPARTS)
+    out = rel.interpolate_geoms(multiple="first")
+    return _int_micro_cols(
+        out.select_columns(["event_id", "x", "y"]), {"x": 6, "y": 6}
     )
 
 
@@ -1040,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribute_nodecay": _q_distribute_nodecay,
         "distribute_right": _q_distribute_right,
         "cut_merge": _q_cut_merge,
+        "interpolate_geom": _q_interpolate_geom,
         "image_invariants": _q_image_invariants,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -1504,6 +1527,12 @@ select event_id,
        cast(round(round(least("end", 4910) - beg, 9) * 1000000) as bigint)
          as mileage
 from l
+"""
+    oracles["interpolate_geom"] = _SQL_EVENTS + """
+select event_id,
+       cast(round(round(loc, 9) * 1000000) as bigint) as x,
+       cast(round(cast(route_id as double) * 1000000) as bigint) as y
+from p
 """
     oracles["overlay_salted"] = oracles["overlay_raw"]
     oracles["equal_groups"] = _SQL_EVENTS + """

@@ -1153,6 +1153,171 @@ class Relation:
         )
 
 
+    def interpolate_geoms(
+        self,
+        target="left",
+        multiple="first",
+        xs_col="xs",
+        ys_col="ys",
+        ms_col="ms",
+    ):
+        """Relation ``interpolate`` (``relate.py:1523-1621``): for each POINT
+        target, interpolate the (x, y) coordinate at its measure on each
+        intersecting LINEAR source's own geometry.
+
+        ``multiple`` ∈ {'first','last','raise','list'} — same selection
+        semantics as :meth:`cut` ('list' explodes to one row per match with
+        ``interp_idx``). Unmatched targets emit null coordinates. The
+        target side must be point events and the source side linear events
+        carrying ``xs/ys/ms`` list columns (the reference's axis
+        requirement, both directions).
+        """
+        from linref_ray.kernels.geometry import interpolate_at_m
+
+        if target not in ("left", "right"):
+            raise ValueError("target must be 'left' or 'right'")
+        if multiple not in ("first", "last", "list", "raise"):
+            raise ValueError(f"invalid multiple policy {multiple!r}")
+        tgt_left = target == "left"
+        tgt_lrs = self.left_lrs if tgt_left else self.right_lrs
+        src_lrs = self.right_lrs if tgt_left else self.left_lrs
+        if not tgt_lrs.is_point or src_lrs.is_point:
+            raise ValueError(
+                "interpolate needs point targets and linear sources"
+            )
+        geom_cols = (xs_col, ys_col, ms_col)
+        src_names = (self.right if tgt_left else self.left).schema().names
+        missing = [c for c in geom_cols if c not in src_names]
+        if missing:
+            raise ValueError(f"source side lacks geometry columns {missing}")
+        carry_schema = {c: pa.list_(pa.float64()) for c in geom_cols}
+        lp = _prepare_side(
+            self.left, self.left_lrs, 0, self.id_col,
+            () if tgt_left else geom_cols, self.num_partitions,
+            carry_schema, None,
+        )
+        rp = _prepare_side(
+            self.right, self.right_lrs, 1, self.right_id_col,
+            geom_cols if tgt_left else (), self.num_partitions,
+            carry_schema, None,
+        )
+        id_col = self.id_col if tgt_left else self.right_id_col
+        l_closed, r_closed = self.left_lrs.closed, self.right_lrs.closed
+        enforce_edges = True
+
+        def _empty() -> pa.Table:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "interp_idx": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.float64()),
+                    "y": pa.array([], pa.float64()),
+                }
+            )
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return _empty()
+            key = _np(tbl, KEYCOL)
+            side = _np(tbl, SIDE)
+            beg = _np(tbl, "beg")
+            end = _np(tbl, "end")
+            loc = _np(tbl, "loc")
+            ids = _np(tbl, IDCOL)
+            gx = tbl[xs_col].to_pylist()
+            gy = tbl[ys_col].to_pylist()
+            gm = tbl[ms_col].to_pylist()
+            order = np.lexsort([ids, end, beg, side, key])
+            key_s, side_s = key[order], side[order]
+            out_ids: list[int] = []
+            out_idx: list[int] = []
+            out_x: list[float] = []
+            out_y: list[float] = []
+
+            def emit(row_id: int, idx: int, x: float, y: float) -> None:
+                out_ids.append(row_id)
+                out_idx.append(idx)
+                out_x.append(x)
+                out_y.append(y)
+
+            for a, z in iter_group_segments(key_s):
+                split = a + int(np.searchsorted(side_s[a:z], 1))
+                lseg, rseg = order[a:split], order[split:z]
+                tseg, sseg = (lseg, rseg) if tgt_left else (rseg, lseg)
+                nt, ns = len(tseg), len(sseg)
+                if nt == 0:
+                    continue
+                if ns == 0:
+                    for row in tseg:
+                        emit(int(ids[row]), 0, np.nan, np.nan)
+                    continue
+                s_closed = r_closed if tgt_left else l_closed
+                pi, ii = intersect_point_linear_pairs(
+                    loc[tseg], beg[sseg], end[sseg], s_closed,
+                    enforce_edges,
+                    modified_edges_sorted(beg[sseg], end[sseg], s_closed),
+                )
+                ti, si = pi, ii
+                po = np.lexsort([si, ti])
+                ti, si = ti[po], si[po]
+                counts = np.bincount(ti, minlength=nt)
+                if multiple == "raise" and (counts > 1).any():
+                    raise ValueError(
+                        "multiple intersecting geometries found with "
+                        "multiple='raise' for interpolate"
+                    )
+                firsts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                if multiple in ("first", "last", "raise"):
+                    matched = np.flatnonzero(counts > 0)
+                    pick = (
+                        firsts[matched]
+                        if multiple != "last"
+                        else firsts[matched] + counts[matched] - 1
+                    )
+                    keep_t, keep_s = ti[pick], si[pick]
+                    keep_idx = np.zeros(len(pick), np.int64)
+                else:
+                    keep_t, keep_s = ti, si
+                    keep_idx = np.arange(len(ti)) - firsts[ti]
+                res_x = np.full(len(keep_t), np.nan)
+                res_y = np.full(len(keep_t), np.nan)
+                for s in np.unique(keep_s):
+                    rows = np.flatnonzero(keep_s == s)
+                    src_row = sseg[s]
+                    sx = np.asarray(gx[src_row], dtype=np.float64)
+                    sy = np.asarray(gy[src_row], dtype=np.float64)
+                    sm = np.asarray(gm[src_row], dtype=np.float64)
+                    px, py = interpolate_at_m(
+                        sx, sy, sm, loc[tseg[keep_t[rows]]]
+                    )
+                    res_x[rows] = px
+                    res_y[rows] = py
+                for j in range(len(keep_t)):
+                    emit(
+                        int(ids[tseg[keep_t[j]]]), int(keep_idx[j]),
+                        float(res_x[j]), float(res_y[j]),
+                    )
+                for tloc in np.flatnonzero(counts == 0):
+                    emit(int(ids[tseg[tloc]]), 0, np.nan, np.nan)
+            if not out_ids:
+                return _empty()
+            return pa.table(
+                {
+                    id_col: pa.array(out_ids, pa.int64()),
+                    "interp_idx": pa.array(out_idx, pa.int64()),
+                    "x": pa.array(out_x, pa.float64()),
+                    "y": pa.array(out_y, pa.float64()),
+                }
+            )
+
+        return (
+            lp.union(rp)
+            .repartition(self.num_partitions)
+            .groupby(PID)
+            .map_groups(kernel, batch_format="pyarrow")
+        )
+
+
 def _merge_cut_pieces(pieces: list, merge_chains) -> tuple:
     """Chain cut fragments into one polyline (reference ``line_merge_m`` with
     ``allow_multiple=False``): order by terminus matching, drop the

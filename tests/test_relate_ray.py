@@ -458,6 +458,80 @@ class TestRelationCut:
         )
 
 
+class TestRelationInterpolate:
+    """Relation interpolate with multiple-match policies
+    (reference relate.py:1523-1621): point targets × linear-geom sources.
+    """
+
+    def _relation(self):
+        pts = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [0, 1], "route": ["1", "1"],
+                 "loc": [5.0, 90.0]}
+            )
+        )
+        src = rd.from_pandas(
+            pd.DataFrame(
+                [
+                    dict(event_id=10, route="1", beg=0.0, end=10.0,
+                         xs=[0.0, 10.0], ys=[0.0, 0.0], ms=[0.0, 10.0]),
+                    dict(event_id=12, route="1", beg=2.0, end=8.0,
+                         xs=[2.0, 8.0], ys=[1.0, 1.0], ms=[2.0, 8.0]),
+                ]
+            )
+        )
+        return Relation(
+            pts, src,
+            LRS(key_col=("route",), beg_col=None, end_col=None,
+                loc_col="loc", closed="both"),
+            LRS(key_col=("route",), closed="both"),
+            num_partitions=4,
+        )
+
+    def test_first_last_list_and_unmatched(self, ray_session):
+        rel = self._relation()
+        first = (
+            rel.interpolate_geoms(multiple="first")
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert first.loc[0, "x"] == pytest.approx(5.0)
+        assert first.loc[0, "y"] == pytest.approx(0.0)
+        assert np.isnan(first.loc[1, "x"])  # loc 90 matches nothing
+        last = (
+            rel.interpolate_geoms(multiple="last")
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert last.loc[0, "y"] == pytest.approx(1.0)
+        lst = (
+            rel.interpolate_geoms(multiple="list")
+            .to_pandas()
+            .sort_values(["event_id", "interp_idx"])
+            .reset_index(drop=True)
+        )
+        matched = lst[lst.event_id == 0]
+        assert matched.interp_idx.tolist() == [0, 1]
+        assert matched.y.tolist() == pytest.approx([0.0, 1.0])
+
+    def test_raise_policy(self, ray_session):
+        rel = self._relation()
+        with pytest.raises(Exception, match="[Mm]ultiple"):
+            rel.interpolate_geoms(multiple="raise").to_pandas()
+
+    def test_requires_point_targets(self, ray_session):
+        lines = rd.from_pandas(
+            pd.DataFrame(
+                {"event_id": [0], "route": ["1"], "beg": [0.0], "end": [1.0]}
+            )
+        )
+        rel = Relation(
+            lines, lines, LRS(key_col=("route",)), num_partitions=2
+        )
+        with pytest.raises(ValueError, match="point targets"):
+            rel.interpolate_geoms()
+
+
 class TestSaltedSkew:
     def test_salted_parity_on_synthetic_network(self, ray_session):
         """Salted path on the Zipf-skewed synthetic network (mega-route)
