@@ -258,14 +258,16 @@ def simhash_signatures(
 ) -> ray.data.Dataset:
     """Per-doc 64-bit SimHash (Charikar) as int64 (deterministic)."""
 
+    from linref_ray.kernels.hashing import simhash_many
+
     def fn(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"]
-        sigs = np.array(
-            [np.int64(np.uint64(simhash(x, ngram)).astype(np.int64))
-             for x in t["text"].to_pylist()],
-            dtype=np.int64,
+        sigs = simhash_many(t["text"].to_pylist(), ngram)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(sigs.astype(np.int64)),
+            }
         )
-        return pa.table({"doc_id": ids, "simhash": pa.array(sigs)})
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
 

@@ -348,11 +348,143 @@ def simhash(text: str, ngram: int = 3) -> np.uint64:
     return out
 
 
+def simhash_many(texts: list[str], ngram: int = 3) -> np.ndarray:
+    """Batched :func:`simhash`: one vectorized pass for ASCII docs (char
+    n-gram windows == byte windows), scalar fallback per non-ASCII / NUL /
+    shorter-than-ngram doc. Bit-identical per doc (differential-tested).
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    padded = [" " + t.lower() + " " for t in texts]
+    blob = np.frombuffer(
+        "\x00".join(padded).encode("utf-8", "ignore"), dtype=np.uint8
+    )
+    nul_pos = np.flatnonzero(blob == 0)
+    doc_lens = (
+        np.diff(np.concatenate(([-1], nul_pos, [len(blob)]))) - 1
+        if len(nul_pos) == n - 1
+        else None
+    )
+    slow_docs: np.ndarray
+    if doc_lens is None:
+        slow_docs = np.arange(n)  # some text contains NUL — all scalar
+    else:
+        doc_starts = np.concatenate(([0], nul_pos + 1))
+        nonascii = np.zeros(n, dtype=bool)
+        if int(blob.max(initial=0)) >= 0x80:
+            pref = np.concatenate(([0], np.cumsum(blob >= 0x80)))
+            nonascii = (
+                pref[doc_starts + doc_lens] - pref[doc_starts]
+            ) > 0
+        # Padded length is len(text)+2 >= ngram needed for the fast path.
+        slow_docs = np.flatnonzero(nonascii | (doc_lens < ngram))
+    for d in slow_docs:
+        out[d] = simhash(texts[d], ngram)
+    if doc_lens is None or len(slow_docs) == n:
+        return out
+    fast = np.ones(n, dtype=bool)
+    fast[slow_docs] = False
+    fast_ids = np.flatnonzero(fast)
+    # Gram windows fully inside each fast doc, gathered with the CSR
+    # multi-arange (no per-doc Python).
+    m_per = doc_lens[fast_ids] - ngram + 1
+    total = int(m_per.sum())
+    seg_idx = np.repeat(np.arange(len(fast_ids)), m_per)
+    seg_off = np.concatenate(([0], np.cumsum(m_per)[:-1]))
+    within = np.arange(total) - seg_off[seg_idx]
+    g_pos = doc_starts[fast_ids][seg_idx] + within
+    h = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
+    fnv = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(ngram):
+            h = (h ^ blob[g_pos + j].astype(np.uint64)) * fnv
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+    counts = np.add.reduceat(bits, seg_off, axis=0)
+    score = 2 * counts.astype(np.int64) - m_per[:, None]
+    sig = (
+        (score > 0).astype(np.uint64) << shifts[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    out[fast_ids] = sig
+    return out
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise Hamming distance between uint64 arrays (popcount via table)."""
     x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)).view(np.uint8)
     table = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
     return table[x.reshape(-1, 8)].sum(axis=1)
+
+
+def rolling_fingerprints_many(
+    texts: list[str], window: int = 16, keep_mod: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`rolling_fingerprint`: per-doc sorted-unique kept
+    hashes as a ``(flat, lens)`` CSR pair, bit-identical per doc.
+
+    One NUL-joined byte blob, window hashes via the CSR multi-arange;
+    docs shorter than ``window`` (zero-padded by the scalar spec) or
+    containing NUL fall back to the scalar kernel individually.
+    """
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.zeros(0, np.int64)
+    blob = np.frombuffer(
+        "\x00".join(texts).encode("utf-8", "ignore"), dtype=np.uint8
+    )
+    nul_pos = np.flatnonzero(blob == 0)
+    per_doc: list[np.ndarray | None] = [None] * n
+    if len(nul_pos) != n - 1:
+        fast_ids = np.empty(0, dtype=np.int64)
+    else:
+        doc_starts = np.concatenate(([0], nul_pos + 1))
+        doc_lens = (
+            np.diff(np.concatenate(([-1], nul_pos, [len(blob)]))) - 1
+        )
+        fast_ids = np.flatnonzero(doc_lens >= window)
+    slow = (
+        np.setdiff1d(np.arange(n), fast_ids) if len(fast_ids) < n
+        else np.empty(0, np.int64)
+    )
+    for d in slow:
+        per_doc[d] = rolling_fingerprint(
+            texts[d], window=window, keep_mod=keep_mod
+        ).astype(np.int64)
+    if len(fast_ids):
+        base = np.uint64(257)
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = 1
+        with np.errstate(over="ignore"):
+            for i in range(1, window):
+                powers[i] = powers[i - 1] * base
+            m_per = doc_lens[fast_ids] - window + 1
+            total = int(m_per.sum())
+            seg_idx = np.repeat(np.arange(len(fast_ids)), m_per)
+            seg_off = np.concatenate(([0], np.cumsum(m_per)[:-1]))
+            within = np.arange(total) - seg_off[seg_idx]
+            pos = doc_starts[fast_ids][seg_idx] + within
+            acc = np.zeros(total, dtype=np.uint64)
+            for j in range(window):
+                acc += blob[pos + j].astype(np.uint64) * powers[window - 1 - j]
+        keep = acc % np.uint64(keep_mod) == 0
+        k_doc, k_val = seg_idx[keep], acc[keep]
+        order = np.lexsort((k_val, k_doc))
+        d_s, v_s = k_doc[order], k_val[order]
+        uniq = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1]))
+        ) if len(d_s) else np.zeros(0, bool)
+        d_u, v_u = d_s[uniq], v_s[uniq].astype(np.int64)
+        cnt = np.bincount(d_u, minlength=len(fast_ids))
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        for i, d in enumerate(fast_ids):
+            per_doc[d] = v_u[offs[i] : offs[i + 1]]
+    lens = np.array([len(p) for p in per_doc], dtype=np.int64)
+    flat = (
+        np.concatenate(per_doc) if lens.sum() else np.empty(0, np.int64)
+    )
+    return flat, lens
 
 
 def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> np.ndarray:

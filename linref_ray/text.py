@@ -250,23 +250,17 @@ def fingerprints(
 ) -> ray.data.Dataset:
     """Winnowing-style rolling-hash fingerprints, exploded to
     (doc_id, fingerprint) rows — join on fingerprint to find shared content."""
-    from linref_ray.kernels.hashing import rolling_fingerprint
+    from linref_ray.kernels.hashing import rolling_fingerprints_many
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out_id, out_fp = [], []
-        for i, s in zip(ids, t["text"].to_pylist()):
-            fps = rolling_fingerprint(s, window=window, keep_mod=keep_mod)
-            out_id.append(np.full(len(fps), i))
-            out_fp.append(fps.astype(np.int64))
+        flat, lens = rolling_fingerprints_many(
+            t["text"].to_pylist(), window=window, keep_mod=keep_mod
+        )
         return pa.table(
             {
-                "doc_id": pa.array(
-                    np.concatenate(out_id) if out_id else np.empty(0, np.int64)
-                ),
-                "fingerprint": pa.array(
-                    np.concatenate(out_fp) if out_fp else np.empty(0, np.int64)
-                ),
+                "doc_id": pa.array(np.repeat(ids, lens)),
+                "fingerprint": pa.array(flat),
             }
         )
 

@@ -238,6 +238,45 @@ class TestHashing:
             assert (sigs[i] == sref).all(), f"signature differs for doc {i}"
             assert (keys[i] == lsh_bands(sref, 16)).all(), f"bands doc {i}"
 
+    def test_simhash_many_bit_identical_to_scalar(self):
+        from linref_ray.kernels.hashing import simhash_many
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dogs",
+            "zzz completely unrelated content 12345",
+            "",  # padded len 2 < ngram → scalar path
+            "这是中文内容测试",  # non-ASCII → scalar path
+            "MiXeD Case With  multiple   spaces",
+        ]
+        got = simhash_many(texts, 3)
+        for i, t in enumerate(texts):
+            assert got[i] == simhash(t, 3), f"doc {i}"
+        # NUL anywhere forces the all-scalar path — still identical
+        withnul = ["plain text", "has\x00nul"]
+        got2 = simhash_many(withnul, 3)
+        assert got2[0] == simhash(withnul[0], 3)
+        assert got2[1] == simhash(withnul[1], 3)
+
+    def test_rolling_fingerprints_many_bit_identical(self):
+        from linref_ray.kernels.hashing import rolling_fingerprints_many
+
+        texts = [
+            "shared content block that is long enough to fingerprint " * 3,
+            "tiny",  # shorter than window → zero-padded scalar path
+            "",
+            "another document with different words entirely " * 2,
+            "has\x00nul embedded somewhere in this longer text " * 2,
+        ]
+        flat, lens = rolling_fingerprints_many(texts, window=16, keep_mod=8)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        for i, t in enumerate(texts):
+            ref = rolling_fingerprint(t, window=16, keep_mod=8).astype(
+                np.int64
+            )
+            got = flat[offs[i] : offs[i + 1]]
+            assert (got == ref).all(), f"doc {i}"
+
     def test_quality_features_vectorized_matches_scalar(self):
         """The batch codepoint kernel must match a straightforward per-doc
         computation of the same ASCII-class spec on every edge case."""

@@ -444,6 +444,33 @@ class TestRelationCut:
         with pytest.raises(Exception, match="[Mm]ultiple"):
             bad.cut(multiple="raise").to_pandas()
 
+    def test_target_right_swaps_roles(self, ray_session):
+        """target='right' (reference axis=0): the RIGHT events become the
+        cut targets and the LEFT side supplies geometry — equivalent to
+        cut(target='left') on the swapped relation."""
+        geom_side = rd.from_pandas(
+            pd.DataFrame(
+                [
+                    dict(event_id=10, route="1", beg=0.0, end=5.0,
+                         xs=[0.0, 1, 2, 3, 4, 5], ys=[0.0] * 6,
+                         ms=[0.0, 1, 2, 3, 4, 5]),
+                ]
+            )
+        )
+        tgt_side = rd.from_pandas(
+            pd.DataFrame(
+                [dict(event_id=0, route="1", beg=1.0, end=4.0)]
+            )
+        )
+        lrs = LRS(key_col=("route",))
+        out = (
+            Relation(geom_side, tgt_side, lrs, num_partitions=4)
+            .cut(target="right", multiple="first")
+            .to_pandas()
+        )
+        assert out.event_id.tolist() == [0]
+        assert out["ms"][0] == pytest.approx([1.0, 2.0, 3.0, 4.0])
+
     def test_unmatched_target_null_geometry(self, ray_session):
         rel = self._relation(
             [
