@@ -860,6 +860,82 @@ def _q_audio_features(sf_dir: str):
     return extract_audio_features(auds, concurrency=2)
 
 
+def _q_audio_features_planted(sf_dir: str):
+    """Planted-corpus oracle twin for the audio feature stage: clip i is a
+    pure tone at 100+50i Hz (deterministic synth), and BOTH the
+    zero-crossing-rate tone estimate (error < 1 Hz measured) and the
+    spectral-rolloff estimate (error < 11 Hz) recover the planted tone
+    exactly at 50-Hz quantization — closed-form in SQL."""
+    from linref_ray.media import extract_audio_features
+
+    auds = rd.from_arrow(synth.make_audio(40, seconds=0.5, sample_rate=8000))
+    feats = extract_audio_features(auds, concurrency=2)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        zcr = t["zcr"].to_numpy(zero_copy_only=False)
+        rol = t["spectral_rolloff"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "audio_id": t["audio_id"],
+                "tone_zcr": pa.array(
+                    (np.round(zcr * 8000 / 2 / 50) * 50).astype(np.int64)
+                ),
+                "tone_rolloff": pa.array(
+                    (np.round(rol / 50) * 50).astype(np.int64)
+                ),
+            }
+        )
+
+    return feats.map_batches(quantize, batch_format="pyarrow")
+
+
+def _q_fingerprints_planted(sf_dir: str):
+    """Planted-corpus oracle twin for rolling-hash fingerprints: 40
+    families × 5 docs share one long per-family block (family-scoped
+    vocabulary prevents any cross-family 16-byte window match), so the
+    distinct doc pairs sharing >= 1 fingerprint are EXACTLY the
+    within-family pairs — closed-form in SQL."""
+    from ray.data.aggregate import Count
+
+    from linref_ray.joins import hash_join
+    from linref_ray.text import fingerprints
+
+    ids, texts = [], []
+    for fam in range(40):
+        block = " ".join(f"fam{fam}w{j}" for j in range(40))
+        for m in range(5):
+            ids.append(fam * 5 + m)
+            texts.append(f"unique{fam}x{m} " + block + f" tail{fam}y{m}")
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    fps = fingerprints(docs)
+
+    def ren(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{side}": t["doc_id"], "fingerprint": t["fingerprint"]}
+            )
+
+        return fps.map_batches(fn, batch_format="pyarrow")
+
+    pairs = hash_join(
+        ren("a"), ren("b"), on="fingerprint", how="inner", num_partitions=8
+    )
+
+    def lt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["id_a"], t["id_b"]))
+
+    return (
+        pairs.map_batches(lt, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
 def _q_overlay_salted(sf_dir: str):
     """Salted measure-bucket shuffle (skewed mega-route path): window-clipped
     per-bucket weights summed per pair must equal the unsharded overlay —
@@ -1066,6 +1142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_invariants": _q_image_invariants,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
+        "audio_features_planted": _q_audio_features_planted,
+        "fingerprints_planted": _q_fingerprints_planted,
         "constrain_to": _q_constrain,
         "overlay_salted": _q_overlay_salted,
         "window_tumbling": _q_window_tumbling,
@@ -1533,6 +1611,21 @@ select event_id,
        cast(round(round(loc, 9) * 1000000) as bigint) as x,
        cast(round(cast(route_id as double) * 1000000) as bigint) as y
 from p
+"""
+    oracles["audio_features_planted"] = """
+with i as (select unnest(generate_series(0, 39)) as i)
+select printf('aud-%06d', i) as audio_id,
+       cast(100 + 50 * i as bigint) as tone_zcr,
+       cast(100 + 50 * i as bigint) as tone_rolloff
+from i
+"""
+    oracles["fingerprints_planted"] = """
+with f as (select unnest(generate_series(0, 39)) as fam),
+     m as (select unnest(generate_series(0, 4)) as m)
+select a.fam * 5 + a.m as id_a, a.fam * 5 + b.m as id_b
+from (select fam, m from f, m) a
+join (select fam, m from f, m) b
+  on a.fam = b.fam and a.m < b.m
 """
     oracles["overlay_salted"] = oracles["overlay_raw"]
     oracles["equal_groups"] = _SQL_EVENTS + """
