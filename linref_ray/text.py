@@ -205,36 +205,96 @@ _LANG_MARKERS = {
 def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Heuristic language ID: CJK-character ratio → 'zh'; otherwise argmax of
     per-language marker-word hit ratios, default 'en'. Deterministic output
-    (doc_id, lang_pred, confidence)."""
+    (doc_id, lang_pred, confidence).
+
+    Pure-ASCII docs (no CJK possible, letter runs == ``[A-Za-z]+``) score
+    through one vectorized codepoint pass; non-ASCII / NUL docs take the
+    regex scalar path individually (same answers — differential-tested)."""
 
     class LangId:
         def __init__(self):
             import re
 
+            from linref_ray.kernels.hashing import _hash_tokens_u64
+
             self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
             self.cjk = re.compile(r"[一-鿿]")
+            self.langs = list(_LANG_MARKERS)
+            self.marker_h = [
+                _hash_tokens_u64(sorted(_LANG_MARKERS[lang]))
+                for lang in self.langs
+            ]
+
+        def _scalar(self, s: str) -> tuple[str, float]:
+            if len(s) and len(self.cjk.findall(s)) / len(s) > 0.2:
+                return "zh", 1.0
+            words = [w.lower() for w in self.word.findall(s)]
+            nw = max(len(words), 1)
+            best_lang, best_score = "en", 0.0
+            for lang, markers in _LANG_MARKERS.items():
+                score = sum(w in markers for w in words) / nw
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            return best_lang, best_score
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            from linref_ray.kernels.hashing import _fnv1a_segments
+
             texts = t["text"].to_pylist()
-            preds, confs = [], []
-            for s in texts:
-                if len(s) and len(self.cjk.findall(s)) / len(s) > 0.2:
-                    preds.append("zh")
-                    confs.append(1.0)
-                    continue
-                words = [w.lower() for w in self.word.findall(s)]
-                nw = max(len(words), 1)
-                best_lang, best_score = "en", 0.0
-                for lang, markers in _LANG_MARKERS.items():
-                    score = sum(w in markers for w in words) / nw
-                    if score > best_score:
-                        best_lang, best_score = lang, score
-                preds.append(best_lang)
-                confs.append(best_score)
+            n = len(texts)
+            preds = np.empty(n, dtype=object)
+            confs = np.zeros(n)
+            cp = np.frombuffer(
+                "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
+            )
+            sep = np.flatnonzero(cp == 0)
+            if len(sep) != n - 1:
+                slow = np.arange(n)
+            else:
+                bounds = np.concatenate((sep, [len(cp)]))
+                starts = np.concatenate(([0], sep + 1))
+                pref = np.concatenate(([0], np.cumsum(cp > 127)))
+                slow = np.flatnonzero((pref[bounds] - pref[starts]) > 0)
+            for d in slow:
+                preds[d], confs[d] = self._scalar(texts[d])
+            fast = np.ones(n, dtype=bool)
+            if len(slow) == n:
+                fast[:] = False
+            else:
+                fast[slow] = False
+                lower32 = cp | np.uint32(32)
+                is_alpha = (lower32 >= 97) & (lower32 <= 122)
+                prev = np.concatenate(([False], is_alpha[:-1]))
+                nxt = np.concatenate((is_alpha[1:], [False]))
+                ws = np.flatnonzero(is_alpha & ~prev)
+                w_len = (np.flatnonzero(is_alpha & ~nxt) + 1) - ws
+                w_doc = np.searchsorted(sep, ws)
+                keep_w = fast[w_doc]
+                ws, w_len, w_doc = ws[keep_w], w_len[keep_w], w_doc[keep_w]
+                alpha_rank = np.cumsum(is_alpha)
+                flat_lo = lower32[is_alpha].astype(np.uint8)
+                starts_flat = (
+                    (alpha_rank[ws] - 1) if len(ws) else np.empty(0, np.int64)
+                )
+                h_lo = _fnv1a_segments(flat_lo, starts_flat, w_len)
+                nw = np.maximum(np.bincount(w_doc, minlength=n), 1)
+                scores = np.zeros((n, len(self.langs)))
+                for k, mh in enumerate(self.marker_h):
+                    scores[:, k] = (
+                        np.bincount(
+                            w_doc, weights=np.isin(h_lo, mh), minlength=n
+                        )
+                        / nw
+                    )
+                best = np.argmax(scores, axis=1)  # first max wins == scalar
+                f_ids = np.flatnonzero(fast)
+                for d in f_ids:
+                    preds[d] = self.langs[best[d]]
+                confs[f_ids] = scores[f_ids, best[f_ids]]
             return pa.table(
                 {
                     "doc_id": t["doc_id"],
-                    "lang_pred": pa.array(preds),
+                    "lang_pred": pa.array(preds.tolist(), pa.string()),
                     "confidence": pa.array(confs),
                 }
             )

@@ -277,6 +277,45 @@ class TestHashing:
             got = flat[offs[i] : offs[i + 1]]
             assert (got == ref).all(), f"doc {i}"
 
+    def test_language_id_vectorized_matches_scalar(self, ray_session):
+        """The ASCII fast path must agree with the regex scalar path on
+        every doc; non-ASCII docs (zh, accented) route through the scalar
+        path inside the same batch."""
+        import pyarrow as pa
+        import ray.data as rdata
+
+        from linref_ray.text import language_id
+
+        texts = [
+            "the and of that with for the and of",        # en
+            "der die das und nicht mit der die",          # de
+            "le la les et dans pour le la",               # fr
+            "el los las es en por para el",               # es
+            "这是一个完全使用中文书写的文档内容",            # zh (scalar)
+            "für die straße über münchen und der zug",    # non-ASCII de
+            "",                                           # empty
+            "xyzzy qwerty 12345 %%%",                     # no markers → en 0.0
+        ]
+        docs = rdata.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+        out = (
+            language_id(docs).to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.lang_pred.tolist() == [
+            "en", "de", "fr", "es", "zh", "de", "en", "en",
+        ]
+        assert out.confidence[4] == 1.0
+        assert out.confidence[7] == 0.0
+        # fast-path scores equal hand-computed marker ratios
+        assert out.confidence[0] == pytest.approx(9 / 9)
+        assert out.confidence[1] == pytest.approx(8 / 8)
+
     def test_quality_features_vectorized_matches_scalar(self):
         """The batch codepoint kernel must match a straightforward per-doc
         computation of the same ASCII-class spec on every edge case."""
