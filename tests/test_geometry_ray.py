@@ -258,3 +258,40 @@ class TestOptions:
 
         with pytest.raises(ValueError, match="LRS instance"):
             linref_ray.options.default_lrs = "not-an-lrs"
+
+
+class TestToyDatasets:
+    def test_load_all_and_drive_pipeline(self, ray_session):
+        """Schema parity with the reference's datasets.load surface
+        (datasets/_loaders.py:19-113) + a real relation driven end-to-end
+        on the samples."""
+        from linref_ray import datasets
+        from linref_ray.relate import Relation
+
+        roads = datasets.load("roadways")
+        crashes = datasets.load("crashes")
+        pave = datasets.load("pavement")
+        rdf = roads.to_pandas()
+        assert {"route", "beg", "end", "xs", "ys", "ms"} <= set(rdf.columns)
+        assert len(rdf) == 10
+        cdf = crashes.to_pandas()
+        assert {"route", "loc"} <= set(cdf.columns) and len(cdf) == 20
+        pdf = pave.to_pandas()
+        assert {"route", "beg", "end", "condition_rating"} <= set(
+            pdf.columns
+        )
+        # set_lrs=True returns the Events facade with a working LRS
+        ev = datasets.load("roadways", set_lrs=True)
+        assert ev.lrs.key_col == ("route",)
+        # crashes x roadways intersect counts run end-to-end
+        rel = Relation(
+            crashes, roads,
+            datasets.load("crashes", set_lrs=True).lrs,
+            ev.lrs, num_partitions=2,
+        )
+        out = rel.count().to_pandas()
+        # deterministic seeds: 18 of the 20 crashes fall inside their
+        # route's roadway extent (count() emits matched targets only)
+        assert len(out) == 18
+        with pytest.raises(ValueError, match="Unknown dataset"):
+            datasets.load("nope")
