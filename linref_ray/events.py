@@ -16,6 +16,15 @@ import ray.data
 from linref_ray.lrs import LRS
 
 
+def _list_last(col) -> np.ndarray:
+    """Last element of each list in a list<double> column, via offsets
+    (no per-row Python). Lists must be non-empty."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return vals[offs[1:] - 1]
+
+
 def _set(tbl: pa.Table, name: str, arr) -> pa.Table:
     idx = tbl.schema.get_field_index(name)
     if idx == -1:
@@ -267,8 +276,8 @@ def add_bearing(
         ys = t[ys_col]
         x0 = pc.list_element(xs, 0).to_numpy(zero_copy_only=False)
         y0 = pc.list_element(ys, 0).to_numpy(zero_copy_only=False)
-        xl = np.array([v[-1] for v in xs.to_pylist()])
-        yl = np.array([v[-1] for v in ys.to_pylist()])
+        xl = _list_last(xs)
+        yl = _list_last(ys)
         b = bearing(x0, y0, xl, yl)
         t = _set(t, out_col, pa.array(b))
         if cardinal_col:

@@ -239,9 +239,11 @@ def extract_m_values(
     import pyarrow.compute as pc
 
     def fn(t: pa.Table) -> pa.Table:
+        from linref_ray.events import _list_last
+
         ms = t["ms"]
         first = pc.list_element(ms, 0)
-        last = pa.array([v[-1] for v in ms.to_pylist()], pa.float64())
+        last = pa.array(_list_last(ms), pa.float64())
         out = t
         for name, arr in ((beg_col, first), (end_col, last)):
             idx = out.schema.get_field_index(name)
