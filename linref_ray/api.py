@@ -183,3 +183,48 @@ class Events:
         layers = [self.ds] + [o.ds for o in others]
         lrss = [self.lrs] + [o.lrs for o in others]
         return md.integrate(layers, lrss, **kw)
+
+    # -- relation conveniences (reference ext/base.py:2362-2601) ----------
+    def cut_from(self, other: "Events", multiple: str = "first", **kw):
+        """Cut THIS collection's ranges from ``other``'s geometries
+        (``LRS_Accessor.cut_from``, ``ext/base.py:2362-2450``)."""
+        return self.relate(other, **kw).cut(multiple=multiple)
+
+    def interpolate_from(self, other: "Events", multiple: str = "first", **kw):
+        """Interpolate this collection's point locations on ``other``'s
+        geometries (``ext/base.py:2452-2524``)."""
+        return self.relate(other, **kw).interpolate_geoms(multiple=multiple)
+
+    def distribute_from(self, other: "Events", col=None, **kw):
+        """Distribute ``other``'s values onto this collection's index
+        (``ext/base.py:2526-2601``)."""
+        rel_kw = {
+            k: kw.pop(k)
+            for k in ("num_partitions", "left_cols", "right_cols")
+            if k in kw
+        }
+        return self.relate(other, **rel_kw).distribute(col=col, **kw)
+
+    # -- LRS management (reference ext/base.py:804-930) --------------------
+    def set_lrs(self, lrs: LRS | None = None, **kwargs) -> "Events":
+        """New facade over the same Dataset with a replaced LRS (the
+        accessor's ``set_lrs``; this engine's LRS objects are immutable,
+        so the facade returns a new Events instead of mutating)."""
+        return Events(self.ds, lrs if lrs is not None else LRS(**kwargs),
+                      self.id_col)
+
+    def modify_lrs(self, **changes) -> "Events":
+        """Replace selected LRS fields (``ext/base.py:853-874``)."""
+        import dataclasses
+
+        return Events(
+            self.ds, dataclasses.replace(self.lrs, **changes), self.id_col
+        )
+
+    def lrs_like(self, other: "Events") -> "Events":
+        """Adopt another collection's LRS (``ext/base.py:804-827``)."""
+        return Events(self.ds, other.lrs, self.id_col)
+
+    def group_counts(self):
+        """Per-group event counts (``ext/base.py:1054-1060``)."""
+        return self.ds.groupby(list(self.lrs.key_col)).count()

@@ -514,6 +514,60 @@ class TestEventsFacade:
         ext = roads.extend(1.0, 1.0).to_pandas()
         assert ext.beg.min() == -1.0
 
+    def test_relation_conveniences_and_lrs_management(self, ray_session):
+        """cut_from / interpolate_from / distribute_from + set_lrs /
+        modify_lrs / lrs_like / group_counts (ext/base.py:804-2601)."""
+        from linref_ray.api import Events
+
+        geoms = Events(
+            rd.from_pandas(
+                pd.DataFrame(
+                    [
+                        dict(event_id=10, route="A", beg=0.0, end=10.0,
+                             xs=[0.0, 10.0], ys=[0.0, 0.0],
+                             ms=[0.0, 10.0]),
+                    ]
+                )
+            ),
+            L,
+        )
+        spans = Events(
+            rd.from_pandas(
+                pd.DataFrame(
+                    {"event_id": [0], "route": ["A"],
+                     "beg": [2.0], "end": [6.0]}
+                )
+            ),
+            L,
+        )
+        cut = spans.cut_from(geoms, num_partitions=2).to_pandas()
+        assert cut["ms"][0] == pytest.approx([2.0, 6.0])
+        pts = Events(
+            rd.from_pandas(
+                pd.DataFrame(
+                    {"event_id": [0], "route": ["A"], "loc": [4.0]}
+                )
+            ),
+            LRS(key_col=("route",), beg_col=None, end_col=None,
+                loc_col="loc", closed="both"),
+        )
+        interp = pts.interpolate_from(
+            geoms.modify_lrs(closed="both"), num_partitions=2
+        ).to_pandas()
+        assert interp.x[0] == pytest.approx(4.0)
+        dist = spans.distribute_from(pts, num_partitions=2).to_pandas()
+        # one crash at loc 4.0 inside [2,6] → its whole unit share lands
+        assert dist.distributed.tolist() == pytest.approx([1.0])
+        # LRS management
+        relabeled = spans.modify_lrs(closed="both")
+        assert relabeled.lrs.closed == "both" and relabeled.lrs is not spans.lrs
+        adopted = spans.lrs_like(pts)
+        assert adopted.lrs is pts.lrs
+        fresh = spans.set_lrs(key_col=("route",), closed="right")
+        assert fresh.lrs.closed == "right"
+        gc = spans.group_counts().to_pandas()
+        assert gc["count()"].tolist() == [1]
+
 
 class TestSimilarityAndImageStages:
     def test_knn_ivf_recall(self, ray_session):
