@@ -221,13 +221,14 @@ def shingle_hashes_many(
     keep = mat != sent
     keep[:, 1:] &= mat[:, 1:] != mat[:, :-1]
     lens_out = keep.sum(axis=1).astype(np.int64)
+    flat = mat[keep]  # BEFORE any mutation — keep indexes this layout
     if return_matrix:
         # Duplicate (non-first) occurrences are re-padded to the sentinel
         # and re-sorted so each row is its doc's sorted-unique set + pad.
         mat[~keep] = sent
         mat.sort(axis=1)
-        return mat[keep], lens_out, mat
-    return mat[keep], lens_out
+        return flat, lens_out, mat
+    return flat, lens_out
 
 
 def minhash_signature_many(

@@ -238,6 +238,27 @@ class TestHashing:
             assert (sigs[i] == sref).all(), f"signature differs for doc {i}"
             assert (keys[i] == lsh_bands(sref, 16)).all(), f"bands doc {i}"
 
+    def test_shingle_matrix_mode_consistent_with_csr(self):
+        """return_matrix=True must give the SAME flat/lens as the plain
+        call, plus a matrix whose row i is exactly that doc's sorted-unique
+        hashes followed by sentinels."""
+        from linref_ray.kernels.hashing import shingle_hashes_many
+
+        texts = [
+            "repeat repeat repeat words repeat",   # duplicate shingles
+            "one two three four five six seven",
+            "",
+        ]
+        f1, l1 = shingle_hashes_many(texts, 3)
+        f2, l2, mat = shingle_hashes_many(texts, 3, return_matrix=True)
+        assert (l1 == l2).all() and (f1 == f2).all()
+        sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+        offs = np.concatenate(([0], np.cumsum(l2)))
+        for i in range(len(texts)):
+            row = mat[i]
+            assert (row[: l2[i]] == f2[offs[i] : offs[i + 1]]).all()
+            assert (row[l2[i] :] == sent).all()
+
     def test_simhash_many_bit_identical_to_scalar(self):
         from linref_ray.kernels.hashing import simhash_many
 
