@@ -110,6 +110,78 @@ def _chain_or_all_pairs(
     return np.triu_indices(n, k=1)
 
 
+def pair_jaccard(
+    ia: np.ndarray,
+    ib: np.ndarray,
+    ta: list[str],
+    tb: list[str],
+    shingle_k: int,
+) -> np.ndarray:
+    """Exact shingle-Jaccard for a batch of candidate pairs — no per-doc
+    or per-pair Python.
+
+    Each UNIQUE doc is shingled once in one vectorized pass, then pair
+    intersections are counted with a row-wise merge: concatenate the two
+    docs' padded sorted-hash rows, sort each row, count adjacent
+    duplicates (shingles are unique per doc, so a value seen twice in a
+    row is exactly one shared shingle; sentinel-pad duplicates are
+    subtracted in closed form). Batches whose padded pair matrix would
+    exceed the kernel cell cap (one outlier-long doc) use an
+    O(total-expansion) packed-key searchsorted membership instead.
+    """
+    from linref_ray.kernels import hashing as _hashing
+
+    npairs = len(ia)
+    all_ids = np.concatenate([ia, ib])
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    texts: list = [None] * len(uniq)
+    for r in range(npairs):
+        texts[inv[r]] = ta[r]
+        texts[inv[npairs + r]] = tb[r]
+    all_h, lens, mat = _hashing.shingle_hashes_many(
+        texts, shingle_k, return_matrix=True
+    )
+    da, db = inv[:npairs], inv[npairs:]
+    if (
+        mat is not None
+        and npairs * 2 * mat.shape[1] <= _hashing._MATRIX_CELL_CAP
+    ):
+        width = mat.shape[1]
+        merged = np.concatenate([mat[da], mat[db]], axis=1)
+        merged.sort(axis=1)
+        dup = (merged[:, 1:] == merged[:, :-1]).sum(axis=1)
+        n_sent = 2 * width - lens[da] - lens[db]
+        inter = dup - np.maximum(n_sent - 1, 0)
+    else:
+        # Both expansions are globally sorted (pair-major; per-doc hashes
+        # ascend and dense codes preserve hash order), so one searchsorted
+        # probe counts the shared shingles.
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        _, codes = np.unique(all_h, return_inverse=True)
+        ncodes = (int(codes.max()) + 1) if len(codes) else 1
+
+        def gather(docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            ln = lens[docs]
+            total = int(ln.sum())
+            if total == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            pair_idx = np.repeat(np.arange(len(docs)), ln)
+            seg_off = np.concatenate(([0], np.cumsum(ln)[:-1]))
+            within = np.arange(total) - seg_off[pair_idx]
+            rows = starts[docs][pair_idx] + within
+            return pair_idx * ncodes + codes[rows], pair_idx
+
+        ka, pia = gather(da)
+        kb, _ = gather(db)
+        if len(ka) and len(kb):
+            pos = np.minimum(np.searchsorted(kb, ka), len(kb) - 1)
+            inter = np.bincount(pia[kb[pos] == ka], minlength=npairs)
+        else:
+            inter = np.zeros(npairs, dtype=np.int64)
+    union = lens[da] + lens[db] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
 def minhash_near_duplicates(
     docs: ray.data.Dataset,
     threshold: float = 0.6,
@@ -214,31 +286,7 @@ def minhash_near_duplicates(
         ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         ta = t["__text_a"].to_pylist()
         tb = t["__text_b"].to_pylist()
-        npairs = len(ia)
-        # Shingle each UNIQUE doc once in ONE vectorized pass (no per-doc,
-        # no per-pair Python), then count every pair's intersection with a
-        # row-wise merge: concatenate the two docs' padded sorted-hash rows,
-        # sort each row, and count adjacent duplicates — shingles are unique
-        # per doc, so a value seen twice in a row is exactly one shared
-        # shingle (sentinel-pad duplicates are subtracted in closed form).
-        all_ids = np.concatenate([ia, ib])
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        texts: list = [None] * len(uniq)
-        for r in range(npairs):
-            texts[inv[r]] = ta[r]
-            texts[inv[npairs + r]] = tb[r]
-        _, lens, mat = shingle_hashes_many(
-            texts, shingle_k, return_matrix=True
-        )
-        da, db = inv[:npairs], inv[npairs:]
-        width = mat.shape[1]
-        merged = np.concatenate([mat[da], mat[db]], axis=1)
-        merged.sort(axis=1)
-        dup = (merged[:, 1:] == merged[:, :-1]).sum(axis=1)
-        n_sent = 2 * width - lens[da] - lens[db]
-        inter = dup - np.maximum(n_sent - 1, 0)
-        union = lens[da] + lens[db] - inter
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        jac = pair_jaccard(ia, ib, ta, tb, shingle_k)
         hit = jac >= threshold
         return pa.table(
             {

@@ -13,6 +13,11 @@ import numpy as np
 
 _MERSENNE = (1 << 61) - 1
 
+# Padded (ndocs × max_shingles) matrices above this many cells (128 MB of
+# uint64) switch to O(total)-memory formulations — a single outlier-long
+# doc must not inflate a whole batch's scratch quadratically.
+_MATRIX_CELL_CAP = 1 << 24
+
 
 def _fnv1a_segments(
     flat: np.ndarray, starts: np.ndarray, lens: np.ndarray
@@ -213,9 +218,26 @@ def shingle_hashes_many(
         acc = (acc * 1000003 + wh[pos + j]) % _MERSENNE
     # Per-doc sorted-unique via ONE row-wise sort of a padded matrix
     # (hashes < 2^61, so the uint64 max sentinel pads cleanly past every
-    # real value) — much cheaper than a lexsort over (doc, hash).
+    # real value) — much cheaper than a lexsort over (doc, hash). The
+    # matrix is (ndocs, MAX shingles): one outlier-long doc in a batch
+    # would inflate it quadratically, so past the cell cap we fall back
+    # to a lexsort (O(total) memory; callers get mat=None and must use a
+    # CSR pair algorithm).
     sent = np.uint64(0xFFFFFFFFFFFFFFFF)
-    mat = np.full((nd, int(n_sh.max())), sent, dtype=np.uint64)
+    max_sh = int(n_sh.max())
+    if nd * max_sh > _MATRIX_CELL_CAP:
+        u = acc.astype(np.uint64)
+        order = np.lexsort((u, doc_idx))
+        d_s, u_s = doc_idx[order], u[order]
+        keep1 = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1]))
+        )
+        flat = u_s[keep1]
+        lens_out = np.bincount(d_s[keep1], minlength=nd).astype(np.int64)
+        if return_matrix:
+            return flat, lens_out, None
+        return flat, lens_out
+    mat = np.full((nd, max_sh), sent, dtype=np.uint64)
     mat[doc_idx, within] = acc.astype(np.uint64)
     mat.sort(axis=1)
     keep = mat != sent

@@ -239,3 +239,34 @@ class TestExactDedup:
         out = exact_dedup(docs).to_pandas().sort_values("doc_id")
         assert out.doc_id.tolist() == [1, 2]
         assert out.n_copies.tolist() == [3, 1]
+
+
+class TestVerifyCapFallback:
+    def test_pair_jaccard_identical_under_tiny_cap(self, monkeypatch):
+        """Forcing the padded-matrix cap to zero routes pair verification
+        through the packed-searchsorted CSR path — jaccards must be
+        identical, including against a brute-force set computation."""
+        from linref_ray.dedup import pair_jaccard
+        from linref_ray.kernels import hashing as H
+        from linref_ray.kernels.hashing import shingle_hashes
+
+        rng = np.random.default_rng(9)
+        words = [f"w{i}" for i in range(80)]
+        docs = [
+            " ".join(rng.choice(words, size=40).tolist()) for _ in range(30)
+        ]
+        ia = rng.integers(0, 30, size=100)
+        ib = (ia + 1 + rng.integers(0, 29, size=100)) % 30
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        ta = [docs[i] for i in lo]
+        tb = [docs[i] for i in hi]
+        base = pair_jaccard(lo, hi, ta, tb, 3)
+        monkeypatch.setattr(H, "_MATRIX_CELL_CAP", 0)
+        capped = pair_jaccard(lo, hi, ta, tb, 3)
+        assert np.allclose(base, capped)
+        # brute-force ground truth on a few pairs
+        for r in range(0, 100, 17):
+            sa = set(shingle_hashes(ta[r], 3).tolist())
+            sb = set(shingle_hashes(tb[r], 3).tolist())
+            exp = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+            assert base[r] == pytest.approx(exp)

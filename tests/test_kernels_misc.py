@@ -259,6 +259,23 @@ class TestHashing:
             assert (row[: l2[i]] == f2[offs[i] : offs[i + 1]]).all()
             assert (row[l2[i] :] == sent).all()
 
+    def test_shingle_matrix_cap_fallback_identical(self, monkeypatch):
+        """Above the padded-matrix cell cap the kernel must switch to the
+        O(total) lexsort path with identical flat/lens (and mat=None)."""
+        from linref_ray.kernels import hashing as H
+
+        texts = [
+            "many words " * 30,
+            "tiny doc",
+            "other content entirely here now " * 10,
+        ]
+        f1, l1, m1 = H.shingle_hashes_many(texts, 3, return_matrix=True)
+        assert m1 is not None
+        monkeypatch.setattr(H, "_MATRIX_CELL_CAP", 8)
+        f2, l2, m2 = H.shingle_hashes_many(texts, 3, return_matrix=True)
+        assert m2 is None
+        assert (l1 == l2).all() and (f1 == f2).all()
+
     def test_simhash_many_bit_identical_to_scalar(self):
         from linref_ray.kernels.hashing import simhash_many
 
