@@ -18,6 +18,9 @@ _MERSENNE = (1 << 61) - 1
 # doc must not inflate a whole batch's scratch quadratically.
 _MATRIX_CELL_CAP = 1 << 24
 
+# simhash bit-count scratch cap (grams per chunk; 64 bytes of scratch each).
+_SIMHASH_GRAM_CAP = 1 << 20
+
 
 def _fnv1a_segments(
     flat: np.ndarray, starts: np.ndarray, lens: np.ndarray
@@ -409,28 +412,41 @@ def simhash_many(texts: list[str], ngram: int = 3) -> np.ndarray:
         return out
     fast = np.ones(n, dtype=bool)
     fast[slow_docs] = False
-    fast_ids = np.flatnonzero(fast)
-    # Gram windows fully inside each fast doc, gathered with the CSR
-    # multi-arange (no per-doc Python).
-    m_per = doc_lens[fast_ids] - ngram + 1
-    total = int(m_per.sum())
-    seg_idx = np.repeat(np.arange(len(fast_ids)), m_per)
-    seg_off = np.concatenate(([0], np.cumsum(m_per)[:-1]))
-    within = np.arange(total) - seg_off[seg_idx]
-    g_pos = doc_starts[fast_ids][seg_idx] + within
-    h = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
-    fnv = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):
-        for j in range(ngram):
-            h = (h ^ blob[g_pos + j].astype(np.uint64)) * fnv
+    all_fast = np.flatnonzero(fast)
     shifts = np.arange(64, dtype=np.uint64)
-    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
-    counts = np.add.reduceat(bits, seg_off, axis=0)
-    score = 2 * counts.astype(np.int64) - m_per[:, None]
-    sig = (
-        (score > 0).astype(np.uint64) << shifts[None, :]
-    ).sum(axis=1, dtype=np.uint64)
-    out[fast_ids] = sig
+    fnv = np.uint64(0x100000001B3)
+    # Chunk over docs so the (grams, 64) bit matrix stays ~64 MB — one
+    # batch of long docs must not allocate a page-fault-sized temporary.
+    all_m = doc_lens[all_fast] - ngram + 1
+    cum = np.cumsum(all_m)
+    gram_cap = _SIMHASH_GRAM_CAP
+    c0 = 0
+    while c0 < len(all_fast):
+        base_g = cum[c0 - 1] if c0 else 0
+        c1 = int(np.searchsorted(cum, base_g + gram_cap)) + 1
+        c1 = min(max(c1, c0 + 1), len(all_fast))
+        fast_ids = all_fast[c0:c1]
+        c0 = c1
+        # Gram windows fully inside each fast doc, gathered with the CSR
+        # multi-arange (no per-doc Python).
+        m_per = doc_lens[fast_ids] - ngram + 1
+        total = int(m_per.sum())
+        seg_idx = np.repeat(np.arange(len(fast_ids)), m_per)
+        seg_off = np.concatenate(([0], np.cumsum(m_per)[:-1]))
+        within = np.arange(total) - seg_off[seg_idx]
+        g_pos = doc_starts[fast_ids][seg_idx] + within
+        h = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(ngram):
+                h = (h ^ blob[g_pos + j].astype(np.uint64)) * fnv
+        bits = (
+            (h[:, None] >> shifts[None, :]) & np.uint64(1)
+        ).astype(np.int8)
+        counts = np.add.reduceat(bits, seg_off, axis=0)
+        score = 2 * counts.astype(np.int64) - m_per[:, None]
+        out[fast_ids] = (
+            (score > 0).astype(np.uint64) << shifts[None, :]
+        ).sum(axis=1, dtype=np.uint64)
     return out
 
 

@@ -296,6 +296,18 @@ class TestHashing:
         assert got2[0] == simhash(withnul[0], 3)
         assert got2[1] == simhash(withnul[1], 3)
 
+    def test_simhash_many_chunked_identical(self, monkeypatch):
+        """A tiny gram cap forces multiple doc chunks (and a
+        bigger-than-cap single doc its own chunk) — still bit-identical."""
+        from linref_ray.kernels import hashing as H
+
+        texts = [f"doc {i} content words here vary {i}" for i in range(7)]
+        texts.append("long " * 300)
+        ref = [simhash(t, 3) for t in texts]
+        monkeypatch.setattr(H, "_SIMHASH_GRAM_CAP", 16)
+        got = H.simhash_many(texts, 3)
+        assert [int(g) for g in got] == [int(r) for r in ref]
+
     def test_rolling_fingerprints_many_bit_identical(self):
         from linref_ray.kernels.hashing import rolling_fingerprints_many
 
