@@ -81,18 +81,22 @@ def hash_join(
     left_names = list(lsch)
     right_only = [c for c in rsch if c not in lsch]
 
+    pa_how = {"left": "left outer", "inner": "inner", "outer": "full outer"}
+
     def kernel(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        l = df[df[_JSIDE] == 0][left_names]
-        r = df[df[_JSIDE] == 1][[on] + right_only]
-        out = l.merge(r, how=how, on=on)
-        # Outer joins upcast missing ints to float NaN; restore nullable ints
-        # so the output schema stays stable across partitions.
-        target = pa.schema([(c, all_cols[c]) for c in left_names + right_only])
-        for c in target.names:
-            if pa.types.is_integer(target.field(c).type) and out[c].dtype.kind == "f":
-                out[c] = out[c].astype("Int64")
-        return pa.Table.from_pandas(out, schema=target, preserve_index=False)
+        # Partition-local Arrow (Acero) hash join — no pandas round-trip.
+        # The outer-join coalesce of the key column and the fixed column
+        # order keep the output schema stable across partitions.
+        side = t[_JSIDE].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(left_names)
+        rt = t.filter(pa.array(side == 1)).select([on] + right_only)
+        jt = lt.join(
+            rt, keys=on, join_type=pa_how[how], coalesce_keys=True
+        )
+        target = pa.schema(
+            [(c, all_cols[c]) for c in left_names + right_only]
+        )
+        return pa.table({c: jt[c] for c in target.names}).cast(target)
 
     return (
         lp.union(rp)
