@@ -222,24 +222,63 @@ def minhash_near_duplicates(
         num_cpus=1,
     )
 
-    def pairs_in_bucket(t: pa.Table) -> pa.Table:
-        ids = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))  # stage output column
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                }
+    # Candidate generation: ONE kernel call per partition handling ALL of
+    # its buckets via a lexsort + run sweep. (A groupby on the raw
+    # (band, band_key) dispatched the UDF once per bucket — tens of
+    # thousands of per-group Arrow slices dominated the stage wall.)
+    def add_bucket_pid(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (key * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                band << np.uint64(32)
             )
-        a, b = _chain_or_all_pairs(ids, max_bucket, "minhash-LSH")
+        pid = (mixed % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__bpid", pa.array(pid))
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        band = t["band"].to_numpy(zero_copy_only=False)
+        key = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort([ids, key, band])
+        band_s, key_s, ids_s = band[order], key[order], ids[order]
+        brk = np.flatnonzero(
+            (band_s[1:] != band_s[:-1]) | (key_s[1:] != key_s[:-1])
+        )
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk + 1, [len(ids_s)]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for a, z in zip(starts, ends):
+            seg = ids_s[a:z]
+            uniq = seg[np.concatenate(([True], seg[1:] != seg[:-1]))]
+            if len(uniq) < 2:
+                continue
+            ai, bi = _chain_or_all_pairs(uniq, max_bucket, "minhash-LSH")
+            out_a.append(uniq[ai])
+            out_b.append(uniq[bi])
+        if not out_a:
+            return empty
         return pa.table(
-            {"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])}
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+            }
         )
 
     candidates = (
-        sig_rows.repartition(num_partitions)
-        .groupby(["band", "band_key"])
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        sig_rows.map_batches(add_bucket_pid, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__bpid")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__nbands"))
         .drop_columns(["__nbands"])

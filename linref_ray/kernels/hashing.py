@@ -21,6 +21,10 @@ _MATRIX_CELL_CAP = 1 << 24
 # simhash bit-count scratch cap (grams per chunk; 64 bytes of scratch each).
 _SIMHASH_GRAM_CAP = 1 << 20
 
+# Empty docs hash to the maximum value under every permutation (uint64 max
+# viewed as int64), so they never win a min and never bucket together.
+_MINHASH_SENTINEL = np.int64(-1)
+
 
 def _fnv1a_segments(
     flat: np.ndarray, starts: np.ndarray, lens: np.ndarray
@@ -267,70 +271,54 @@ def minhash_signature_many(
     """
     nd = len(lens)
     num_perm = len(a)
-    out = np.full((nd, num_perm), _MERSENNE, dtype=np.int64)
-    x = all_h.astype(np.int64) % _MERSENNE
+    out = np.full((nd, num_perm), _MINHASH_SENTINEL, dtype=np.int64)
+    x = all_h.astype(np.uint64)
     total = len(x)
     if nd == 0 or total == 0:
         return out
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
     starts = np.concatenate(([0], np.cumsum(lens[:-1])))
     # Clipped starts keep reduceat in bounds when trailing docs are empty;
     # zero-length segments produce garbage rows that nz masks out.
     idx = np.minimum(starts, total - 1)
     nz = lens > 0
     chunk = max(1, (1 << 20) // max(total, 1))
-    for p0 in range(0, num_perm, chunk):
-        p1 = min(p0 + chunk, num_perm)
-        vals = (
-            _modmul(a[p0:p1, None], x[None, :]) + b[p0:p1, None].astype(np.int64)
-        ) % _MERSENNE
-        mins = np.minimum.reduceat(vals, idx, axis=1)
-        out[nz, p0:p1] = mins[:, nz].T
+    with np.errstate(over="ignore"):
+        for p0 in range(0, num_perm, chunk):
+            p1 = min(p0 + chunk, num_perm)
+            vals = au[p0:p1, None] * x[None, :] + bu[p0:p1, None]
+            mins = np.minimum.reduceat(vals, idx, axis=1)
+            out[nz, p0:p1] = mins[:, nz].T.astype(np.int64)
     return out
 
 
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    """(a, b) parameters for num_perm universal-hash permutations."""
+    """(a, b) parameters for ``num_perm`` multiply-shift permutations
+    (Dietzfelbinger et al.): odd 64-bit multipliers + 64-bit offsets."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
-    return a, b
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(
+        2
+    ) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a.astype(np.int64), b.astype(np.int64)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature: min over shingles of (a·x + b) mod p, per permutation."""
+    """MinHash signature: min over shingles of the multiply-shift
+    permutation ``a·x + b mod 2^64`` (odd ``a`` makes it a bijection on
+    the 64-bit ring — order-scrambling is all min-wise hashing needs, at
+    one multiply+add per (perm, shingle) instead of Mersenne-prime limb
+    arithmetic)."""
     if len(shingles) == 0:
-        return np.full(len(a), _MERSENNE, dtype=np.int64)
-    x = shingles.astype(np.int64) % _MERSENNE
-    # (num_perm, n_shingles) — use object->int64 safe modmul via Python ints
-    # is too slow; 61-bit modulus keeps products within float-unsafe range, so
-    # do the multiply in uint128 chunks via splitting.
-    vals = (_modmul(a[:, None], x[None, :]) + b[:, None]) % _MERSENNE
-    return vals.min(axis=1)
-
-
-def _modmul(a: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """(a*x) mod 2^61-1 without overflow: split BOTH operands into 31-bit
-    limbs so every intermediate product stays < 2^62 (a single-operand split
-    lets hi*x reach ~2^91 and silently wrap mod 2^64).
-
-    a = a_hi*2^31 + a_lo, x = x_hi*2^31 + x_lo =>
-    a*x = a_hi*x_hi*2^62 + (a_hi*x_lo + a_lo*x_hi)*2^31 + a_lo*x_lo,
-    reduced with 2^61 === 1 (mod p).
-    """
-    P = np.uint64(_MERSENNE)
-    a = a.astype(np.uint64)
-    x = x.astype(np.uint64)
-    mask31 = np.uint64(0x7FFFFFFF)
-    a_lo, a_hi = a & mask31, a >> np.uint64(31)
-    x_lo, x_hi = x & mask31, x >> np.uint64(31)
-    hh = (a_hi * x_hi) % P          # operands < 2^30 -> product < 2^60
-    mid = (a_hi * x_lo + a_lo * x_hi) % P  # each term < 2^61, sum < 2^62
-    ll = (a_lo * x_lo) % P          # < 2^62
-    term1 = (hh << np.uint64(1)) % P  # hh*2^62 === hh*2 (mod p)
-    # mid*2^31 mod p: mid = m_h*2^30 + m_l => m_h*2^61 + m_l*2^31 === m_h + m_l*2^31
-    mask30 = np.uint64((1 << 30) - 1)
-    term2 = ((mid >> np.uint64(30)) + ((mid & mask30) << np.uint64(31))) % P
-    return ((term1 + term2 + ll) % P).astype(np.int64)
+        return np.full(len(a), _MINHASH_SENTINEL, dtype=np.int64)
+    x = shingles.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        vals = (
+            a.astype(np.uint64)[:, None] * x[None, :]
+            + b.astype(np.uint64)[:, None]
+        )
+    return vals.min(axis=1).view(np.int64)
 
 
 def lsh_bands(sig: np.ndarray, bands: int) -> np.ndarray:
