@@ -82,9 +82,12 @@ def _quality_features(texts: list[str]) -> dict[str, np.ndarray] | None:
     from linref_ray.kernels.hashing import _fnv1a_segments, _hash_tokens_u64
 
     n = len(texts)
-    cp = np.frombuffer(
-        "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
-    )
+    try:
+        cp = np.frombuffer(
+            "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
+        )
+    except UnicodeEncodeError:
+        return None  # lone surrogates — scalar path handles them
     sep_pos = np.flatnonzero(cp == 0)
     if len(sep_pos) != n - 1:
         return None
@@ -244,11 +247,17 @@ def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
             n = len(texts)
             preds = np.empty(n, dtype=object)
             confs = np.zeros(n)
-            cp = np.frombuffer(
-                "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
-            )
-            sep = np.flatnonzero(cp == 0)
-            if len(sep) != n - 1:
+            decode_ok = True
+            try:
+                cp = np.frombuffer(
+                    "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
+                )
+                sep = np.flatnonzero(cp == 0)
+            except UnicodeEncodeError:  # lone surrogates → all scalar
+                decode_ok = False
+                cp = np.zeros(0, dtype=np.uint32)
+                sep = np.zeros(0, dtype=np.int64)
+            if not decode_ok or len(sep) != n - 1:
                 slow = np.arange(n)
             else:
                 bounds = np.concatenate((sep, [len(cp)]))

@@ -406,6 +406,8 @@ class TestHashing:
             )
         # NUL-containing batch falls back (returns None)
         assert _quality_features(["a\x00b"]) is None
+        # lone surrogates cannot encode to utf-32 → scalar fallback
+        assert _quality_features(["bad \ud800 char"]) is None
 
     def test_rolling_fingerprint_overlap_for_shared_content(self):
         base = "shared content block that is long enough to fingerprint " * 4
