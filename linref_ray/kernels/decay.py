@@ -1,10 +1,12 @@
-"""Decay functions for the ``distribute`` sliding-window aggregator.
+"""Neighbor-weight falloff for the ``distribute`` sliding-window aggregator.
 
-Reimplements the reference decay family (linref ``events/relate.py:2281-2387``)
-as plain callables: weight(0) = 1, weights for steps 1..decay_size follow the
-named shape. The gaussian variant uses the standard normal pdf evaluated at
-``3 * step / decay_size`` normalized by pdf(0) — written out explicitly since
-scipy is not available here.
+The falloff family matches the reference numerically (linref
+``events/relate.py:2281-2387`` — step 0 always weighs 1.0, steps
+1..decay_size follow the named shape), expressed here as scale functions
+produced by small factories rather than a class hierarchy. The gaussian
+variant is the standard normal pdf at ``3·step/decay_size`` normalized by
+pdf(0), written out explicitly since scipy is absent from this
+environment.
 """
 
 from __future__ import annotations
@@ -13,62 +15,75 @@ import numpy as np
 
 
 class DecayFunction:
-    def __init__(self, decay_size: int):
-        if decay_size < 0:
-            raise ValueError("Decay size must be non-negative.")
-        self.decay_size = decay_size
+    """A step→weight falloff: ``fn(0) == 1.0``, shape applies beyond."""
 
-    @property
-    def decay_cap(self) -> float:
-        return self.decay_size + 1
+    __slots__ = ("name", "steps", "_scale")
+
+    def __init__(self, name: str, steps: int, scale):
+        if steps < 0:
+            raise ValueError("decay window size must be non-negative")
+        self.name = name
+        self.steps = steps
+        self._scale = scale
 
     def __call__(self, distance: float) -> float:
-        if self.decay_size == 0:
-            return 1.0
         if distance < 0:
-            raise ValueError("Distance must be non-negative.")
-        if distance == 0:
+            raise ValueError("neighbor distance must be non-negative")
+        if distance == 0 or self.steps == 0:
             return 1.0
-        return self.decay(distance)
+        return float(self._scale(distance, self.steps))
 
-    def decay(self, distance: float) -> float:
-        raise NotImplementedError
-
-
-class LinearDecay(DecayFunction):
-    def decay(self, distance):
-        return 1.0 - (distance / self.decay_cap)
+    def __repr__(self) -> str:
+        return f"<decay {self.name}({self.steps})>"
 
 
-class ExponentialDecay(DecayFunction):
-    def decay(self, distance):
-        return float(np.exp(-5 * (distance / self.decay_cap)))
+def _linear_falloff(steps: int) -> DecayFunction:
+    # Straight line from 1 at step 0 down to 1/(steps+1) at the window edge.
+    return DecayFunction(
+        "linear", steps, lambda d, s: 1.0 - d / (s + 1.0)
+    )
 
 
-class GaussianDecay(DecayFunction):
-    def decay(self, distance):
-        # pdf(x)/pdf(0) = exp(-x^2/2) with x = 3*distance/decay_size.
-        x = distance / self.decay_size * 3.0
-        return float(np.exp(-0.5 * x * x))
+def _exponential_falloff(steps: int) -> DecayFunction:
+    return DecayFunction(
+        "exponential", steps, lambda d, s: np.exp(-5.0 * d / (s + 1.0))
+    )
 
 
-class FlatDecay(DecayFunction):
-    def decay(self, distance):
-        return 1.0
+def _gaussian_falloff(steps: int) -> DecayFunction:
+    # pdf(x)/pdf(0) = exp(-x²/2) with x = 3·d/steps (the window edge sits
+    # three standard deviations out).
+    return DecayFunction(
+        "gaussian", steps,
+        lambda d, s: np.exp(-0.5 * (3.0 * d / s) ** 2),
+    )
+
+
+def _flat_falloff(steps: int) -> DecayFunction:
+    return DecayFunction("flat", steps, lambda d, s: 1.0)
+
+
+_DECAY_FACTORIES = {
+    "linear": _linear_falloff,
+    "lin": _linear_falloff,
+    "exponential": _exponential_falloff,
+    "exp": _exponential_falloff,
+    "gaussian": _gaussian_falloff,
+    "gauss": _gaussian_falloff,
+    "flat": _flat_falloff,
+    "none": _flat_falloff,
+    None: _flat_falloff,
+}
 
 
 def resolve_decay(decay_func, decay_size: int) -> DecayFunction:
+    """Name / None / instance → :class:`DecayFunction`."""
     if isinstance(decay_func, DecayFunction):
         return decay_func
-    if decay_func in ("linear", "lin"):
-        return LinearDecay(decay_size)
-    if decay_func in ("exponential", "exp"):
-        return ExponentialDecay(decay_size)
-    if decay_func in ("gaussian", "gauss"):
-        return GaussianDecay(decay_size)
-    if decay_func in ("flat", "none", None):
-        return FlatDecay(decay_size)
-    raise ValueError(
-        "Invalid decay function; must be one of 'linear', 'exponential', "
-        "'gaussian', 'flat' or a DecayFunction instance."
-    )
+    try:
+        return _DECAY_FACTORIES[decay_func](decay_size)
+    except KeyError:
+        raise ValueError(
+            f"no decay shape named {decay_func!r} (have: linear, "
+            "exponential, gaussian, flat, or a DecayFunction instance)"
+        ) from None
