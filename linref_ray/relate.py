@@ -1081,6 +1081,12 @@ class Relation:
                 for s in np.unique(keep_s):
                     rows = np.flatnonzero(keep_s == s)
                     src_row = sseg[s]
+                    if gx[src_row] is None:
+                        raise ValueError(
+                            "cut source row (id "
+                            f"{int(ids[src_row])}) has null geometry — "
+                            "sources must carry xs/ys/ms lists"
+                        )
                     sx = np.asarray(gx[src_row], dtype=np.float64)
                     sy = np.asarray(gy[src_row], dtype=np.float64)
                     sm = np.asarray(gm[src_row], dtype=np.float64)
@@ -1284,6 +1290,12 @@ class Relation:
                 for s in np.unique(keep_s):
                     rows = np.flatnonzero(keep_s == s)
                     src_row = sseg[s]
+                    if gx[src_row] is None:
+                        raise ValueError(
+                            "interpolate source row (id "
+                            f"{int(ids[src_row])}) has null geometry — "
+                            "sources must carry xs/ys/ms lists"
+                        )
                     sx = np.asarray(gx[src_row], dtype=np.float64)
                     sy = np.asarray(gy[src_row], dtype=np.float64)
                     sm = np.asarray(gm[src_row], dtype=np.float64)
