@@ -56,16 +56,19 @@ def exact_dedup(
 
 
 class _MinhashStage:
-    """Actor stage: per-doc shingling + minhash + band keys (params built
-    once per actor)."""
+    """Actor stage: batch shingling + minhash + band keys (+ the bucket
+    partition id, fused here so no extra operator touches the 16×-row
+    band table). Params built once per actor."""
 
     def __init__(
         self, num_perm: int, bands: int, shingle_k: int,
+        num_partitions: int = 0,
         id_col: str = "doc_id", text_col: str = "text",
     ):
         self.a, self.b = minhash_params(num_perm)
         self.bands = bands
         self.shingle_k = shingle_k
+        self.num_partitions = num_partitions
         self.id_col = id_col
         self.text_col = text_col
 
@@ -77,13 +80,24 @@ class _MinhashStage:
         all_h, lens = shingle_hashes_many(texts, self.shingle_k)
         sigs = minhash_signature_many(all_h, lens, self.a, self.b)
         keys = lsh_bands_many(sigs, bands)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, bands)),
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
                 "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
             }
         )
+        if self.num_partitions:
+            band = np.tile(
+                np.arange(bands, dtype=np.uint64), n
+            )
+            with np.errstate(over="ignore"):
+                mixed = (
+                    keys.reshape(-1) * np.uint64(0x9E3779B97F4A7C15)
+                ) ^ (band << np.uint64(32))
+            pid = (mixed % np.uint64(self.num_partitions)).astype(np.int64)
+            out = out.append_column("__bpid", pa.array(pid))
+        return out
 
 
 def _chain_or_all_pairs(
@@ -214,6 +228,7 @@ def minhash_near_duplicates(
         _MinhashStage,
         fn_constructor_kwargs=dict(
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            num_partitions=num_partitions,
             id_col=id_col, text_col=text_col,
         ),
         batch_format="pyarrow",
@@ -226,16 +241,6 @@ def minhash_near_duplicates(
     # its buckets via a lexsort + run sweep. (A groupby on the raw
     # (band, band_key) dispatched the UDF once per bucket — tens of
     # thousands of per-group Arrow slices dominated the stage wall.)
-    def add_bucket_pid(t: pa.Table) -> pa.Table:
-        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = (key * np.uint64(0x9E3779B97F4A7C15)) ^ (
-                band << np.uint64(32)
-            )
-        pid = (mixed % np.uint64(num_partitions)).astype(np.int64)
-        return t.append_column("__bpid", pa.array(pid))
-
     def bucket_pairs(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -274,10 +279,11 @@ def minhash_near_duplicates(
             }
         )
 
+    # No repartition before the groupby: the signature stage already emits
+    # a handful of coarse blocks (the per-block sort-shuffle fixed cost
+    # only bites with MANY tiny blocks).
     candidates = (
-        sig_rows.map_batches(add_bucket_pid, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .groupby("__bpid")
+        sig_rows.groupby("__bpid")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__nbands"))
