@@ -433,6 +433,17 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_near_duplicates(docs, threshold=0.6)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard similarity self-join (prefix-filtered, complete
+    — no LSH recall loss), so it oracles on ORGANIC data."""
+    from linref_ray.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
 def _q_simhash(sf_dir: str):
     from linref_ray.dedup import simhash_signatures
 
@@ -1124,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_planted": _q_langid_planted,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_planted": _q_minhash_planted,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_planted": _q_simhash_planted,
         "simhash": _q_simhash,
         "cluster": _q_cluster,
@@ -1321,6 +1333,40 @@ where rk <= 5
         "dedup_exact": """
 select min(doc_id) as doc_id, count(*) as n_copies
 from documents group by text
+""",
+        # Exact word-3-gram Jaccard self-join. Shingles mirror the engine:
+        # lower().split() words, docs shorter than k padded with '' words,
+        # DISTINCT grams; jaccard = |inter| / |union| as one double
+        # division of exact ints (bit-identical to the numpy division, no
+        # rounding needed). chr(31) joins gram words (str.split() breaks on
+        # \x1f, so it never appears inside a word).
+        "ngram_jaccard": """
+with w as (
+  select doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') as ws
+  from documents
+),
+sh as (
+  select doc_id,
+         list_distinct([
+           coalesce(ws[i], '') || chr(31) || coalesce(ws[i+1], '')
+             || chr(31) || coalesce(ws[i+2], '')
+           for i in range(1, greatest(len(ws) - 2, 1) + 1)
+         ]) as grams
+  from w
+),
+g as (select doc_id, unnest(grams) as g from sh),
+sizes as (select doc_id, len(grams) as n from sh),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from g a join g b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select i.id_a, i.id_b, c * 1.0 / (sa.n + sb.n - c) as jaccard
+from inter i
+join sizes sa on sa.doc_id = i.id_a
+join sizes sb on sb.doc_id = i.id_b
+where c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """,
         "bpe_tokens": """
 select doc_id,

@@ -196,6 +196,95 @@ def pair_jaccard(
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
+def _verified_pairs(
+    docs: ray.data.Dataset,
+    candidates: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_k: int,
+    num_partitions: int,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Shared tail of every near-dup cascade: dedup raw (id_a, id_b)
+    candidates, attach both texts with partitioned hash joins, and verify
+    exact shingle-Jaccard per batch. Fully distributed — nothing collects
+    to the driver."""
+    from linref_ray.joins import hash_join
+
+    candidates = (
+        candidates.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__nsrc"))
+        .drop_columns(["__nsrc"])
+    )
+    # Anchor the schema: with zero candidates the lazy dataset has no
+    # inferable schema and the join below could not type its columns.
+    candidates = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    ).union(candidates)
+
+    # Distributed exact verification: attach both texts with partitioned
+    # hash joins, then verify per batch. (Rename via an Arrow map_batches —
+    # Dataset.rename_columns chokes on pandas blocks in Ray 2.49.)
+    def _renamed(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{side}": t[id_col], f"__text_{side}": t[text_col]}
+            )
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    with_a = hash_join(
+        candidates, _renamed("a"), on="id_a", how="inner",
+        num_partitions=num_partitions,
+    )
+    with_ab = hash_join(
+        with_a, _renamed("b"), on="id_b", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ta = t["__text_a"].to_pylist()
+        tb = t["__text_b"].to_pylist()
+        jac = pair_jaccard(ia, ib, ta, tb, shingle_k)
+        hit = jac >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ia[hit]),
+                "id_b": pa.array(ib[hit]),
+                "jaccard": pa.array(jac[hit]),
+            }
+        )
+
+    verified = with_ab.map_batches(
+        verify, batch_format="pyarrow", batch_size=4096
+    )
+    # Anchor the output schema too: a run with zero verified pairs must
+    # still yield a typed (id_a, id_b, jaccard) dataset downstream.
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    ).union(verified)
+
+
 def minhash_near_duplicates(
     docs: ray.data.Dataset,
     threshold: float = 0.6,
@@ -222,8 +311,6 @@ def minhash_near_duplicates(
     Hot LSH buckets degrade to chain pairs at ``max_bucket`` (logged — see
     :func:`_chain_or_all_pairs`).
     """
-    from linref_ray.joins import hash_join
-
     sig_rows = docs.map_batches(
         _MinhashStage,
         fn_constructor_kwargs=dict(
@@ -282,67 +369,12 @@ def minhash_near_duplicates(
     # No repartition before the groupby: the signature stage already emits
     # a handful of coarse blocks (the per-block sort-shuffle fixed cost
     # only bites with MANY tiny blocks).
-    candidates = (
-        sig_rows.groupby("__bpid")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__nbands"))
-        .drop_columns(["__nbands"])
+    candidates = sig_rows.groupby("__bpid").map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
-    # Anchor the schema: with zero candidates the lazy dataset has no
-    # inferable schema and the join below could not type its columns.
-    candidates = ray.data.from_arrow(
-        pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-    ).union(candidates)
-
-    # Distributed exact verification: attach both texts with partitioned
-    # hash joins, then verify per batch. (Rename via an Arrow map_batches —
-    # Dataset.rename_columns chokes on pandas blocks in Ray 2.49.)
-    def _renamed(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {f"id_{side}": t[id_col], f"__text_{side}": t[text_col]}
-            )
-
-        return docs.map_batches(fn, batch_format="pyarrow")
-
-    with_a = hash_join(
-        candidates, _renamed("a"), on="id_a", how="inner",
-        num_partitions=num_partitions,
-    )
-    with_ab = hash_join(
-        with_a, _renamed("b"), on="id_b", how="inner",
-        num_partitions=num_partitions,
-    )
-
-    def verify(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-        if len(t) == 0:
-            return empty
-        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ta = t["__text_a"].to_pylist()
-        tb = t["__text_b"].to_pylist()
-        jac = pair_jaccard(ia, ib, ta, tb, shingle_k)
-        hit = jac >= threshold
-        return pa.table(
-            {
-                "id_a": pa.array(ia[hit]),
-                "id_b": pa.array(ib[hit]),
-                "jaccard": pa.array(jac[hit]),
-            }
-        )
-
-    return with_ab.map_batches(
-        verify, batch_format="pyarrow", batch_size=4096
+    return _verified_pairs(
+        docs, candidates, threshold=threshold, shingle_k=shingle_k,
+        num_partitions=num_partitions, text_col=text_col, id_col=id_col,
     )
 
 
@@ -449,16 +481,137 @@ def simhash_near_duplicates(
     )
 
 
+class _PrefixPostingsStage:
+    """Actor stage for the exact Jaccard join: per doc, emit prefix-filtered
+    shingle postings ``(token, doc_id, size, __pid)``.
+
+    Prefix filtering (AllPairs / PPJoin principle): order shingle hashes
+    ascending (a global total order); a doc with ``s`` distinct shingles
+    emits only its first ``s - ceil(t*s) + 1`` tokens. Any pair with
+    Jaccard >= t shares at least ``ceil(t/(1+t)*(sa+sb)) >= ceil(t*sa)``
+    shingles, so its prefixes must intersect — candidate generation over
+    prefix postings is COMPLETE, and the exact verify pass removes false
+    positives. No signatures, no probabilistic recall."""
+
+    def __init__(
+        self, threshold: float, shingle_k: int, num_partitions: int,
+        id_col: str = "doc_id", text_col: str = "text",
+    ):
+        self.threshold = threshold
+        self.shingle_k = shingle_k
+        self.num_partitions = num_partitions
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[self.text_col].to_pylist()
+        all_h, lens = shingle_hashes_many(texts, self.shingle_k)
+        # ceil(t*s) without float-edge surprises: ceil(a/b) on scaled ints.
+        t_num = int(round(self.threshold * 10**9))
+        need = -(-(lens * t_num) // 10**9)
+        p = np.clip(lens - need + 1, 1, lens)
+        total = int(p.sum())
+        doc_idx = np.repeat(np.arange(len(ids)), p)
+        seg_off = np.concatenate(([0], np.cumsum(p)[:-1]))
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        rows = starts[doc_idx] + (np.arange(total) - seg_off[doc_idx])
+        tok = all_h[rows]
+        pid = (tok % np.uint64(self.num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "token": pa.array(tok.astype(np.int64)),
+                "doc_id": pa.array(ids[doc_idx]),
+                "size": pa.array(lens[doc_idx]),
+                "__pid": pa.array(pid),
+            }
+        )
+
+
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
     shingle_k: int = 3,
-    num_perm: int = 64,
-    bands: int = 16,
+    concurrency: int = 4,
+    max_bucket: int = 8192,
+    num_partitions: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> ray.data.Dataset:
-    """n-gram Jaccard near-dup = the MinHash cascade with exact verification
-    (alias exposing the SURVEY-required op name)."""
-    return minhash_near_duplicates(
-        docs, threshold=threshold, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k,
+    """EXACT n-gram (word k-shingle) Jaccard similarity self-join:
+    all pairs (id_a < id_b) with shingle-set Jaccard >= ``threshold``.
+
+    Unlike :func:`minhash_near_duplicates` this is deterministic and
+    complete — no signature recall loss. Scale shape: prefix filtering
+    (see :class:`_PrefixPostingsStage`) bounds the inverted index to the
+    rarest ``(1-t)`` fraction of each doc's shingles under the hash
+    order; postings shuffle once on a coarse token partition; candidate
+    pairs within equal-token runs are swept in ONE kernel per partition
+    with a size ratio filter (J >= t requires min(sa,sb) >= t*max(sa,sb));
+    the shared distributed verify tail attaches texts and computes exact
+    Jaccard. A pathological hot token (identical boilerplate in thousands
+    of docs) degrades to chain pairs at ``max_bucket`` — completeness of
+    *clusters* is preserved via connectivity, per-pair completeness above
+    the cap is logged (`_chain_or_all_pairs`)."""
+
+    postings = docs.map_batches(
+        _PrefixPostingsStage,
+        fn_constructor_kwargs=dict(
+            threshold=threshold, shingle_k=shingle_k,
+            num_partitions=num_partitions,
+            id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def token_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        size = t["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort([ids, tok])
+        tok_s, ids_s, size_s = tok[order], ids[order], size[order]
+        brk = np.flatnonzero(tok_s[1:] != tok_s[:-1])
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk + 1, [len(ids_s)]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for a, z in zip(starts, ends):
+            seg_ids = ids_s[a:z]
+            keep = np.concatenate(([True], seg_ids[1:] != seg_ids[:-1]))
+            uniq, usize = seg_ids[keep], size_s[a:z][keep]
+            if len(uniq) < 2:
+                continue
+            ai, bi = _chain_or_all_pairs(uniq, max_bucket, "ngram-prefix")
+            sa, sb = usize[ai], usize[bi]
+            # Length filter: J >= t forces the smaller shingle set to be
+            # at least t times the larger (strictly conservative).
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+            out_a.append(uniq[ai[ok]])
+            out_b.append(uniq[bi[ok]])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    candidates = postings.groupby("__pid").map_groups(
+        token_pairs, batch_format="pyarrow"
+    )
+    return _verified_pairs(
+        docs, candidates, threshold=threshold, shingle_k=shingle_k,
+        num_partitions=num_partitions, text_col=text_col, id_col=id_col,
     )

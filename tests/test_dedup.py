@@ -270,3 +270,89 @@ class TestVerifyCapFallback:
             sb = set(shingle_hashes(tb[r], 3).tolist())
             exp = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
             assert base[r] == pytest.approx(exp)
+
+
+class TestNgramJaccardExact:
+    """The prefix-filtered exact Jaccard join must equal brute-force
+    all-pairs exact Jaccard — deterministic, complete, no recall loss."""
+
+    @staticmethod
+    def _brute(df, threshold, k=3):
+        from linref_ray.kernels.hashing import shingle_hashes
+
+        sets = {
+            int(r.doc_id): set(shingle_hashes(r.text, k).tolist())
+            for r in df.itertuples()
+        }
+        ids = sorted(sets)
+        out = []
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                u = sets[a] | sets[b]
+                j = len(sets[a] & sets[b]) / len(u) if u else 0.0
+                if j >= threshold:
+                    out.append((a, b, j))
+        return sorted(out)
+
+    def _run(self, df, threshold, **kw):
+        from linref_ray.dedup import ngram_jaccard_pairs
+
+        got = (
+            ngram_jaccard_pairs(
+                rd.from_pandas(df), threshold=threshold, **kw
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        return [
+            (int(a), int(b), float(j))
+            for a, b, j in zip(got.id_a, got.id_b, got.jaccard)
+        ]
+
+    def test_matches_bruteforce_mid_threshold(self, ray_session):
+        # Overlapping docs built from shared sentence fragments so the
+        # brute-force pair set is non-trivial at every threshold tested.
+        rng = np.random.default_rng(31)
+        frags = [
+            [f"s{s}w{j}" for j in range(6)] for s in range(8)
+        ]
+        rows = []
+        for i in range(40):
+            picks = rng.choice(8, size=3, replace=False)
+            toks = [w for p in picks for w in frags[p]]
+            if i % 4 == 0:
+                toks = toks + [f"extra{i}"]
+            rows.append((i, " ".join(toks)))
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        for thr in (0.3, 0.5, 0.8):
+            exp = self._brute(df, thr)
+            got = self._run(df, thr)
+            assert [(a, b) for a, b, _ in got] == [
+                (a, b) for a, b, _ in exp
+            ], f"pair set mismatch at t={thr}"
+            assert np.allclose(
+                [j for *_, j in got], [j for *_, j in exp]
+            )
+
+    def test_family_corpus_and_superset_of_minhash(self, ray_session):
+        df = _doc_corpus()
+        exp = self._brute(df, 0.6)
+        got = self._run(df, 0.6)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in exp]
+        mh = minhash_near_duplicates(
+            rd.from_pandas(df), threshold=0.6
+        ).to_pandas()
+        assert set(zip(mh.id_a, mh.id_b)) <= {
+            (a, b) for a, b, _ in got
+        }
+
+    def test_short_and_empty_docs(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["", "", "one", "totally different words here"],
+            }
+        )
+        got = self._run(df, 0.9)
+        # the two empty docs share the all-pad shingle → jaccard 1.0
+        assert (1, 2, 1.0) in got
