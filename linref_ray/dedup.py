@@ -212,11 +212,6 @@ def _verified_pairs(
     to the driver."""
     from linref_ray.joins import hash_join
 
-    candidates = (
-        candidates.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__nsrc"))
-        .drop_columns(["__nsrc"])
-    )
     # Anchor the schema: with zero candidates the lazy dataset has no
     # inferable schema and the join below could not type its columns.
     candidates = ray.data.from_arrow(
@@ -225,9 +220,12 @@ def _verified_pairs(
         )
     ).union(candidates)
 
-    # Distributed exact verification: attach both texts with partitioned
-    # hash joins, then verify per batch. (Rename via an Arrow map_batches —
-    # Dataset.rename_columns chokes on pandas blocks in Ray 2.49.)
+    # Distributed exact verification: dedup candidate pairs inside the
+    # first join's shuffle (``distinct_left`` — same pair always lands in
+    # the same id_a partition, so no standalone groupby shuffle), attach
+    # both texts with partitioned hash joins, then verify per batch.
+    # (Rename via an Arrow map_batches — Dataset.rename_columns chokes on
+    # pandas blocks in Ray 2.49.)
     def _renamed(side: str):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -238,7 +236,7 @@ def _verified_pairs(
 
     with_a = hash_join(
         candidates, _renamed("a"), on="id_a", how="inner",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, distinct_left=True,
     )
     with_ab = hash_join(
         with_a, _renamed("b"), on="id_b", how="inner",

@@ -46,8 +46,15 @@ def hash_join(
     on: str,
     how: str = "left",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    distinct_left: bool = False,
 ) -> ray.data.Dataset:
-    """Join two datasets on one key column (left/inner/outer)."""
+    """Join two datasets on one key column (left/inner/outer).
+
+    ``distinct_left=True`` drops full-row duplicates from the left side
+    inside the join kernel. Because duplicate rows share the key and
+    therefore the hash partition, the partition-local distinct is globally
+    complete — it fuses a would-be ``groupby().agg()`` dedup shuffle into
+    the join's own shuffle for free."""
     lsch = _schema_dict(left)
     rsch = _schema_dict(right)
     overlap = (set(lsch) & set(rsch)) - {on}
@@ -89,6 +96,10 @@ def hash_join(
         # order keep the output schema stable across partitions.
         side = t[_JSIDE].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(left_names)
+        if distinct_left and len(lt):
+            lt = lt.group_by(left_names, use_threads=False).aggregate(
+                []
+            ).select(left_names)
         rt = t.filter(pa.array(side == 1)).select([on] + right_only)
         jt = lt.join(
             rt, keys=on, join_type=pa_how[how], coalesce_keys=True
