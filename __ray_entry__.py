@@ -847,6 +847,30 @@ def _q_image_invariants(sf_dir: str):
     )
 
 
+def _q_image_neardup_planted(sf_dir: str):
+    """Perceptual image near-dup over a planted corpus: 2000 synthetic
+    images; every base id with i % 100 == 3 gets three byte-identical
+    copies (ids suffixed '#d1..3'), so the expected pairs are exactly the
+    C(4,2)=6 within-family combinations per 20 families at hamming 0.
+    Verified once that no cross-family aHash lands within the hamming
+    threshold in the same prefix bucket (deterministic corpus)."""
+    from linref_ray import synth
+    from linref_ray.images import image_near_duplicates
+
+    base = synth.make_images(2000)
+    idx = [i for i in range(2000) if i % 100 == 3]
+    sel = base.take([i for i in idx for _ in range(3)])
+    ids = [
+        f"{base['image_id'][i].as_py()}#d{j}" for i in idx
+        for j in range(1, 4)
+    ]
+    sel = sel.set_column(
+        sel.schema.get_field_index("image_id"), "image_id", pa.array(ids)
+    )
+    images = rd.from_arrow(pa.concat_tables([base, sel]))
+    return image_near_duplicates(images, max_hamming=4)
+
+
 def _q_frame_sample(sf_dir: str):
     """Video frame sampling over a deterministic synthetic corpus: 40
     videos × 12 frames, k=4 uniform — sampled indices {0,4,7,11} and
@@ -1152,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cut_merge": _q_cut_merge,
         "interpolate_geom": _q_interpolate_geom,
         "image_invariants": _q_image_invariants,
+        "image_neardup_planted": _q_image_neardup_planted,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "audio_features_planted": _q_audio_features_planted,
@@ -1539,6 +1564,18 @@ select printf('vid-%06d#f%04d', v.i, f.idx) as image_id,
        cast(f.idx as int) as frame_idx,
        cast(round(round(f.idx / 30.0, 9) * 1000000) as bigint) as ts_sec
 from v, f
+"""
+    oracles["image_neardup_planted"] = """
+with fam as (
+  select i from (select unnest(generate_series(0, 1999)) as i)
+  where i % 100 = 3
+),
+m as (
+  select i, printf('img-%08d', i) || sfx as id
+  from fam, (select unnest(['', '#d1', '#d2', '#d3']) as sfx)
+)
+select a.id as id_a, b.id as id_b, cast(0 as bigint) as hamming
+from m a join m b on a.i = b.i and a.id < b.id
 """
     oracles["image_invariants"] = """
 with idx as (select unnest(generate_series(0, 1999)) as i),

@@ -395,36 +395,40 @@ def simhash_signatures(
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
-def simhash_near_duplicates(
-    docs: ray.data.Dataset,
+def hash_near_duplicates(
+    sigs: ray.data.Dataset,
     max_hamming: int = 6,
     prefix_bits: int = 12,
     max_bucket: int = 4096,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
 ) -> ray.data.Dataset:
-    """SimHash near-dup candidates bucketed by hash prefix, verified by
-    Hamming distance (≤ max_hamming). Multiple rotations of the prefix would
-    raise recall; one prefix keeps the demo pipeline single-shuffle.
+    """Near-dup pairs over any precomputed 64-bit signature column
+    (``(id_col, hash_col)`` rows): bucket by hash prefix, verify by Hamming
+    distance (≤ max_hamming). Shared by text SimHash and image aHash/pHash
+    dedup — the modality only decides how the signature is computed.
+    Multiple rotations of the prefix would raise recall; one prefix keeps
+    the pipeline single-shuffle.
 
     Hot prefix buckets degrade to chain pairs at ``max_bucket`` (logged);
     within the cap, all-pairs Hamming runs in 1024-row tiles so per-task
     scratch stays O(tile²) instead of O(bucket²)."""
 
-    sigs = simhash_signatures(docs)
-
     def add_prefix(t: pa.Table) -> pa.Table:
-        s = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         return t.append_column(
             "__prefix",
             pa.array((s >> np.uint64(64 - prefix_bits)).astype(np.int64)),
         )
 
     def verify(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        s = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        s = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idt = t.schema.field(id_col).type
         empty = pa.table(
             {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
+                "id_a": pa.array([], idt),
+                "id_b": pa.array([], idt),
                 "hamming": pa.array([], pa.int64()),
             }
         )
@@ -433,7 +437,7 @@ def simhash_near_duplicates(
             return empty
         out_a, out_b, out_h = [], [], []
         if n > max_bucket:
-            a, b = _chain_or_all_pairs(ids, max_bucket, "simhash-prefix")
+            a, b = _chain_or_all_pairs(ids, max_bucket, f"{hash_col}-prefix")
             hd = hamming64(s[a], s[b])
             hit = hd <= max_hamming
             out_a.append(ids[a[hit]])
@@ -476,6 +480,22 @@ def simhash_near_duplicates(
         sigs.map_batches(add_prefix, batch_format="pyarrow")
         .groupby("__prefix")
         .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def simhash_near_duplicates(
+    docs: ray.data.Dataset,
+    max_hamming: int = 6,
+    prefix_bits: int = 12,
+    max_bucket: int = 4096,
+) -> ray.data.Dataset:
+    """Text SimHash near-dup: signatures + the shared prefix-bucketed
+    Hamming verify (:func:`hash_near_duplicates`)."""
+    return hash_near_duplicates(
+        simhash_signatures(docs),
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        max_bucket=max_bucket,
     )
 
 

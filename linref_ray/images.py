@@ -432,3 +432,33 @@ def extract_features(
         return out.append_column("ahash", pa.array(hashes))
 
     return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def image_near_duplicates(
+    images: ray.data.Dataset,
+    max_hamming: int = 4,
+    prefix_bits: int = 12,
+    max_bucket: int = 4096,
+    batch_size: int = 2048,
+) -> ray.data.Dataset:
+    """Perceptual near-duplicate image pairs (id_a < id_b, hamming ≤
+    ``max_hamming``) via 64-bit aHash.
+
+    Modality composition: the decode + aHash feature stage runs pre-shuffle
+    in batches (wide ``bytes`` never cross an operator boundary — only slim
+    ``(image_id, ahash)`` rows shuffle), then the generic prefix-bucketed
+    Hamming verify shared with text SimHash
+    (:func:`linref_ray.dedup.hash_near_duplicates`) finds the pairs."""
+    from linref_ray.dedup import hash_near_duplicates
+
+    feats = extract_features(images, batch_size=batch_size).select_columns(
+        ["image_id", "ahash"]
+    )
+    return hash_near_duplicates(
+        feats,
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        max_bucket=max_bucket,
+        id_col="image_id",
+        hash_col="ahash",
+    )

@@ -267,3 +267,37 @@ class TestCheckpointedPipeline:
         t2df = t2.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
         assert pe2df.equals(ref_pe)
         assert t2df.equals(ref_tiles)
+
+
+class TestImageNearDup:
+    def test_planted_copies_found_strings_ids(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray import synth
+        from linref_ray.images import image_near_duplicates
+
+        base = synth.make_images(300)
+        idx = [i for i in range(300) if i % 60 == 3]  # 5 families
+        sel = base.take([i for i in idx for _ in range(2)])
+        ids = [
+            f"{base['image_id'][i].as_py()}#d{j}"
+            for i in idx for j in range(1, 3)
+        ]
+        sel = sel.set_column(
+            sel.schema.get_field_index("image_id"), "image_id",
+            pa.array(ids),
+        )
+        out = (
+            image_near_duplicates(
+                rd.from_arrow(pa.concat_tables([base, sel]))
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        # 5 families x C(3,2)=3 within-family pairs, all byte-identical
+        assert len(out) == 15
+        assert (out.hamming == 0).all()
+        assert out.id_a.str.len().ge(12).all()
+        # string ids ordered lexicographically (min/max path)
+        assert (out.id_a < out.id_b).all()
