@@ -444,6 +444,17 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def _q_dedup_corpus(sf_dir: str):
+    """End-to-end near-dedup: exact n-gram Jaccard pairs → connected
+    components → keep the min-id canonical doc per component."""
+    from linref_ray.dedup import dedup_corpus, ngram_jaccard_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_corpus(docs, ngram_jaccard_pairs(docs, threshold=0.5))
+
+
 def _q_simhash(sf_dir: str):
     from linref_ray.dedup import simhash_signatures
 
@@ -1160,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_planted": _q_minhash_planted,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_corpus": _q_dedup_corpus,
         "simhash_planted": _q_simhash_planted,
         "simhash": _q_simhash,
         "cluster": _q_cluster,
@@ -1392,6 +1404,54 @@ from inter i
 join sizes sa on sa.doc_id = i.id_a
 join sizes sb on sb.doc_id = i.id_b
 where c * 1.0 / (sa.n + sb.n - c) >= 0.5
+""",
+        # Same exact-Jaccard pair derivation, then duplicate components via
+        # a recursive transitive-closure CTE; keep the min-id member of
+        # each component (plus every unpaired doc).
+        "dedup_corpus": """
+with recursive w as (
+  select doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') as ws
+  from documents
+),
+sh as (
+  select doc_id,
+         list_distinct([
+           coalesce(ws[i], '') || chr(31) || coalesce(ws[i+1], '')
+             || chr(31) || coalesce(ws[i+2], '')
+           for i in range(1, greatest(len(ws) - 2, 1) + 1)
+         ]) as grams
+  from w
+),
+g as (select doc_id, unnest(grams) as g from sh),
+sizes as (select doc_id, len(grams) as n from sh),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from g a join g b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select i.id_a, i.id_b
+  from inter i
+  join sizes sa on sa.doc_id = i.id_a
+  join sizes sb on sb.doc_id = i.id_b
+  where c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+edges as (
+  select id_a as u, id_b as v from pairs
+  union
+  select id_b, id_a from pairs
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+roots as (select u, least(u, min(v)) as root from reach group by u)
+select d.doc_id, d.text
+from documents d
+left join roots r on d.doc_id = r.u
+where r.u is null or r.root = d.doc_id
 """,
         "bpe_tokens": """
 select doc_id,

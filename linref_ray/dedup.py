@@ -633,3 +633,61 @@ def ngram_jaccard_pairs(
         docs, candidates, threshold=threshold, shingle_k=shingle_k,
         num_partitions=num_partitions, text_col=text_col, id_col=id_col,
     )
+
+
+def dedup_corpus(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """End-to-end near-dedup: given verified near-dup ``(id_a, id_b)``
+    pairs from any cascade (minhash / simhash / exact n-gram / embedding /
+    image), drop every non-canonical member of each duplicate component
+    and return the surviving corpus rows (all input columns).
+
+    Canonical = the minimum id of the connected component. The distinct
+    edge list is collected to the driver for union-find — edges ≪ corpus
+    by construction (every edge already survived bucketing + exact
+    verification; a corpus that is 50% duplicates still has O(dups)
+    edges after pair dedup, and hot buckets chain-degrade upstream).
+    The loser set broadcasts once via ``ray.put`` and the corpus filters
+    in one streaming ``map_batches`` pass — the wide text/bytes columns
+    never shuffle.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    if len(edges) == 0 or "id_a" not in edges.columns:
+        # No duplicates (an all-empty pairs dataset may arrive schema-less).
+        return docs
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    losers = [x for members in comp.values() for x in members
+              if x != min(members)]
+    loser_ref = ray.put(pa.array(losers))
+
+    def keep(t: pa.Table) -> pa.Table:
+        value_set = ray.get(loser_ref)
+        if len(value_set) == 0:
+            return t
+        dup = pc.is_in(
+            t[id_col], value_set=value_set.cast(t.schema.field(id_col).type)
+        )
+        return t.filter(pc.invert(pc.fill_null(dup, False)))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

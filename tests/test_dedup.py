@@ -356,3 +356,45 @@ class TestNgramJaccardExact:
         got = self._run(df, 0.9)
         # the two empty docs share the all-pad shingle → jaccard 1.0
         assert (1, 2, 1.0) in got
+
+
+class TestDedupCorpus:
+    def test_keeps_min_id_per_component(self, ray_session):
+        from linref_ray.dedup import dedup_corpus
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3, 7, 9, 20], "text": ["x"] * 6}
+            )
+        )
+        # components: {1,2,3} (chain), {7,9}; 20 unpaired
+        pairs = rd.from_pandas(
+            pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 9]})
+        )
+        out = dedup_corpus(docs, pairs).to_pandas()
+        assert sorted(out.doc_id) == [1, 7, 20]
+
+    def test_string_ids_image_pairs(self, ray_session):
+        import pyarrow as pa
+
+        from linref_ray.dedup import dedup_corpus
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": ["a", "b", "c"], "val": [1, 2, 3]})
+        )
+        pairs = rd.from_arrow(pa.table({"id_a": ["b"], "id_b": ["c"]}))
+        out = dedup_corpus(docs, pairs).to_pandas()
+        assert sorted(out.doc_id) == ["a", "b"]
+
+    def test_no_pairs_identity(self, ray_session):
+        from linref_ray.dedup import dedup_corpus
+
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+        )
+        pairs = rd.from_pandas(
+            pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                          "id_b": pd.array([], dtype="int64")})
+        )
+        out = dedup_corpus(docs, pairs).to_pandas()
+        assert sorted(out.doc_id) == [1, 2]
