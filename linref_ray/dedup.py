@@ -533,7 +533,8 @@ class _PrefixPostingsStage:
         doc_idx = np.repeat(np.arange(len(ids)), p)
         seg_off = np.concatenate(([0], np.cumsum(p)[:-1]))
         starts = np.concatenate(([0], np.cumsum(lens[:-1])))
-        rows = starts[doc_idx] + (np.arange(total) - seg_off[doc_idx])
+        within = np.arange(total) - seg_off[doc_idx]
+        rows = starts[doc_idx] + within
         tok = all_h[rows]
         pid = (tok % np.uint64(self.num_partitions)).astype(np.int64)
         return pa.table(
@@ -541,6 +542,9 @@ class _PrefixPostingsStage:
                 "token": pa.array(tok.astype(np.int64)),
                 "doc_id": pa.array(ids[doc_idx]),
                 "size": pa.array(lens[doc_idx]),
+                # position of the token in the doc's full sorted shingle
+                # array (= prefix index) — drives the positional filter
+                "pos": pa.array(within),
                 "__pid": pa.array(pid),
             }
         )
@@ -597,24 +601,38 @@ def ngram_jaccard_pairs(
         tok = t["token"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         size = t["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort([ids, tok])
-        tok_s, ids_s, size_s = tok[order], ids[order], size[order]
+        tok_s, ids_s = tok[order], ids[order]
+        size_s, pos_s = size[order], pos[order]
         brk = np.flatnonzero(tok_s[1:] != tok_s[:-1])
         starts = np.concatenate(([0], brk + 1))
         ends = np.concatenate((brk + 1, [len(ids_s)]))
+        # alpha(sa+sb) = ceil(t/(1+t) * (sa+sb)) on scaled ints
+        t_num = int(round(threshold * 10**9))
+        t_den = 10**9 + t_num
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         for a, z in zip(starts, ends):
-            seg_ids = ids_s[a:z]
-            keep = np.concatenate(([True], seg_ids[1:] != seg_ids[:-1]))
-            uniq, usize = seg_ids[keep], size_s[a:z][keep]
+            # shingles are unique per doc → one posting per (token, doc)
+            uniq = ids_s[a:z]
             if len(uniq) < 2:
                 continue
+            usize, upos = size_s[a:z], pos_s[a:z]
             ai, bi = _chain_or_all_pairs(uniq, max_bucket, "ngram-prefix")
             sa, sb = usize[ai], usize[bi]
             # Length filter: J >= t forces the smaller shingle set to be
             # at least t times the larger (strictly conservative).
             ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+            # Positional filter (PPJoin): at the smallest common token the
+            # achievable overlap is 1 + min(remaining suffixes); a
+            # qualifying pair's smallest common token is in both prefixes,
+            # so pruning occurrences below the required overlap
+            # ceil(t/(1+t)*(sa+sb)) is complete (pairs surviving via ANY
+            # occurrence are kept; dedup happens in the verify join).
+            ub = 1 + np.minimum(sa - upos[ai] - 1, sb - upos[bi] - 1)
+            alpha = -(-(t_num * (sa + sb)) // t_den)
+            ok &= ub >= alpha
             out_a.append(uniq[ai[ok]])
             out_b.append(uniq[bi[ok]])
         if not out_a:
