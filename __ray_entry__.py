@@ -882,6 +882,32 @@ def _q_image_neardup_planted(sf_dir: str):
     return image_near_duplicates(images, max_hamming=4)
 
 
+def _q_image_dedup_corpus(sf_dir: str):
+    """Cross-modality composition: perceptual near-dup pairs feed the same
+    dedup_corpus tail as text cascades. Planted corpus of
+    _q_image_neardup_planted → survivors are exactly the 2000 base images
+    (each '#d' copy loses to its base id, the component minimum)."""
+    from linref_ray import synth
+    from linref_ray.dedup import dedup_corpus
+    from linref_ray.images import image_near_duplicates
+
+    base = synth.make_images(2000)
+    idx = [i for i in range(2000) if i % 100 == 3]
+    sel = base.take([i for i in idx for _ in range(3)])
+    ids = [
+        f"{base['image_id'][i].as_py()}#d{j}" for i in idx
+        for j in range(1, 4)
+    ]
+    sel = sel.set_column(
+        sel.schema.get_field_index("image_id"), "image_id", pa.array(ids)
+    )
+    images = rd.from_arrow(pa.concat_tables([base, sel]))
+    pairs = image_near_duplicates(images, max_hamming=4)
+    return dedup_corpus(
+        images, pairs, id_col="image_id"
+    ).select_columns(["image_id", "fmt"])
+
+
 def _q_frame_sample(sf_dir: str):
     """Video frame sampling over a deterministic synthetic corpus: 40
     videos × 12 frames, k=4 uniform — sampled indices {0,4,7,11} and
@@ -1189,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interpolate_geom": _q_interpolate_geom,
         "image_invariants": _q_image_invariants,
         "image_neardup_planted": _q_image_neardup_planted,
+        "image_dedup_corpus": _q_image_dedup_corpus,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "audio_features_planted": _q_audio_features_planted,
@@ -1636,6 +1663,11 @@ m as (
 )
 select a.id as id_a, b.id as id_b, cast(0 as bigint) as hamming
 from m a join m b on a.i = b.i and a.id < b.id
+"""
+    oracles["image_dedup_corpus"] = """
+select printf('img-%08d', i) as image_id,
+       case when i % 3 = 0 then 'raw' else 'qz' end as fmt
+from (select unnest(generate_series(0, 1999)) as i)
 """
     oracles["image_invariants"] = """
 with idx as (select unnest(generate_series(0, 1999)) as i),

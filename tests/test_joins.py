@@ -96,3 +96,33 @@ class TestHashJoin:
                     got[c].astype(float).fillna(-1),
                     exp[c].astype(float).fillna(-1),
                 ), (how, c)
+
+
+class TestDistinctLeft:
+    def test_dedups_full_left_rows_before_join(self, ray_session):
+        import pandas as pd
+
+        from linref_ray.joins import hash_join
+
+        # duplicated (k, lv) rows on the left must collapse to one each,
+        # regardless of which partition they land in
+        l = pd.DataFrame(
+            {"k": [1, 1, 1, 2, 2, 3, 3], "lv": [10, 10, 11, 20, 20, 30, 30]}
+        )
+        r = pd.DataFrame({"k": [1, 2, 3], "rv": ["a", "b", "c"]})
+        got = (
+            hash_join(
+                rd.from_pandas(l), rd.from_pandas(r), on="k", how="inner",
+                num_partitions=3, distinct_left=True,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            l.drop_duplicates()
+            .merge(r, on="k")
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        assert got[["k", "lv", "rv"]].equals(exp[["k", "lv", "rv"]])
