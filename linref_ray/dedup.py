@@ -550,6 +550,69 @@ class _PrefixPostingsStage:
         )
 
 
+def _token_pairs_kernel(
+    t: pa.Table, threshold: float, max_bucket: int
+) -> pa.Table:
+    """Candidate sweep for the exact Jaccard join: ONE kernel per postings
+    partition handling all its equal-token runs (lexsort + run sweep), with
+    the size-ratio length filter and the PPJoin positional filter applied
+    per occurrence. Module-level so completeness is property-testable
+    without a Ray session."""
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    tok = t["token"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    size = t["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort([ids, tok])
+    tok_s, ids_s = tok[order], ids[order]
+    size_s, pos_s = size[order], pos[order]
+    brk = np.flatnonzero(tok_s[1:] != tok_s[:-1])
+    starts = np.concatenate(([0], brk + 1))
+    ends = np.concatenate((brk + 1, [len(ids_s)]))
+    # alpha(sa+sb) = ceil(t/(1+t) * (sa+sb)) on scaled ints
+    t_num = int(round(threshold * 10**9))
+    t_den = 10**9 + t_num
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for a, z in zip(starts, ends):
+        # shingles are unique per doc → one posting per (token, doc)
+        uniq = ids_s[a:z]
+        if len(uniq) < 2:
+            continue
+        usize, upos = size_s[a:z], pos_s[a:z]
+        ai, bi = _chain_or_all_pairs(uniq, max_bucket, "ngram-prefix")
+        sa, sb = usize[ai], usize[bi]
+        # Length filter: J >= t forces the smaller shingle set to be
+        # at least t times the larger (strictly conservative).
+        ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        # Positional filter (PPJoin): at the smallest common token the
+        # achievable overlap is 1 + min(remaining suffixes); a
+        # qualifying pair's smallest common token is in both prefixes,
+        # so pruning occurrences below the required overlap
+        # ceil(t/(1+t)*(sa+sb)) is complete (pairs surviving via ANY
+        # occurrence are kept; dedup happens in the verify join).
+        ub = 1 + np.minimum(sa - upos[ai] - 1, sb - upos[bi] - 1)
+        alpha = -(-(t_num * (sa + sb)) // t_den)
+        ok &= ub >= alpha
+        out_a.append(uniq[ai[ok]])
+        out_b.append(uniq[bi[ok]])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a)),
+            "id_b": pa.array(np.concatenate(out_b)),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
@@ -590,59 +653,7 @@ def ngram_jaccard_pairs(
     )
 
     def token_pairs(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-            }
-        )
-        if len(t) == 0:
-            return empty
-        tok = t["token"].to_numpy(zero_copy_only=False)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        size = t["size"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort([ids, tok])
-        tok_s, ids_s = tok[order], ids[order]
-        size_s, pos_s = size[order], pos[order]
-        brk = np.flatnonzero(tok_s[1:] != tok_s[:-1])
-        starts = np.concatenate(([0], brk + 1))
-        ends = np.concatenate((brk + 1, [len(ids_s)]))
-        # alpha(sa+sb) = ceil(t/(1+t) * (sa+sb)) on scaled ints
-        t_num = int(round(threshold * 10**9))
-        t_den = 10**9 + t_num
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for a, z in zip(starts, ends):
-            # shingles are unique per doc → one posting per (token, doc)
-            uniq = ids_s[a:z]
-            if len(uniq) < 2:
-                continue
-            usize, upos = size_s[a:z], pos_s[a:z]
-            ai, bi = _chain_or_all_pairs(uniq, max_bucket, "ngram-prefix")
-            sa, sb = usize[ai], usize[bi]
-            # Length filter: J >= t forces the smaller shingle set to be
-            # at least t times the larger (strictly conservative).
-            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
-            # Positional filter (PPJoin): at the smallest common token the
-            # achievable overlap is 1 + min(remaining suffixes); a
-            # qualifying pair's smallest common token is in both prefixes,
-            # so pruning occurrences below the required overlap
-            # ceil(t/(1+t)*(sa+sb)) is complete (pairs surviving via ANY
-            # occurrence are kept; dedup happens in the verify join).
-            ub = 1 + np.minimum(sa - upos[ai] - 1, sb - upos[bi] - 1)
-            alpha = -(-(t_num * (sa + sb)) // t_den)
-            ok &= ub >= alpha
-            out_a.append(uniq[ai[ok]])
-            out_b.append(uniq[bi[ok]])
-        if not out_a:
-            return empty
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a)),
-                "id_b": pa.array(np.concatenate(out_b)),
-            }
-        )
+        return _token_pairs_kernel(t, threshold, max_bucket)
 
     candidates = postings.groupby("__pid").map_groups(
         token_pairs, batch_format="pyarrow"

@@ -223,3 +223,55 @@ class TestSplitMaskProperties:
         # pieces within each event are contiguous and ordered
         for eid, g in out.groupby("event_id"):
             assert (g.beg.values[1:] == g.end.values[:-1]).all()
+
+
+class TestPrefixFilterCompleteness:
+    """The exact-Jaccard candidate cascade (prefix postings + length +
+    positional filters) must never lose a qualifying pair — pure-kernel
+    property check, no Ray session."""
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        thr=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+        vocab=st.integers(4, 12),
+        ndocs=st.integers(2, 25),
+    )
+    def test_candidates_superset_of_qualifying_pairs(
+        self, seed, thr, vocab, ndocs
+    ):
+        import pyarrow as pa
+
+        from linref_ray.dedup import _PrefixPostingsStage, _token_pairs_kernel
+        from linref_ray.kernels.hashing import shingle_hashes
+
+        rng = np.random.default_rng(seed)
+        docs = [
+            " ".join(
+                f"w{w}" for w in rng.integers(0, vocab, rng.integers(1, 15))
+            )
+            for _ in range(ndocs)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(ndocs), pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+        stage = _PrefixPostingsStage(
+            threshold=thr, shingle_k=3, num_partitions=1
+        )
+        cands = _token_pairs_kernel(stage(tbl), thr, max_bucket=10_000)
+        got = set(
+            zip(
+                cands["id_a"].to_pylist(),
+                cands["id_b"].to_pylist(),
+            )
+        )
+        sets = [set(shingle_hashes(d, 3).tolist()) for d in docs]
+        for a in range(ndocs):
+            for b in range(a + 1, ndocs):
+                u = sets[a] | sets[b]
+                j = len(sets[a] & sets[b]) / len(u) if u else 0.0
+                if j >= thr:
+                    assert (a, b) in got, (seed, thr, a, b, j)
