@@ -412,18 +412,14 @@ def extract_features(
         means = np.empty((n, 3))
         stds = np.empty(n)
         hashes = np.empty(n, dtype=np.int64)
+        from linref_ray.kernels.phash import ahash64
+
         for i, blob in enumerate(t["bytes"].to_pylist()):
             px, _ = codec.decode_image(blob)
             means[i] = px.reshape(-1, 3).mean(axis=0)
             gray = px.astype(np.float32).mean(axis=2)
             stds[i] = gray.std()
-            small = gray[:: max(gray.shape[0] // 8, 1),
-                         :: max(gray.shape[1] // 8, 1)][:8, :8]
-            bits = (small > small.mean()).ravel()
-            val = np.uint64(0)
-            for b in np.flatnonzero(bits):
-                val |= np.uint64(1) << np.uint64(int(b))
-            hashes[i] = np.int64(val.astype(np.int64))
+            hashes[i] = np.int64(np.uint64(ahash64(gray)).astype(np.int64))
         out = t.drop_columns(["bytes"])
         out = out.append_column("mean_r", pa.array(means[:, 0]))
         out = out.append_column("mean_g", pa.array(means[:, 1]))
@@ -434,31 +430,56 @@ def extract_features(
     return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def image_signatures(
+    images: ray.data.Dataset,
+    method: str = "ahash",
+    batch_size: int = 2048,
+) -> ray.data.Dataset:
+    """Slim per-image perceptual signatures ``(image_id, sig)``.
+
+    ``method``: 'ahash' (8×8 mean threshold) or 'phash' (32×32 DCT
+    median threshold — robust to brightness/contrast edits). Decode and
+    hashing run in one pre-shuffle batch stage; bytes never leave it."""
+    from linref_ray.kernels.phash import ahash64, phash64
+
+    if method not in ("ahash", "phash"):
+        raise ValueError(f"unknown signature method: {method!r}")
+    hash_fn = ahash64 if method == "ahash" else phash64
+
+    def fn(t: pa.Table) -> pa.Table:
+        sigs = np.empty(len(t), dtype=np.int64)
+        for i, blob in enumerate(t["bytes"].to_pylist()):
+            px, _ = codec.decode_image(blob)
+            gray = px.astype(np.float32).mean(axis=2)
+            sigs[i] = np.int64(np.uint64(hash_fn(gray)).astype(np.int64))
+        return pa.table({"image_id": t["image_id"], "sig": pa.array(sigs)})
+
+    return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 def image_near_duplicates(
     images: ray.data.Dataset,
     max_hamming: int = 4,
     prefix_bits: int = 12,
     max_bucket: int = 4096,
     batch_size: int = 2048,
+    method: str = "ahash",
 ) -> ray.data.Dataset:
     """Perceptual near-duplicate image pairs (id_a < id_b, hamming ≤
-    ``max_hamming``) via 64-bit aHash.
+    ``max_hamming``) via a 64-bit perceptual hash ('ahash' or 'phash').
 
-    Modality composition: the decode + aHash feature stage runs pre-shuffle
-    in batches (wide ``bytes`` never cross an operator boundary — only slim
-    ``(image_id, ahash)`` rows shuffle), then the generic prefix-bucketed
+    Modality composition: the decode + hash stage runs pre-shuffle in
+    batches (wide ``bytes`` never cross an operator boundary — only slim
+    ``(image_id, sig)`` rows shuffle), then the generic prefix-bucketed
     Hamming verify shared with text SimHash
     (:func:`linref_ray.dedup.hash_near_duplicates`) finds the pairs."""
     from linref_ray.dedup import hash_near_duplicates
 
-    feats = extract_features(images, batch_size=batch_size).select_columns(
-        ["image_id", "ahash"]
-    )
     return hash_near_duplicates(
-        feats,
+        image_signatures(images, method=method, batch_size=batch_size),
         max_hamming=max_hamming,
         prefix_bits=prefix_bits,
         max_bucket=max_bucket,
         id_col="image_id",
-        hash_col="ahash",
+        hash_col="sig",
     )

@@ -301,3 +301,41 @@ class TestImageNearDup:
         assert out.id_a.str.len().ge(12).all()
         # string ids ordered lexicographically (min/max path)
         assert (out.id_a < out.id_b).all()
+
+    def test_phash_method_and_affine_robustness(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray import synth
+        from linref_ray.images import image_near_duplicates
+        from linref_ray.kernels import codec
+        from linref_ray.kernels.phash import phash64
+
+        base = synth.make_images(120)
+        # contrast/brightness-edited copy of image 7: decode, affine-map
+        # pixels (no clipping range hit at 0.8x+20), re-encode raw
+        blob = base["bytes"][7].as_py()
+        px, _ = codec.decode_image(blob)
+        edited = (px.astype(np.float32) * 0.8 + 20).astype(np.uint8)
+        copy = codec.encode_image(edited, "raw")
+        tbl = pa.concat_tables([
+            base,
+            pa.table({
+                "image_id": pa.array([base["image_id"][7].as_py() + "#edit"]),
+                "bytes": pa.array([copy], pa.binary()),
+                "w": base["w"][7:8], "h": base["h"][7:8],
+                "fmt": pa.array(["raw"]),
+                "caption": base["caption"][7:8],
+                "phash": base["phash"][7:8],
+            }).cast(base.schema),
+        ])
+        out = image_near_duplicates(
+            rd.from_arrow(tbl), method="phash", max_hamming=6
+        ).to_pandas()
+        pairs = set(zip(out.id_a, out.id_b))
+        orig = base["image_id"][7].as_py()
+        assert (orig, orig + "#edit") in pairs
+        # kernel-level: affine map leaves pHash bits unchanged
+        g = px.astype(np.float32).mean(axis=2)
+        assert phash64(g) == phash64(g * 1.3 + 10.0)
