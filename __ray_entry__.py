@@ -908,6 +908,26 @@ def _q_image_dedup_corpus(sf_dir: str):
     ).select_columns(["image_id", "fmt"])
 
 
+def _q_video_neardup_planted(sf_dir: str):
+    """Video near-dup over a planted corpus: 40 synthetic videos; every
+    base id with i % 10 == 2 gets two byte-identical copies ('#c1','#c2'),
+    so expected pairs are exactly C(3,2)=3 per family × 4 families at
+    hamming 0 (frame-majority pHash signatures; deterministic corpus
+    verified clean of cross-family collisions)."""
+    from linref_ray import synth
+    from linref_ray.media import video_near_duplicates
+
+    base = synth.make_videos(40)
+    idx = [i for i in range(40) if i % 10 == 2]
+    sel = base.take([i for i in idx for _ in range(2)])
+    ids = [f"vid-{i:06d}#c{j}" for i in idx for j in range(1, 3)]
+    sel = sel.set_column(
+        sel.schema.get_field_index("video_id"), "video_id", pa.array(ids)
+    )
+    videos = rd.from_arrow(pa.concat_tables([base, sel]))
+    return video_near_duplicates(videos, max_hamming=6)
+
+
 def _q_frame_sample(sf_dir: str):
     """Video frame sampling over a deterministic synthetic corpus: 40
     videos × 12 frames, k=4 uniform — sampled indices {0,4,7,11} and
@@ -1216,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_invariants": _q_image_invariants,
         "image_neardup_planted": _q_image_neardup_planted,
         "image_dedup_corpus": _q_image_dedup_corpus,
+        "video_neardup_planted": _q_video_neardup_planted,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "audio_features_planted": _q_audio_features_planted,
@@ -1660,6 +1681,18 @@ with fam as (
 m as (
   select i, printf('img-%08d', i) || sfx as id
   from fam, (select unnest(['', '#d1', '#d2', '#d3']) as sfx)
+)
+select a.id as id_a, b.id as id_b, cast(0 as bigint) as hamming
+from m a join m b on a.i = b.i and a.id < b.id
+"""
+    oracles["video_neardup_planted"] = """
+with fam as (
+  select i from (select unnest(generate_series(0, 39)) as i)
+  where i % 10 = 2
+),
+m as (
+  select i, printf('vid-%06d', i) || sfx as id
+  from fam, (select unnest(['', '#c1', '#c2']) as sfx)
 )
 select a.id as id_a, b.id as id_b, cast(0 as bigint) as hamming
 from m a join m b on a.i = b.i and a.id < b.id

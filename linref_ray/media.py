@@ -229,3 +229,79 @@ def extract_audio_features(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class VideoSignatures:
+    """Actor stage: per-video perceptual signature in ONE decode pass —
+    sample ``k`` uniform frames, pHash (or aHash) each frame's gray plane,
+    combine by strict per-bit majority into a 64-bit video signature.
+    No frame re-encode, no second decode; only (video_id, sig) leaves."""
+
+    def __init__(self, k: int = 4, method: str = "phash"):
+        from linref_ray.kernels.phash import ahash64, phash64
+
+        if method not in ("ahash", "phash"):
+            raise ValueError(f"unknown signature method: {method!r}")
+        self.k = k
+        self.hash_fn = ahash64 if method == "ahash" else phash64
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vids = t["video_id"].to_pylist()
+        sigs = np.empty(len(t), dtype=np.int64)
+        for i, blob in enumerate(t["bytes"].to_pylist()):
+            frames = decode_video(blob)
+            n = len(frames)
+            take = np.unique(
+                np.linspace(0, n - 1, num=min(self.k, n)).round().astype(int)
+            )
+            fh = np.array(
+                [self.hash_fn(frames[j].astype(np.float32).mean(axis=2))
+                 for j in take],
+                dtype=np.uint64,
+            )
+            bits = (
+                fh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+            ) & np.uint64(1)
+            maj = bits.sum(axis=0) * 2 > len(take)
+            val = np.uint64(0)
+            for b in np.flatnonzero(maj):
+                val |= np.uint64(1) << np.uint64(int(b))
+            sigs[i] = np.int64(val.astype(np.int64))
+        return pa.table(
+            {"video_id": pa.array(vids), "sig": pa.array(sigs)}
+        )
+
+
+def video_near_duplicates(
+    videos: ray.data.Dataset,
+    k: int = 4,
+    method: str = "phash",
+    max_hamming: int = 6,
+    prefix_bits: int = 12,
+    max_bucket: int = 4096,
+    concurrency: int = 4,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Near-duplicate video pairs (id_a < id_b, hamming ≤ ``max_hamming``)
+    via frame-sampled majority-bit perceptual signatures, verified by the
+    generic prefix-bucketed Hamming stage shared with text SimHash and
+    image near-dup (:func:`linref_ray.dedup.hash_near_duplicates`).
+    Wide video payloads never leave the signature stage."""
+    from linref_ray.dedup import hash_near_duplicates
+
+    sigs = videos.map_batches(
+        VideoSignatures,
+        fn_constructor_kwargs=dict(k=k, method=method),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+    return hash_near_duplicates(
+        sigs,
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        max_bucket=max_bucket,
+        id_col="video_id",
+        hash_col="sig",
+    )

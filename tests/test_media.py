@@ -86,3 +86,38 @@ class TestAudioFeatures:
         assert (np.abs(out.spectral_centroid - out.tone_hz) < 200).all()
         assert (out.rms > 0.2).all() and (out.rms < 0.5).all()
         assert (out.zcr > 0).all()
+
+
+class TestVideoNearDup:
+    def test_planted_copies_and_majority_signature(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray import synth
+        from linref_ray.media import video_near_duplicates
+
+        base = synth.make_videos(20, frames=8)
+        sel = base.take([5, 5])
+        ids = ["vid-000005#c1", "vid-000005#c2"]
+        sel = sel.set_column(
+            sel.schema.get_field_index("video_id"), "video_id",
+            pa.array(ids),
+        )
+        out = (
+            video_near_duplicates(
+                rd.from_arrow(pa.concat_tables([base, sel])), max_hamming=6
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        assert len(out) == 3  # C(3,2) within the one family
+        assert (out.hamming == 0).all()
+        assert set(out.id_a).issubset({"vid-000005", "vid-000005#c1"})
+
+    def test_method_validation(self, ray_session):
+        import pytest as _pytest
+
+        from linref_ray.media import VideoSignatures
+
+        with _pytest.raises(ValueError):
+            VideoSignatures(method="dhash")
