@@ -908,6 +908,31 @@ def _q_image_dedup_corpus(sf_dir: str):
     ).select_columns(["image_id", "fmt"])
 
 
+def _q_audio_neardup_planted(sf_dir: str):
+    """Audio near-dup over a planted corpus: 40 pure-tone clips; every
+    base id with i % 10 == 4 gets two byte-identical copies ('#c1','#c2')
+    → C(3,2)=3 pairs × 4 families at hamming 0. The organic corpus is
+    pure tones 50 Hz apart — genuinely near-identical audio that the
+    spectral-difference fingerprint puts 1-2 bits apart — so the planted
+    oracle pins max_hamming=0 (exact-signature tier); the operator
+    default (6) is for real-world audio."""
+    from linref_ray import synth
+    from linref_ray.media import audio_near_duplicates
+
+    base = synth.make_audio(40)
+    idx = [i for i in range(40) if i % 10 == 4]
+    sel = base.take([i for i in idx for _ in range(2)])
+    ids = [
+        f"{base['audio_id'][i].as_py()}#c{j}" for i in idx
+        for j in range(1, 3)
+    ]
+    sel = sel.set_column(
+        sel.schema.get_field_index("audio_id"), "audio_id", pa.array(ids)
+    )
+    audio = rd.from_arrow(pa.concat_tables([base, sel]))
+    return audio_near_duplicates(audio, max_hamming=0)
+
+
 def _q_video_neardup_planted(sf_dir: str):
     """Video near-dup over a planted corpus: 40 synthetic videos; every
     base id with i % 10 == 2 gets two byte-identical copies ('#c1','#c2'),
@@ -1237,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_neardup_planted": _q_image_neardup_planted,
         "image_dedup_corpus": _q_image_dedup_corpus,
         "video_neardup_planted": _q_video_neardup_planted,
+        "audio_neardup_planted": _q_audio_neardup_planted,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "audio_features_planted": _q_audio_features_planted,
@@ -1681,6 +1707,18 @@ with fam as (
 m as (
   select i, printf('img-%08d', i) || sfx as id
   from fam, (select unnest(['', '#d1', '#d2', '#d3']) as sfx)
+)
+select a.id as id_a, b.id as id_b, cast(0 as bigint) as hamming
+from m a join m b on a.i = b.i and a.id < b.id
+"""
+    oracles["audio_neardup_planted"] = """
+with fam as (
+  select i from (select unnest(generate_series(0, 39)) as i)
+  where i % 10 = 4
+),
+m as (
+  select i, printf('aud-%06d', i) || sfx as id
+  from fam, (select unnest(['', '#c1', '#c2']) as sfx)
 )
 select a.id as id_a, b.id as id_b, cast(0 as bigint) as hamming
 from m a join m b on a.i = b.i and a.id < b.id

@@ -305,3 +305,66 @@ def video_near_duplicates(
         id_col="video_id",
         hash_col="sig",
     )
+
+
+class AudioSignatures:
+    """Actor stage: 64-bit audio fingerprint per clip — 9 equal windows,
+    8 linear FFT energy bands each, bit = band energy rises between
+    consecutive windows (8 transitions × 8 bands). The sign-of-difference
+    construction (Philips-robust-hash style, public) is invariant to
+    volume scaling; only (audio_id, sig) rows leave the stage."""
+
+    _WINDOWS = 9
+    _BANDS = 8
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["audio_id"].to_pylist()
+        sigs = np.empty(len(t), dtype=np.int64)
+        for i, blob in enumerate(t["bytes"].to_pylist()):
+            samples, _sr = decode_audio(blob)
+            x = samples.astype(np.float64)
+            w, b = self._WINDOWS, self._BANDS
+            n = max(len(x) // w, 1)
+            if len(x) < w * n:
+                x = np.pad(x, (0, w * n - len(x)))
+            spec = np.abs(np.fft.rfft(x[: w * n].reshape(w, n), axis=1)) ** 2
+            edges = np.linspace(
+                0, spec.shape[1], b + 1
+            ).astype(int)[:-1]
+            bands = np.add.reduceat(spec, edges, axis=1)
+            bits = (bands[1:] > bands[:-1]).ravel()
+            val = np.uint64(0)
+            for j in np.flatnonzero(bits):
+                val |= np.uint64(1) << np.uint64(int(j))
+            sigs[i] = np.int64(val.astype(np.int64))
+        return pa.table({"audio_id": pa.array(ids), "sig": pa.array(sigs)})
+
+
+def audio_near_duplicates(
+    audio: ray.data.Dataset,
+    max_hamming: int = 6,
+    prefix_bits: int = 12,
+    max_bucket: int = 4096,
+    concurrency: int = 4,
+    batch_size: int = 128,
+) -> ray.data.Dataset:
+    """Near-duplicate audio pairs (id_a < id_b, hamming ≤ ``max_hamming``)
+    via the spectral-difference fingerprint, verified by the generic
+    prefix-bucketed Hamming stage shared with text/image/video dedup."""
+    from linref_ray.dedup import hash_near_duplicates
+
+    sigs = audio.map_batches(
+        AudioSignatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+    return hash_near_duplicates(
+        sigs,
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        max_bucket=max_bucket,
+        id_col="audio_id",
+        hash_col="sig",
+    )

@@ -121,3 +121,43 @@ class TestVideoNearDup:
 
         with _pytest.raises(ValueError):
             VideoSignatures(method="dhash")
+
+
+class TestAudioNearDup:
+    def test_planted_copies_and_volume_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray import synth
+        from linref_ray.media import (
+            audio_near_duplicates,
+            decode_audio,
+            encode_audio,
+        )
+
+        base = synth.make_audio(20)
+        s, sr = decode_audio(base["bytes"][4].as_py())
+        half = encode_audio(
+            (s.astype(np.float64) * 0.5).astype(np.int16), sr
+        )
+        extra = pa.table(
+            {
+                "audio_id": pa.array(
+                    [base["audio_id"][4].as_py() + "#half"]
+                ),
+                "bytes": pa.array([half], pa.binary()),
+                **{
+                    c: base[c][4:5]
+                    for c in base.column_names
+                    if c not in ("audio_id", "bytes")
+                },
+            }
+        ).cast(base.schema)
+        out = audio_near_duplicates(
+            rd.from_arrow(pa.concat_tables([base, extra])), max_hamming=2
+        ).to_pandas()
+        # halving the volume leaves the sign-of-difference bits intact
+        assert any("#half" in b for b in out.id_b)
+        row = out[out.id_b.str.contains("#half")].iloc[0]
+        assert row.hamming == 0
