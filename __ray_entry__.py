@@ -348,6 +348,23 @@ def _q_knn_ivf_full(sf_dir: str):
     )
 
 
+def _q_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH-bucketed path at generous parameters (5 bits × 24
+    tables): on this table every true neighbor shares a query bucket
+    (verified recall 1.0, deterministic seed), so the result equals brute
+    force and shares its SQL oracle. On clustered corpora the same
+    prefilter passes only a few percent of rows (tests/test_knn_lsh.py) —
+    that selectivity, with no training pass and no shuffle, is the LSH
+    scale path beside IVF."""
+    from linref_ray.similarity import knn_lsh
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_cols(
+        knn_lsh(emb, query_ids=(0, 1, 2), k=5, n_bits=5, n_tables=24),
+        {"cosine": 6},
+    )
+
+
 def _q_concatenate(sf_dir: str):
     """Union-all of two event layers (``events/modify.py:102-180``)."""
     from linref_ray.modify import concatenate
@@ -1232,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram": _q_tile_histogram,
         "knn": _q_knn,
         "knn_ivf_full": _q_knn_ivf_full,
+        "knn_lsh": _q_knn_lsh,
         "concatenate": _q_concatenate,
         "interpolate": _q_interpolate,
         "dedup_exact": _q_dedup_exact,
@@ -1653,6 +1671,7 @@ from l left join (select tid, sum(share) as score from w group by tid) s
   on s.tid = l.event_id
 """
     oracles["knn_ivf_full"] = oracles["knn"]
+    oracles["knn_lsh"] = oracles["knn"]
     oracles["concatenate"] = _SQL_EVENTS + """
 select event_id, route_id, beg, "end" from l
 union all

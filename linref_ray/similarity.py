@@ -327,3 +327,74 @@ def knn_ivf(
     return knn_brute_force(
         filtered, query_ids, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def _hyperplane_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack sign bits of ``m @ planes[t].T`` into one integer bucket code
+    per (table, row). Sign of a dot product is norm-invariant, so raw
+    (unnormalized) vectors hash identically to their normalized forms —
+    cosine neighbors share codes with high probability per bit."""
+    n_tables, n_bits, _ = planes.shape
+    shifts = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+    codes = np.empty((n_tables, len(m)), dtype=np.uint64)
+    for t in range(n_tables):
+        bits = (m @ planes[t].T) > 0.0  # (rows, n_bits)
+        codes[t] = bits.astype(np.uint64) @ shifts
+    return codes
+
+
+def knn_lsh(
+    embeddings: ray.data.Dataset,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Hyperplane-LSH-bucketed approximate top-k: rows survive iff they
+    share a bucket code with some query in at least one of ``n_tables``
+    independent hash tables, then the exact brute-force kernel ranks the
+    survivors. The LSH scale path beside :func:`knn_ivf`: the prefilter is
+    a per-batch bit-hash + ``np.isin`` (no shuffle, no training pass, no
+    driver-side sample), expected candidate fraction ≈
+    ``n_tables * P(code collision)`` with recall growing in ``n_tables``
+    (multi-table OR — standard SimHash-LSH trade-off). The hyperplane
+    tensor is ``n_tables × n_bits × dim`` floats (a few KB), captured in
+    the batch closure and shipped once per task."""
+    q_tbl = pa.concat_tables(
+        ray.get(
+            embeddings.map_batches(
+                lambda t: t.filter(
+                    pa.compute.is_in(
+                        pa.compute.cast(t[id_col], pa.int64()),
+                        value_set=pa.array(list(query_ids), pa.int64()),
+                    )
+                ),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    if len(q_tbl) == 0:
+        return knn_brute_force(
+            embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        )
+    qm = _to_matrix(q_tbl[vec_col])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_tables, n_bits, qm.shape[1]))
+    q_codes = _hyperplane_codes(qm, planes)  # (n_tables, n_queries)
+
+    def in_query_buckets(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col])
+        codes = _hyperplane_codes(m, planes)
+        match = np.zeros(len(m), dtype=bool)
+        for ti in range(n_tables):
+            match |= np.isin(codes[ti], q_codes[ti])
+        return t.filter(pa.array(match))
+
+    filtered = embeddings.map_batches(in_query_buckets, batch_format="pyarrow")
+    return knn_brute_force(
+        filtered, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
