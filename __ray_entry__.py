@@ -572,6 +572,51 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Top-50 global token frequencies — the vocabulary-building op.
+    Count-desc/token-asc tie-break is a total order, so the result SET is
+    deterministic at the rank boundary (driver compare sorts rows)."""
+    from linref_ray.text import vocab_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_topk(docs, n=50)
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 25% Bernoulli sample by multiplicative key hash —
+    partition-independent row selection, bucket formula replicated exactly
+    in the SQL oracle (sampling.sql_bucket_expr is the shared source)."""
+    from linref_ray.sampling import hash_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = hash_sample(docs, 0.25, "doc_id", salt=7)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.compute.cast(
+                    pa.compute.utf8_length(t["text"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_hash_split(sf_dir: str):
+    """80/10/10 train/val/test assignment by hash-bucket range — disjoint,
+    exhaustive, repartition-stable; per-row labels oracled via the same
+    integer edges the engine computes."""
+    from linref_ray.sampling import hash_split
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return hash_split(docs)
+
+
 def _q_fingerprints(sf_dir: str):
     from linref_ray.text import fingerprints
 
@@ -1267,6 +1312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "project": _q_project,
         "overlay_profile": _q_overlay_profile,
         "quality": _q_quality,
+        "vocab_topk": _q_vocab_topk,
+        "hash_sample": _q_hash_sample,
+        "hash_split": _q_hash_split,
         "fingerprints": _q_fingerprints,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -1672,6 +1720,29 @@ from l left join (select tid, sum(share) as score from w group by tid) s
 """
     oracles["knn_ivf_full"] = oracles["knn"]
     oracles["knn_lsh"] = oracles["knn"]
+    oracles["vocab_topk"] = """
+select tok as token, count(*) as n
+from (select unnest(string_split(lower(text), ' ')) as tok from documents) s
+where tok <> ''
+group by tok
+order by n desc, token asc
+limit 50
+"""
+    from linref_ray.sampling import split_edges, sql_bucket_expr
+
+    oracles["hash_sample"] = f"""
+select doc_id, length(text) as n_chars from documents
+where {sql_bucket_expr('doc_id', salt=7)} < {int(0.25 * 2**32)}
+"""
+    _e = split_edges(np.array([0.8, 0.1, 0.1]))
+    _b = sql_bucket_expr("doc_id")
+    oracles["hash_split"] = f"""
+select doc_id,
+       case when {_b} <= {int(_e[0])} then 'train'
+            when {_b} <= {int(_e[1])} then 'val'
+            else 'test' end as split
+from documents
+"""
     oracles["concatenate"] = _SQL_EVENTS + """
 select event_id, route_id, beg, "end" from l
 union all

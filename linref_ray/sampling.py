@@ -1,0 +1,108 @@
+"""Deterministic hash-based sampling and splitting.
+
+Training-data pipelines need samples and train/val/test splits that are a
+pure function of a key — the same rows are selected at any parallelism, on
+any partitioning, on any cluster size, with no RNG state to coordinate and
+exact resumability for free. The bucket function is plain integer
+arithmetic, ``((key XOR salt*2654435769) * 2654435761) mod 2**32``
+(Knuth multiplicative hashing over a salt-scrambled key), so an ANSI-SQL
+oracle can replicate row selection bit-for-bit.
+
+Engine-side addition (no linref counterpart); complements the content-hash
+dedup ops in :mod:`linref_ray.dedup`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_K_MULT = 2654435761  # Knuth's 2^32 / phi
+_K_SALT = 2654435769  # salt scrambler: XOR'd into the key pre-multiply
+_MOD = 2**32
+
+
+def hash_buckets(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Bucket in [0, 2**32) per key. Non-negative integer keys only (the
+    SQL-parity contract: uint64 wraparound here equals exact hugeint
+    arithmetic mod 2**32 for keys >= 0).
+
+    The multiply wraps mod 2**64; (x mod 2**64) mod 2**32 == x mod 2**32,
+    so the wrapped product hashes identically to the exact one.
+    """
+    k = keys.astype(np.uint64) ^ np.uint64(salt * _K_SALT)
+    return (k * np.uint64(_K_MULT)) % np.uint64(_MOD)
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    fraction: float,
+    key_col: str,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic Bernoulli sample: keep a row iff its key's bucket is
+    below ``fraction * 2**32``. Different ``salt`` values draw independent
+    samples; nested fractions with one salt are contained (a 10% sample is
+    a subset of the 25% one), which is what reproducible corpus ablations
+    want."""
+    if fraction >= 1.0:
+        return ds
+    thr = np.uint64(int(fraction * _MOD))
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hash_buckets(keys, salt) < thr
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_edges(fracs: np.ndarray) -> np.ndarray:
+    """Inclusive upper bucket edges for :func:`hash_split` — shared by the
+    engine kernel and the SQL oracle so both quantize identically."""
+    edges = np.minimum(
+        (np.cumsum(fracs) * _MOD).astype(np.uint64), np.uint64(_MOD - 1)
+    )
+    edges[-1] = np.uint64(_MOD - 1)  # absorb float residue
+    return edges
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1)
+    ),
+    key_col: str = "doc_id",
+    salt: int = 0,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Assign every row a split label by hash-bucket range — disjoint and
+    exhaustive by construction (the last split absorbs rounding residue),
+    stable under any repartitioning. Appends ``out_col`` to the schema."""
+    names = [name for name, _ in splits]
+    fracs = np.array([f for _, f in splits], dtype=np.float64)
+    if not np.isclose(fracs.sum(), 1.0):
+        raise ValueError(f"split fractions must sum to 1, got {fracs.sum()}")
+    edges = split_edges(fracs)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = hash_buckets(keys, salt)
+        idx = np.searchsorted(edges, b, side="left")
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), pa.array(names)
+        ).cast(pa.string())
+        return t.append_column(out_col, lab)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_bucket_expr(key_col: str, salt: int = 0) -> str:
+    """The DuckDB/ANSI expression computing :func:`hash_buckets` for a
+    column — exact hugeint arithmetic, bit-equal to the numpy path for
+    non-negative keys. Keeps engine and oracle formulas in one place."""
+    return (
+        f"(cast(xor(cast({key_col} as bigint), {salt * _K_SALT}) as hugeint)"
+        f" * {_K_MULT}) % {_MOD}"
+    )

@@ -334,3 +334,68 @@ def fingerprints(
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
+
+
+def vocab_topk(
+    docs: ray.data.Dataset,
+    n: int = 50,
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Global top-``n`` most frequent whitespace tokens: (token, n) with
+    count-desc / token-asc tie-break (a total order, so the result set is
+    deterministic even at the rank-``n`` boundary).
+
+    Two-level reduction — the vocabulary-building op of a training-data
+    pipeline: per-batch Arrow ``value_counts`` partials (only (token, count)
+    rows ever shuffle, never text), one ``groupby(token)`` for exact global
+    counts, then per-batch local top-``n`` so the single-partition final
+    total-order step sees ≤ n × batches rows, not the whole vocabulary."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(t[text_col]), " ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def topn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        tok = np.asarray(t["token"].to_pylist(), dtype=str)
+        cnt = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort([tok, -cnt])[:n]  # count desc, token asc
+        return pa.table(
+            {
+                "token": pa.array(tok[sel].tolist(), pa.string()),
+                "n": pa.array(cnt[sel]),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("token")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t["token"],
+                 "n": pc.cast(t["sum(n)"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return (
+        counts.map_batches(topn, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topn, batch_format="pyarrow")
+    )

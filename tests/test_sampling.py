@@ -1,0 +1,97 @@
+"""Deterministic hash sampling/splitting and top-k vocabulary.
+
+Engine-side training-data-pipeline ops (no linref counterpart). SQL parity
+of the bucket formula is gated by the `hash_sample`/`hash_split` oracles in
+__ray_entry__; these tests pin the determinism properties that make the
+ops usable at scale: partition-independence, nested-sample containment,
+split disjointness/exhaustiveness.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from linref_ray.sampling import hash_buckets, hash_sample, hash_split
+from linref_ray.text import vocab_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def test_sample_partition_independent(ray_session):
+    docs = _docs()
+    a = sorted(hash_sample(docs, 0.25, "doc_id", salt=7)
+               .to_pandas()["doc_id"])
+    b = sorted(hash_sample(docs.repartition(7), 0.25, "doc_id", salt=7)
+               .to_pandas()["doc_id"])
+    assert a == b
+    assert 0 < len(a) < docs.count()
+
+
+def test_nested_fractions_contained(ray_session):
+    docs = _docs()
+    small = set(hash_sample(docs, 0.1, "doc_id").to_pandas()["doc_id"])
+    big = set(hash_sample(docs, 0.3, "doc_id").to_pandas()["doc_id"])
+    assert small <= big
+
+
+def test_salts_draw_different_samples(ray_session):
+    docs = _docs()
+    s0 = set(hash_sample(docs, 0.3, "doc_id", salt=0).to_pandas()["doc_id"])
+    s1 = set(hash_sample(docs, 0.3, "doc_id", salt=1).to_pandas()["doc_id"])
+    assert s0 != s1
+
+
+def test_fraction_one_keeps_everything(ray_session):
+    docs = _docs()
+    assert hash_sample(docs, 1.0, "doc_id").count() == docs.count()
+
+
+def test_split_disjoint_exhaustive_stable(ray_session):
+    docs = _docs()
+    out = hash_split(docs).to_pandas()
+    assert len(out) == docs.count()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # per-row assignment is a pure function of the key: repartitioned input
+    # assigns identically
+    out2 = hash_split(docs.repartition(5)).to_pandas()
+    m1 = dict(zip(out["doc_id"], out["split"]))
+    m2 = dict(zip(out2["doc_id"], out2["split"]))
+    assert m1 == m2
+    # fractions roughly honored (hash uniformity; loose band at 50 docs)
+    frac_train = (out["split"] == "train").mean()
+    assert 0.5 < frac_train < 1.0
+
+
+def test_bucket_formula_matches_exact_arithmetic():
+    keys = np.array([0, 1, 2, 12345, 2**31 - 1, 2**40], dtype=np.int64)
+    got = hash_buckets(keys, salt=3)
+    want = [((int(k) ^ (3 * 2654435769)) * 2654435761) % 2**32 for k in keys]
+    assert got.tolist() == want
+
+
+def test_vocab_topk_matches_counter(ray_session):
+    from collections import Counter
+
+    docs = _docs()
+    texts = docs.to_pandas()["text"]
+    cnt = Counter(w for s in texts for w in s.lower().split(" ") if w)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = vocab_topk(docs, n=10).to_pandas()
+    got_pairs = sorted(
+        zip(got["token"], got["n"]), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert [(t, int(n)) for t, n in got_pairs] == want
+
+
+def test_vocab_topk_n_larger_than_vocab(ray_session):
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b a", "b a"])})
+    )
+    got = vocab_topk(docs, n=100).to_pandas()
+    assert sorted(zip(got["token"], got["n"])) == [("a", 3), ("b", 2)]
