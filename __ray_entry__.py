@@ -617,6 +617,18 @@ def _q_hash_split(sf_dir: str):
     return hash_split(docs)
 
 
+def _q_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per document — broadcast-vocabulary scoring, no
+    large shuffle (see text.tfidf_topk). ln() drift between numpy and
+    DuckDB is absorbed by the 6-decimal round."""
+    from linref_ray.text import tfidf_topk
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _round_cols(tfidf_topk(docs, m=5), {"tfidf": 6})
+
+
 def _q_fingerprints(sf_dir: str):
     from linref_ray.text import fingerprints
 
@@ -1315,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
+        "tfidf": _q_tfidf,
         "fingerprints": _q_fingerprints,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -1727,6 +1740,20 @@ where tok <> ''
 group by tok
 order by n desc, token asc
 limit 50
+"""
+    oracles["tfidf"] = """
+with tf as (select doc_id, tok as token, count(*) as tf
+  from (select doc_id, unnest(string_split(lower(text), ' ')) as tok
+        from documents)
+  where tok <> '' group by doc_id, tok),
+df as (select token, count(*) as df from tf group by token),
+n as (select count(*) as n from documents),
+s as (select tf.doc_id, tf.token,
+             tf.tf * ln(cast(n.n as double) / df.df) as tfidf
+      from tf join df using (token) cross join n),
+r as (select *, row_number() over (
+        partition by doc_id order by tfidf desc, token asc) as rk from s)
+select doc_id, token, round(round(tfidf, 9), 6) as tfidf from r where rk <= 5
 """
     from linref_ray.sampling import split_edges, sql_bucket_expr
 

@@ -399,3 +399,107 @@ def vocab_topk(
         .repartition(1)
         .map_batches(topn, batch_format="pyarrow")
     )
+
+
+def tfidf_topk(
+    docs: ray.data.Dataset,
+    m: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Top-``m`` TF-IDF terms per document: (id, token, tfidf) with
+    score-desc / token-asc tie-break, ``tfidf = tf * ln(N / df)``.
+
+    Two scans of the corpus, no large shuffle: scan 1 aggregates document
+    frequencies (per-batch DISTINCT-token partials → one small
+    ``groupby(token)``); the resulting (token, df) vocabulary is broadcast
+    via ``ray.put`` — read once per worker, never re-shipped per batch.
+    Scan 2 recomputes per-doc term frequencies batch-locally (a doc's tf
+    rows never cross a batch boundary, so per-doc top-``m`` needs no
+    shuffle either) and scores against the broadcast vocabulary.
+    Recomputing tf beats materializing the tf table: the tf expansion is
+    larger than the input corpus, two streaming input scans are not."""
+    import ray as _ray
+
+    def _doc_tf(t: pa.Table):
+        """(doc row -> (doc_idx, token_code, tf)) plus the batch's token
+        vocabulary; tokenization identical to vocab_topk / the SQL oracle."""
+        toks_list = pc.split_pattern(pc.utf8_lower(t[text_col]), " ")
+        flat = pc.list_flatten(toks_list)
+        lens = pc.list_value_length(toks_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        words = np.asarray(flat.to_pylist(), dtype=str)
+        keep = words != ""
+        doc_idx, words = doc_idx[keep], words[keep]
+        vocab, codes = np.unique(words, return_inverse=True)
+        key = doc_idx * len(vocab) + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        return ukey // len(vocab), ukey % len(vocab), tf, vocab
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        d, c, _, vocab = _doc_tf(t)
+        # tf rows are already DISTINCT (doc, token) pairs
+        return pa.table(
+            {
+                "token": pa.array(vocab[np.unique(c)].tolist(), pa.string()),
+                "df": pa.array(np.bincount(c, minlength=len(vocab))[
+                    np.unique(c)
+                ].astype(np.int64)),
+            }
+        )
+
+    df_tbl = pa.concat_tables(
+        _ray.get(
+            docs.map_batches(df_partial, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .groupby("token")
+            .sum("df")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    n_docs = docs.count()
+    df_map = dict(
+        zip(df_tbl["token"].to_pylist(),
+            df_tbl["sum(df)"].to_numpy(zero_copy_only=False))
+    )
+    df_ref = _ray.put(df_map)
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], t[id_col].type),
+                "token": pa.array([], pa.string()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        d, c, tf, vocab = _doc_tf(t)
+        if len(d) == 0:
+            return empty
+        dfm = _ray.get(df_ref)  # per-worker plasma fetch, cached
+        df_per_code = np.array(
+            [dfm[w] for w in vocab], dtype=np.float64
+        )
+        s = tf * np.log(n_docs / df_per_code[c])
+        # per-doc top-m: sort (doc, score desc, token asc), run boundaries
+        order = np.lexsort([vocab[c], -s, d])
+        d_s = d[order]
+        starts = np.concatenate([[True], d_s[1:] != d_s[:-1]])
+        start_idx = np.flatnonzero(starts)
+        pos = np.arange(len(d_s)) - start_idx[np.cumsum(starts) - 1]
+        sel = order[pos < m]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[d[sel]], t[id_col].type),
+                "token": pa.array(vocab[c[sel]].tolist(), pa.string()),
+                "tfidf": pa.array(s[sel]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=2048)
