@@ -629,6 +629,64 @@ def _q_tfidf(sf_dir: str):
     return _round_cols(tfidf_topk(docs, m=5), {"tfidf": 6})
 
 
+def _q_quantiles(sf_dir: str):
+    """Exact per-group percentile_cont quantiles via counts-only shuffle
+    (stats.exact_quantiles): the all-to-all moves (flag, quantity, n)
+    triples, never lineitem rows."""
+    from linref_ray.stats import exact_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    out = exact_quantiles(
+        li, "l_quantity", (0.25, 0.5, 0.75, 0.95), ("l_returnflag",)
+    )
+    return _round_cols(rd.from_arrow(out), {"q": 6, "value": 6})
+
+
+_SEMI_PRICE = 400000.0
+
+
+def _high_value_orders(sf_dir: str):
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return orders.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater(t["o_totalprice"], _SEMI_PRICE)
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_semi_join(sf_dir: str):
+    """Broadcast semi-join: lineitems of high-value orders. The order-key
+    set ships once via ray.put; lineitem never shuffles."""
+    from linref_ray.joins import broadcast_semi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return broadcast_semi_join(
+        li, _high_value_orders(sf_dir), on="l_orderkey",
+        small_on="o_orderkey",
+    )
+
+
+def _q_anti_join(sf_dir: str):
+    """Broadcast anti-join: the complement of semi_join on the same key
+    set — together they partition lineitem exactly."""
+    from linref_ray.joins import broadcast_semi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return broadcast_semi_join(
+        li, _high_value_orders(sf_dir), on="l_orderkey",
+        small_on="o_orderkey", anti=True,
+    )
+
+
 def _q_fingerprints(sf_dir: str):
     from linref_ray.text import fingerprints
 
@@ -1328,6 +1386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
         "tfidf": _q_tfidf,
+        "quantiles": _q_quantiles,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
         "fingerprints": _q_fingerprints,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -1754,6 +1815,23 @@ s as (select tf.doc_id, tf.token,
 r as (select *, row_number() over (
         partition by doc_id order by tfidf desc, token asc) as rk from s)
 select doc_id, token, round(round(tfidf, 9), 6) as tfidf from r where rk <= 5
+"""
+    oracles["quantiles"] = " union all ".join(
+        f"select l_returnflag, round({q}, 6) as q,"
+        f" round(round(percentile_cont({q}) within group"
+        f" (order by l_quantity), 9), 6) as value"
+        f" from lineitem group by l_returnflag"
+        for q in (0.25, 0.5, 0.75, 0.95)
+    )
+    oracles["semi_join"] = f"""
+select l_orderkey, l_linenumber from lineitem
+where l_orderkey in
+  (select o_orderkey from orders where o_totalprice > {_SEMI_PRICE})
+"""
+    oracles["anti_join"] = f"""
+select l_orderkey, l_linenumber from lineitem
+where l_orderkey not in
+  (select o_orderkey from orders where o_totalprice > {_SEMI_PRICE})
 """
     from linref_ray.sampling import split_edges, sql_bucket_expr
 

@@ -115,3 +115,44 @@ def hash_join(
         .groupby(_JPID)
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def broadcast_semi_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    on: str,
+    small_on: str | None = None,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Map-side semi-join (``anti=True`` → anti-join): keep big-side rows
+    whose key does (not) appear in the small side.
+
+    The small side's DISTINCT key column is collected once and broadcast
+    through the object store (``ray.put``); every big-side batch probes it
+    with a sorted-array ``searchsorted`` — the big side never shuffles and
+    its non-key columns never move. This is the dimension→fact pruning
+    pattern: the scale contract is |distinct small keys| fits in a worker
+    heap (use :func:`hash_join` when it does not)."""
+    import numpy as np
+
+    key_col = small_on or on
+    keys_tbl = pa.concat_tables(
+        ray.get(small.select_columns([key_col]).to_arrow_refs()),
+        promote_options="default",
+    )
+    keys = np.unique(
+        keys_tbl[key_col].to_numpy(zero_copy_only=False)
+    )
+    keys_ref = ray.put(keys)
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = ray.get(keys_ref)  # per-worker plasma fetch, cached
+        k = t[on].to_numpy(zero_copy_only=False)
+        if len(arr) == 0:
+            hit = np.zeros(len(k), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(arr, k), len(arr) - 1)
+            hit = arr[pos] == k
+        return t.filter(pa.array(hit != anti))
+
+    return big.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""Distributed exact order statistics.
+
+Exact ``percentile_cont`` quantiles over columns with bounded distinct
+values (measure codes, integer quantities, ratings, token counts — the
+common shape for corpus statistics): per-batch value-counts partials, one
+small ``groupby`` over (group, value), then closed-form interpolation over
+the cumulative counts. The shuffled payload is counts, never rows, so the
+all-to-all stays tiny at any corpus size; the contract is distinct values
+per group bounded, NOT rows. For genuinely continuous columns, bucket
+first (round/log-bucket) or use a sketch.
+
+Engine-side addition (no linref counterpart); the SQL oracle is ANSI
+``percentile_cont(q) within group (order by col)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    group_cols: tuple[str, ...] = (),
+    num_partitions: int = 8,
+) -> pa.Table:
+    """(group_cols..., q, value) — bit-compatible with SQL percentile_cont
+    (linear interpolation at rank ``q * (n - 1)``). Returns an Arrow table:
+    the result is one row per (group, q), always driver-small."""
+    cols = list(group_cols) + [value_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select(cols)
+        # value-counts over the composite (groups, value) key
+        combined = sub.group_by(cols).aggregate([([], "count_all")])
+        return combined.rename_columns(cols + ["n"])
+
+    counts = pa.concat_tables(
+        ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .groupby(cols[0])
+            .map_groups(
+                lambda t: t.group_by(cols).aggregate([("n", "sum")])
+                .rename_columns(cols + ["n"]),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    # driver-side closed form over the tiny counts table
+    vals = counts[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    ns = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if group_cols:
+        gkeys = list(
+            zip(*(counts[g].to_pylist() for g in group_cols))
+        )
+    else:
+        gkeys = [()] * len(counts)
+    out_rows: list[tuple] = []
+    for gk in sorted(set(gkeys)):
+        sel = np.array([g == gk for g in gkeys])
+        v, c = vals[sel], ns[sel]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        for q in qs:
+            pos = q * (n - 1)
+            i0, frac = int(np.floor(pos)), pos - np.floor(pos)
+            lo = v[np.searchsorted(cum, i0, side="right")]
+            hi = v[np.searchsorted(cum, i0 + 1, side="right")] if frac else lo
+            out_rows.append(gk + (float(q), lo + (hi - lo) * frac))
+    arrays: dict[str, pa.Array] = {}
+    for i, g in enumerate(group_cols):
+        arrays[g] = pa.array([r[i] for r in out_rows], counts[g].type)
+    arrays["q"] = pa.array([r[-2] for r in out_rows], pa.float64())
+    arrays["value"] = pa.array([r[-1] for r in out_rows], pa.float64())
+    return pa.table(arrays)
