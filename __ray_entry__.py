@@ -687,6 +687,33 @@ def _q_anti_join(sf_dir: str):
     )
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join: each click matched to the same user's most recent view
+    at or before it (tie → larger view id). One co-partition shuffle of
+    slim (key, ts, id, value) rows; every partition resolves all its keys
+    in a single lexsort + forward-fill sweep (joins.asof_join)."""
+    from linref_ray.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def only(kind: str):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(
+                pa.compute.equal(t["event_type"], k)
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = asof_join(
+        only("click"), only("view"), on="user_id", ts_col="ts",
+        id_col="event_id", value_cols=("value",), num_partitions=16,
+    )
+    return _round_cols(out, {"matched_value": 6})
+
+
 def _q_fingerprints(sf_dir: str):
     from linref_ray.text import fingerprints
 
@@ -1387,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "tfidf": _q_tfidf,
         "quantiles": _q_quantiles,
+        "asof_join": _q_asof_join,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "fingerprints": _q_fingerprints,
@@ -1823,6 +1851,15 @@ select doc_id, token, round(round(tfidf, 9), 6) as tfidf from r where rk <= 5
         f" from lineitem group by l_returnflag"
         for q in (0.25, 0.5, 0.75, 0.95)
     )
+    oracles["asof_join"] = """
+with l as (select * from events where event_type = 'click'),
+     r as (select * from events where event_type = 'view')
+select l.event_id, coalesce(r.event_id, -1) as matched_id,
+       round(round(coalesce(r.value, 0.0), 9), 6) as matched_value
+from l left join r on l.user_id = r.user_id and r.ts <= l.ts
+qualify row_number() over (
+  partition by l.event_id order by r.ts desc, r.event_id desc) = 1
+"""
     oracles["semi_join"] = f"""
 select l_orderkey, l_linenumber from lineitem
 where l_orderkey in

@@ -156,3 +156,119 @@ def broadcast_semi_join(
         return t.filter(pa.array(hit != anti))
 
     return big.map_batches(fn, batch_format="pyarrow")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    ts_col: str,
+    id_col: str,
+    value_cols: tuple[str, ...] = (),
+    inclusive: bool = True,
+    tolerance: int | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """As-of join: for every left row, the single most recent right row
+    with the same ``on`` key and ``right.ts <= left.ts`` (``< `` when
+    ``inclusive=False``); ties on right ts break toward the larger right
+    id (a total order, so the match is deterministic). ``tolerance``
+    bounds the staleness: matches older than ``left.ts - tolerance``
+    (in the ts column's integer unit) are dropped.
+
+    Ray-native plan: both sides project to a slim harmonized layout, ONE
+    hash shuffle co-partitions them by key, and each partition resolves
+    all its keys in a single vectorized sweep — lexsort by (key, ts, side,
+    id) with rights ordered before lefts at equal ts, then a
+    ``maximum.accumulate`` forward-fill of the last-right index; a carried
+    index from the previous key run self-invalidates by key mismatch, so
+    no per-key Python loop exists at any group count. Unmatched lefts emit
+    ``matched_id = -1`` (and 0 values) rather than nulls.
+
+    No linref counterpart (linref relates intervals, not timestamps);
+    semantics anchored to ANSI ``ASOF JOIN`` / the windowed-SQL oracle in
+    __ray_entry__.
+    """
+    import pyarrow.compute as pc
+
+    def project(ds: ray.data.Dataset, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            key = pc.cast(t[on], pa.int64())
+            knp = key.to_numpy(zero_copy_only=False)
+            cols = {
+                "__key": key,
+                "__ts": pc.cast(t[ts_col], pa.int64()),
+                "__id": pc.cast(t[id_col], pa.int64()),
+                "__side": pa.array(
+                    np.full(len(t), side, dtype=np.int8)
+                ),
+                _JPID: pa.array(
+                    (knp % num_partitions).astype(np.int64)
+                ),
+            }
+            for i, c in enumerate(value_cols):
+                # values ride only on the right side; lefts pad with nulls
+                cols[f"__v{i}"] = (
+                    pc.cast(t[c], pa.float64())
+                    if side == 1
+                    else pa.nulls(len(t), pa.float64())
+                )
+            return pa.table(cols)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    both = project(left, 0).union(project(right, 1))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out_schema = {
+            id_col: pa.array([], pa.int64()),
+            "matched_id": pa.array([], pa.int64()),
+            **{
+                f"matched_{c}": pa.array([], pa.float64())
+                for c in value_cols
+            },
+        }
+        if len(t) == 0:
+            return pa.table(out_schema)
+        key = t["__key"].to_numpy(zero_copy_only=False)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        ids = t["__id"].to_numpy(zero_copy_only=False)
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        # rights (side=1) before lefts at equal ts when inclusive, after
+        # when strict — encoded by the side sort key
+        side_key = (side == 0) if inclusive else (side == 1)
+        order = np.lexsort([ids, side_key, ts, key])
+        key_s, ts_s, ids_s = key[order], ts[order], ids[order]
+        is_right = (side[order] == 1)
+        r_idx = np.where(is_right, np.arange(len(t)), -1)
+        last_r = np.maximum.accumulate(r_idx)
+        left_pos = np.flatnonzero(~is_right)
+        lr = last_r[left_pos]
+        valid = lr >= 0
+        # a forward-fill carried across a key run boundary invalidates
+        # itself: its key differs from the left row's key
+        valid &= key_s[np.maximum(lr, 0)] == key_s[left_pos]
+        if tolerance is not None:
+            valid &= ts_s[left_pos] - ts_s[np.maximum(lr, 0)] <= tolerance
+        matched = np.where(valid, ids_s[np.maximum(lr, 0)], -1)
+        out = {
+            id_col: pa.array(ids_s[left_pos]),
+            "matched_id": pa.array(matched),
+        }
+        if value_cols:
+            vsorted = {
+                i: t[f"__v{i}"].to_numpy(zero_copy_only=False)[order]
+                for i in range(len(value_cols))
+            }
+            for i, c in enumerate(value_cols):
+                v = vsorted[i][np.maximum(lr, 0)]
+                out[f"matched_{c}"] = pa.array(
+                    np.where(valid, np.nan_to_num(v, nan=0.0), 0.0)
+                )
+        return pa.table(out)
+
+    return (
+        both.repartition(num_partitions)
+        .groupby(_JPID)
+        .map_groups(kernel, batch_format="pyarrow")
+    )
