@@ -617,6 +617,50 @@ def _q_hash_split(sf_dir: str):
     return hash_split(docs)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Quality-weighted corpus thinning: keep probability = the doc's
+    distinct-word ratio (1 - rep_ratio), so repetitive docs are
+    downsampled. p is double-rounded to 6dp in BOTH engines before the
+    floor(p * 2**32) threshold, making the per-row Bernoulli decision
+    bit-identical to the SQL oracle."""
+    from linref_ray.sampling import weighted_hash_sample
+    from linref_ray.text import quality_scores
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_p(t: pa.Table) -> pa.Table:
+        # literally 1.0 - rep_ratio (same op order as the SQL) then the
+        # engine-wide double round
+        p = pa.compute.subtract(pa.array([1.0] * len(t)), t["rep_ratio"])
+        p = pa.compute.round(
+            p, ndigits=9, round_mode="half_towards_infinity"
+        )
+        p = pa.compute.round(
+            p, ndigits=6, round_mode="half_towards_infinity"
+        )
+        return pa.table({"doc_id": t["doc_id"], "keep_p": p})
+
+    scored = quality_scores(docs).map_batches(add_p, batch_format="pyarrow")
+    return weighted_hash_sample(scored, "keep_p", "doc_id", salt=3)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-stratum rebalancing over the embeddings table: label 0 thinned
+    to 20%, label 1 kept, label 2 half — integer bucket thresholds shared
+    with the SQL case expression."""
+    from linref_ray.sampling import stratified_sample
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    return stratified_sample(
+        emb, "label", {0: 0.2, 1: 1.0, 2: 0.5}, "vec_id",
+        default=0.1, salt=5,
+    )
+
+
 def _q_tfidf(sf_dir: str):
     """Top-5 TF-IDF terms per document — broadcast-vocabulary scoring, no
     large shuffle (see text.tfidf_topk). ln() drift between numpy and
@@ -1413,6 +1457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
         "tfidf": _q_tfidf,
+        "weighted_sample": _q_weighted_sample,
+        "stratified_sample": _q_stratified_sample,
         "quantiles": _q_quantiles,
         "asof_join": _q_asof_join,
         "semi_join": _q_semi_join,
@@ -1843,6 +1889,29 @@ s as (select tf.doc_id, tf.token,
 r as (select *, row_number() over (
         partition by doc_id order by tfidf desc, token asc) as rk from s)
 select doc_id, token, round(round(tfidf, 9), 6) as tfidf from r where rk <= 5
+"""
+    from linref_ray.sampling import sql_bucket_expr as _sbe
+
+    oracles["weighted_sample"] = f"""
+with w as (select doc_id, regexp_extract_all(text, '[A-Za-z]+') as words
+           from documents),
+p as (select doc_id,
+             round(round(1.0 - (1.0 -
+               cast(length(list_distinct(words)) as double)
+               / greatest(length(words), 1)), 9), 6) as keep_p
+      from w)
+select doc_id, keep_p from p
+where {_sbe('doc_id', salt=3)}
+      < cast(floor(keep_p * 4294967296.0) as hugeint)
+"""
+    _thr = {
+        0: int(0.2 * 2**32), 1: 2**32, 2: int(0.5 * 2**32),
+    }
+    oracles["stratified_sample"] = f"""
+select vec_id, label from embeddings
+where {_sbe('vec_id', salt=5)} <
+  case label when 0 then {_thr[0]} when 1 then {_thr[1]}
+             when 2 then {_thr[2]} else {int(0.1 * 2**32)} end
 """
     oracles["quantiles"] = " union all ".join(
         f"select l_returnflag, round({q}, 6) as q,"

@@ -106,3 +106,60 @@ def sql_bucket_expr(key_col: str, salt: int = 0) -> str:
         f"(cast(xor(cast({key_col} as bigint), {salt * _K_SALT}) as hugeint)"
         f" * {_K_MULT}) % {_MOD}"
     )
+
+
+def weighted_hash_sample(
+    ds: ray.data.Dataset,
+    prob_col: str,
+    key_col: str,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Per-row Bernoulli keep with probability read from ``prob_col``
+    (clipped to [0, 1]): keep iff ``bucket(key) < floor(p * 2**32)``.
+
+    The quality-weighted corpus-sampling primitive: score docs (quality,
+    dedup confidence, curriculum weight), then thin the corpus with a
+    decision that is a pure function of (key, p) — reproducible on any
+    cluster shape, no RNG state, and SQL-replicable when ``p`` is."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        p = np.clip(
+            t[prob_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            0.0, 1.0,
+        )
+        thr = np.floor(p * _MOD).astype(np.uint64)
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(hash_buckets(keys, salt) < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    default: float = 0.0,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: each row keeps with its
+    stratum's fraction (``default`` for unlisted strata). Rebalancing
+    primitive — e.g. downsample over-represented languages/domains to
+    target proportions. Same bucket function as :func:`hash_sample`, so
+    per-stratum nesting and SQL parity carry over."""
+    # thr = floor(f * 2**32), and f >= 1 -> 2**32 itself (keeps every
+    # bucket) — uint64 holds it, so no special case
+    thr_map = {
+        k: np.uint64(min(int(f * _MOD), _MOD)) for k, f in fractions.items()
+    }
+    thr_default = np.uint64(min(int(default * _MOD), _MOD))
+
+    def fn(t: pa.Table) -> pa.Table:
+        strata = t[strata_col].to_pylist()
+        thr = np.array(
+            [thr_map.get(s, thr_default) for s in strata], dtype=np.uint64
+        )
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(hash_buckets(keys, salt) < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

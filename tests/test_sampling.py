@@ -95,3 +95,52 @@ def test_vocab_topk_n_larger_than_vocab(ray_session):
     )
     got = vocab_topk(docs, n=100).to_pandas()
     assert sorted(zip(got["token"], got["n"])) == [("a", 3), ("b", 2)]
+
+
+def test_weighted_sample_extremes_and_determinism(ray_session):
+    from linref_ray.sampling import weighted_hash_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "p": pa.array([0.0] * 50 + [1.0] * 50),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = weighted_hash_sample(ds, "p", "doc_id").to_pandas()
+    # p=0 rows never survive, p=1 rows always do
+    assert sorted(out["doc_id"]) == list(range(50, 100))
+    # clipping: out-of-range probabilities behave as 0/1
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "p": pa.array([-3.0, 7.0]),
+        }
+    )
+    out2 = weighted_hash_sample(rd.from_arrow(t2), "p", "doc_id").to_pandas()
+    assert sorted(out2["doc_id"]) == [2]
+
+
+def test_stratified_sample_respects_per_stratum_fractions(ray_session):
+    from linref_ray.sampling import stratified_sample
+
+    n = 3000
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = stratified_sample(
+        ds, "label", {0: 0.0, 1: 1.0, 2: 0.5}, "vec_id"
+    ).to_pandas()
+    by = out.groupby("label").size().to_dict()
+    assert 0 not in by           # fraction 0 -> empty stratum
+    assert by[1] == n // 3       # fraction 1 -> full stratum
+    assert 0.35 * n / 3 < by.get(2, 0) < 0.65 * n / 3
+    # unlisted strata use the default
+    out2 = stratified_sample(
+        ds, "label", {}, "vec_id", default=1.0
+    ).to_pandas()
+    assert len(out2) == n
