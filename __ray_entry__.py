@@ -688,6 +688,22 @@ def _q_quantiles(sf_dir: str):
     return _round_cols(rd.from_arrow(out), {"q": 6, "value": 6})
 
 
+def _q_group_topk(sf_dir: str):
+    """Top-3 lineitems per order by extended price (linenumber tie-break)
+    — one group-key shuffle, all groups ranked in one lexsort pass per
+    partition (stats.top_k_per_group)."""
+    from linref_ray.stats import top_k_per_group
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = top_k_per_group(
+        li, "l_orderkey", "l_extendedprice", k=3, tie_col="l_linenumber"
+    )
+    return _round_cols(out, {"l_extendedprice": 6})
+
+
 _SEMI_PRICE = 400000.0
 
 
@@ -1460,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "stratified_sample": _q_stratified_sample,
         "quantiles": _q_quantiles,
+        "group_topk": _q_group_topk,
         "asof_join": _q_asof_join,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -1920,6 +1937,14 @@ where {_sbe('vec_id', salt=5)} <
         f" from lineitem group by l_returnflag"
         for q in (0.25, 0.5, 0.75, 0.95)
     )
+    oracles["group_topk"] = """
+select l_orderkey, l_linenumber,
+       round(round(l_extendedprice, 9), 6) as l_extendedprice from (
+  select l_orderkey, l_linenumber, l_extendedprice,
+         row_number() over (partition by l_orderkey
+           order by l_extendedprice desc, l_linenumber asc) as rk
+  from lineitem) where rk <= 3
+"""
     oracles["asof_join"] = """
 with l as (select * from events where event_type = 'click'),
      r as (select * from events where event_type = 'view')

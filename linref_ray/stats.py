@@ -82,3 +82,58 @@ def exact_quantiles(
     arrays["q"] = pa.array([r[-2] for r in out_rows], pa.float64())
     arrays["value"] = pa.array([r[-1] for r in out_rows], pa.float64())
     return pa.table(arrays)
+
+
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int = 3,
+    descending: bool = True,
+    tie_col: str | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exact top-``k`` rows of every group by ``order_col`` — the generic
+    per-key selection op (best captions per image, highest-score docs per
+    domain, largest lineitems per order).
+
+    One hash shuffle on the group key; each partition then resolves ALL
+    its groups in a single vectorized pass (factorize group → lexsort →
+    run-boundary rank), never dispatching per group. ``tie_col``
+    (ascending) makes the selection a total order, hence deterministic
+    under any partitioning; without it, ties at the boundary are broken
+    by ``order_col`` input order within the partition."""
+    from linref_ray.partition import PID, hash_partition_ids
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            PID, pa.array(hash_partition_ids(t[group_col], num_partitions))
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([PID])
+        if len(t) == 0:
+            return t
+        _, gcode = np.unique(
+            t[group_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        order = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        okey = -order if descending else order
+        keys = [okey, gcode]
+        if tie_col is not None:
+            keys.insert(
+                0, t[tie_col].to_numpy(zero_copy_only=False)
+            )
+        srt = np.lexsort(keys)
+        g_s = gcode[srt]
+        starts = np.concatenate([[True], g_s[1:] != g_s[:-1]])
+        start_idx = np.flatnonzero(starts)
+        pos = np.arange(len(g_s)) - start_idx[np.cumsum(starts) - 1]
+        return t.take(srt[pos < k])
+
+    return (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(PID)
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -94,3 +94,51 @@ def test_semi_join_empty_small_side(ray_session):
     assert broadcast_semi_join(
         li, none, on="l_orderkey", small_on="o_orderkey", anti=True
     ).count() == li.count()
+
+
+def test_group_topk_string_groups_and_ties(ray_session):
+    from linref_ray.stats import top_k_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array(["x", "x", "x", "y", "y", "z"]),
+            "v": pa.array([5.0, 5.0, 1.0, 2.0, 9.0, 4.0]),
+            "id": pa.array([3, 1, 2, 10, 11, 20], pa.int64()),
+        }
+    )
+    out = top_k_per_group(
+        rd.from_arrow(t), "g", "v", k=1, tie_col="id", num_partitions=4
+    ).to_pandas()
+    got = {r.g: (int(r.id), r.v) for r in out.itertuples()}
+    # x: tie at v=5 -> smaller id wins; ascending=False default
+    assert got == {"x": (1, 5.0), "y": (11, 9.0), "z": (20, 4.0)}
+    # ascending variant
+    out2 = top_k_per_group(
+        rd.from_arrow(t), "g", "v", k=1, descending=False, tie_col="id",
+        num_partitions=4,
+    ).to_pandas()
+    got2 = {r.g: (int(r.id), r.v) for r in out2.itertuples()}
+    assert got2 == {"x": (2, 1.0), "y": (10, 2.0), "z": (20, 4.0)}
+
+
+def test_group_topk_partition_invariant(ray_session):
+    from linref_ray.stats import top_k_per_group
+
+    li = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    a = (
+        top_k_per_group(li, "l_orderkey", "l_extendedprice", k=2,
+                        tie_col="l_linenumber")
+        .to_pandas().sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    b = (
+        top_k_per_group(li.repartition(13), "l_orderkey",
+                        "l_extendedprice", k=2, tie_col="l_linenumber",
+                        num_partitions=3)
+        .to_pandas().sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
