@@ -97,6 +97,40 @@ p as (select event_id, cast(user_id % 32 as varchar) as route_id,
              value * 20 as loc from events where event_id % 2 = 1)
 """
 
+# Segment table for the raster↔vector queries (mirror of
+# _segments_from_events), its bbox→grid candidate expansion at res 8
+# (cell edge 4.0 = 2^(10-8)), and the four corner cross-products of the
+# separating-axis test.
+_SQL_SEGMENTS = """
+with seg as (
+  select event_id,
+         value * 11.0 as x0,
+         cast((user_id % 128) - 20 as double) as y0,
+         value * 11.0 + cast((event_id % 37) - 18 as double) * 1.7 as x1,
+         cast((user_id % 128) - 20 as double)
+           + cast((event_id % 29) - 14 as double) * 1.3 as y1
+  from events
+), b as (
+  select *,
+         cast(floor(least(x0,x1)/4.0) as bigint) as ixa,
+         cast(floor(greatest(x0,x1)/4.0) as bigint) as ixb,
+         cast(floor(least(y0,y1)/4.0) as bigint) as iya,
+         cast(floor(greatest(y0,y1)/4.0) as bigint) as iyb
+  from seg
+), cand as (
+  select b.*, sx.ix, sy.iy from b
+  cross join lateral (select unnest(generate_series(b.ixa, b.ixb)) as ix) sx
+  cross join lateral (select unnest(generate_series(b.iya, b.iyb)) as iy) sy
+), segd as (
+  select event_id, ix, iy, x0, y0, x1, y1,
+    (x1-x0)*(iy*4.0 - y0) - (y1-y0)*(ix*4.0 - x0) as d00,
+    (x1-x0)*(iy*4.0 - y0) - (y1-y0)*((ix+1)*4.0 - x0) as d10,
+    (x1-x0)*((iy+1)*4.0 - y0) - (y1-y0)*(ix*4.0 - x0) as d01,
+    (x1-x0)*((iy+1)*4.0 - y0) - (y1-y0)*((ix+1)*4.0 - x0) as d11
+  from cand
+)
+"""
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -534,6 +568,56 @@ def _q_project(sf_dir: str):
     return _int_micro_cols(
         out.select_columns(["event_id", "route_id", "loc", "snap_dist"]),
         {"loc": 6, "snap_dist": 6},
+    )
+
+
+def _segments_from_events(sf_dir: str) -> rd.Dataset:
+    """Deterministic segment table derived from events — shared input of the
+    raster↔vector queries; the SQL oracles derive the identical doubles."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x0 = val * 11.0
+        y0 = ((uid & 127) - 20).astype(np.float64)
+        x1 = x0 + ((eid % 37) - 18).astype(np.float64) * 1.7
+        y1 = y0 + ((eid % 29) - 14).astype(np.float64) * 1.3
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "x0": pa.array(x0),
+                "y0": pa.array(y0),
+                "x1": pa.array(x1),
+                "y1": pa.array(y1),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_segment_cells(sf_dir: str):
+    """Raster↔vector assignment: EXACT supercover of grid cells (res 8,
+    edge 4.0) for each event-derived segment. Integer output — bitwise
+    oracle, no float rounding involved."""
+    from linref_ray.spatial import segment_cell_cover
+
+    return segment_cell_cover(
+        _segments_from_events(sf_dir), res=8, keep_cols=("event_id",)
+    )
+
+
+def _q_cell_mileage(sf_dir: str):
+    """Per-cell total segment mileage (Liang–Barsky clip lengths,
+    micro-fixed-point before summation so the aggregation is exact integer
+    arithmetic on both sides)."""
+    from linref_ray.spatial import cell_mileage_histogram
+
+    return cell_mileage_histogram(
+        _segments_from_events(sf_dir), res=8, num_partitions=8
     )
 
 
@@ -1449,6 +1533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrate": _q_integrate,
         "tpch_pricing": _q_tpch_pricing,
         "tile_histogram": _q_tile_histogram,
+        "segment_cells": _q_segment_cells,
+        "cell_mileage": _q_cell_mileage,
         "knn": _q_knn,
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_lsh": _q_knn_lsh,
@@ -1816,6 +1902,40 @@ select event_id, route_id,
 from (select proj.*, row_number() over (
         partition by event_id order by dist, ridx) as rk from proj)
 where rk = 1 and dist <= 600.0
+""",
+        # Raster↔vector: bbox-candidate cells refined by the segment-vs-box
+        # separating-axis corner test — the identical doubles the kernel
+        # (kernels/cells.py:cover_segments) computes, so output is bitwise.
+        "segment_cells": _SQL_SEGMENTS + """
+select event_id, ix, iy from segd
+where least(d00,d10,d01,d11) <= 0 and greatest(d00,d10,d01,d11) >= 0
+""",
+        "cell_mileage": _SQL_SEGMENTS + """
+, keep as (
+  select * from segd
+  where least(d00,d10,d01,d11) <= 0 and greatest(d00,d10,d01,d11) >= 0
+), t as (
+  select ix, iy,
+    case when x1 = x0 then 0.0
+         else least((ix*4.0 - x0)/(x1-x0), ((ix+1)*4.0 - x0)/(x1-x0)) end as tlx,
+    case when x1 = x0 then 1.0
+         else greatest((ix*4.0 - x0)/(x1-x0), ((ix+1)*4.0 - x0)/(x1-x0)) end as thx,
+    case when y1 = y0 then 0.0
+         else least((iy*4.0 - y0)/(y1-y0), ((iy+1)*4.0 - y0)/(y1-y0)) end as tly,
+    case when y1 = y0 then 1.0
+         else greatest((iy*4.0 - y0)/(y1-y0), ((iy+1)*4.0 - y0)/(y1-y0)) end as thy,
+    sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) as seglen
+  from keep
+), f as (
+  select ix, iy,
+    greatest(least(least(thx, thy), 1.0)
+             - greatest(greatest(tlx, tly), 0.0), 0.0) * seglen as len
+  from t
+)
+select ix, iy,
+       cast(sum(cast(round(round(len, 9) * 1000000) as bigint)) as bigint)
+         as mileage_micro
+from f group by ix, iy
 """,
         "overlay_profile": _SQL_EVENTS + """
 , w as (

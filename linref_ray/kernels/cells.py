@@ -62,17 +62,18 @@ def grid_of_points(x: np.ndarray, y: np.ndarray, res: int):
     return ix, iy
 
 
-def cover_bbox(
+def _grid_candidates(
     x0: np.ndarray,
     y0: np.ndarray,
     x1: np.ndarray,
     y1: np.ndarray,
     res: int,
     pad: float = 0.0,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Cells covering each bbox (+pad): returns ``(row_index, cell_id)`` pairs.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged bbox→grid expansion: ``(row_index, ix, iy)`` per candidate cell.
 
-    Vectorized ragged expansion: each input row emits ``nx·ny`` cells.
+    Each input bbox (+pad) emits every grid cell its closed extent touches —
+    the conservative candidate set the exact tests below refine.
     """
     g = cell_size(res)
     ix0 = np.floor((np.minimum(x0, x1) - pad) / g).astype(np.int64)
@@ -88,5 +89,94 @@ def cover_bbox(
     local = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
     lx = local % np.repeat(nx, counts)
     ly = local // np.repeat(nx, counts)
-    cells = encode_cell(np.repeat(ix0, counts) + lx, np.repeat(iy0, counts) + ly, res)
-    return rows, cells
+    return rows, np.repeat(ix0, counts) + lx, np.repeat(iy0, counts) + ly
+
+
+def cover_bbox(
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    res: int,
+    pad: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cells covering each bbox (+pad): returns ``(row_index, cell_id)`` pairs.
+
+    Vectorized ragged expansion: each input row emits ``nx·ny`` cells.
+    """
+    rows, ix, iy = _grid_candidates(x0, y0, x1, y1, res, pad)
+    return rows, encode_cell(ix, iy, res)
+
+
+def cover_segments(
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    res: int,
+    clip_lengths: bool = False,
+):
+    """EXACT supercover: the grid cells each segment actually intersects.
+
+    This is the raster↔vector assignment primitive (BASELINE.json north
+    rule): bbox candidates from :func:`_grid_candidates`, refined by the
+    separating-axis test for a segment vs an axis-aligned box.  The x/y
+    axes are already satisfied by bbox overlap (a segment's x-projection IS
+    its bbox x-extent), leaving only the segment-normal axis: the box
+    intersects iff its four corners do not lie strictly on one side of the
+    segment's supporting line, i.e. ``min(d) <= 0 <= max(d)`` with
+    ``d = dx·(cy−y0) − dy·(cx−x0)``.  Closed-box semantics: a segment
+    grazing a cell corner or running along an edge counts for both cells
+    (measure-zero for float data).
+
+    With ``clip_lengths=True`` also returns the Liang–Barsky clipped length
+    of the segment inside each kept cell (tangential cells clip to 0);
+    interior points belong to exactly one cell, so per-segment clip lengths
+    sum to the segment length — the conservation law the tests assert.
+
+    Returns ``(row_index, ix, iy)`` or ``(row_index, ix, iy, clip_len)``.
+    The arithmetic (operand order included) deliberately mirrors the DuckDB
+    oracle in ``__ray_entry__`` so outputs match bitwise.
+    """
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    rows, ix, iy = _grid_candidates(x0, y0, x1, y1, res)
+    g = cell_size(res)
+    dx = x1[rows] - x0[rows]
+    dy = y1[rows] - y0[rows]
+    sx, sy = x0[rows], y0[rows]
+    cx0 = ix.astype(np.float64) * g
+    cx1 = (ix + 1).astype(np.float64) * g
+    cy0 = iy.astype(np.float64) * g
+    cy1 = (iy + 1).astype(np.float64) * g
+    d00 = dx * (cy0 - sy) - dy * (cx0 - sx)
+    d10 = dx * (cy0 - sy) - dy * (cx1 - sx)
+    d01 = dx * (cy1 - sy) - dy * (cx0 - sx)
+    d11 = dx * (cy1 - sy) - dy * (cx1 - sx)
+    dmin = np.minimum(np.minimum(d00, d10), np.minimum(d01, d11))
+    dmax = np.maximum(np.maximum(d00, d10), np.maximum(d01, d11))
+    keep = (dmin <= 0.0) & (dmax >= 0.0)
+    rows, ix, iy = rows[keep], ix[keep], iy[keep]
+    if not clip_lengths:
+        return rows, ix, iy
+    dx, dy, sx, sy = dx[keep], dy[keep], sx[keep], sy[keep]
+    cx0, cx1, cy0, cy1 = cx0[keep], cx1[keep], cy0[keep], cy1[keep]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tax = (cx0 - sx) / dx
+        tbx = (cx1 - sx) / dx
+        tay = (cy0 - sy) / dy
+        tby = (cy1 - sy) / dy
+    # Zero-extent axis: candidate generation already guarantees the segment
+    # lies inside the cell's slab on that axis, so the slab never clips.
+    zx, zy = dx == 0.0, dy == 0.0
+    tlx = np.where(zx, 0.0, np.minimum(tax, tbx))
+    thx = np.where(zx, 1.0, np.maximum(tax, tbx))
+    tly = np.where(zy, 0.0, np.minimum(tay, tby))
+    thy = np.where(zy, 1.0, np.maximum(tay, tby))
+    tenter = np.maximum(np.maximum(tlx, tly), 0.0)
+    texit = np.minimum(np.minimum(thx, thy), 1.0)
+    frac = np.maximum(texit - tenter, 0.0)
+    seglen = np.sqrt(dx * dx + dy * dy)
+    return rows, ix, iy, frac * seglen

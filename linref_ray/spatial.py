@@ -25,7 +25,12 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from linref_ray.kernels.cells import cell_of_points, cell_size, cover_bbox
+from linref_ray.kernels.cells import (
+    cell_of_points,
+    cell_size,
+    cover_bbox,
+    cover_segments,
+)
 from linref_ray.kernels.geometry import cumdist
 from linref_ray.kernels.intervals import expand_pieces
 
@@ -373,6 +378,202 @@ def tile_histogram(
         partials.repartition(8)
         .groupby(["ix", "iy"])
         .aggregate(Sum("__n", alias_name="n"))
+    )
+
+
+def segment_cell_cover(
+    ds: ray.data.Dataset,
+    res: int,
+    x0_col: str = "x0",
+    y0_col: str = "y0",
+    x1_col: str = "x1",
+    y1_col: str = "y1",
+    keep_cols: tuple[str, ...] = ("event_id",),
+    clip_lengths: bool = False,
+    micro: bool = False,
+) -> ray.data.Dataset:
+    """Raster↔vector assignment: the EXACT grid cells each segment crosses.
+
+    Pure ``map_batches`` ragged expansion (no shuffle): per batch the
+    supercover kernel (:func:`linref_ray.kernels.cells.cover_segments`)
+    emits one row per (segment, cell) with integer grid coordinates
+    ``ix, iy`` — SQL-oracle-friendly cell identity.  With
+    ``clip_lengths=True`` each row carries the Liang–Barsky length of the
+    segment inside that cell (``clip_len``; ``micro=True`` stores it as
+    round-to-9-then-×1e6 int64 so downstream sums are order-independent
+    integers — the convention the oracles use).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        x0 = t[x0_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y0 = t[y0_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x1 = t[x1_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y1 = t[y1_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = cover_segments(x0, y0, x1, y1, res, clip_lengths=clip_lengths)
+        rows, ix, iy = out[:3]
+        cols = {c: t[c].take(pa.array(rows)) for c in keep_cols}
+        cols["ix"] = pa.array(ix)
+        cols["iy"] = pa.array(iy)
+        if clip_lengths:
+            ln = out[3]
+            if micro:
+                # Same fixed-point convention as the SQL oracles
+                # (__ray_entry__._int_micro_cols): round-half-towards-infinity
+                # at 9 digits, then ×1e6 to int64.
+                v = pc.round(
+                    pa.array(ln), ndigits=9, round_mode="half_towards_infinity"
+                )
+                v = pc.round(
+                    pc.multiply(v, 1e6), ndigits=0,
+                    round_mode="half_towards_infinity",
+                )
+                cols["clip_len"] = pc.cast(v, pa.int64())
+            else:
+                cols["clip_len"] = pa.array(ln)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def route_cell_cover(
+    routes: pa.Table | ray.data.Dataset,
+    res: int,
+    clip_lengths: bool = False,
+) -> ray.data.Dataset:
+    """Cells traversed by each route polyline (exact supercover).
+
+    A route's whole geometry lives in one row, so segments explode and
+    dedupe LOCALLY (packed-key ``np.unique`` per row batch) — no shuffle.
+    With ``clip_lengths=True`` rows carry per-(route, cell) mileage instead
+    (clip lengths summed over the route's segments in that cell).
+    """
+    if isinstance(routes, pa.Table):
+        routes = ray.data.from_arrow(routes)
+
+    def fn(t: pa.Table) -> pa.Table:
+        xs = t["xs"].combine_chunks()
+        ys = t["ys"].combine_chunks()
+        offs = xs.offsets.to_numpy().astype(np.int64)
+        fx = xs.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        fy = ys.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        # Segment (i, i+1) within each polyline: drop each row's last vertex.
+        n_vert = np.diff(offs)
+        keep = np.ones(len(fx), dtype=bool)
+        keep[offs[1:] - 1] = False
+        row_of_seg = np.repeat(
+            np.arange(len(n_vert), dtype=np.int64), np.maximum(n_vert - 1, 0)
+        )
+        x0, y0 = fx[keep], fy[keep]
+        idx1 = np.flatnonzero(keep) + 1
+        x1, y1 = fx[idx1], fy[idx1]
+        out = cover_segments(x0, y0, x1, y1, res, clip_lengths=clip_lengths)
+        segs, ix, iy = out[:3]
+        rows = row_of_seg[segs]
+        if len(rows) == 0:
+            cols = {
+                "route_id": pa.array([], t.schema.field("route_id").type),
+                "ix": pa.array([], pa.int64()),
+                "iy": pa.array([], pa.int64()),
+            }
+            if clip_lengths:
+                cols["mileage"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        packed = (
+            (rows << np.int64(44))
+            | ((ix & np.int64(0x3FFFFF)) << np.int64(22))
+            | (iy & np.int64(0x3FFFFF))
+        )
+        if clip_lengths:
+            order = np.argsort(packed, kind="stable")
+            packed_s = packed[order]
+            firsts = np.concatenate([[True], packed_s[1:] != packed_s[:-1]])
+            gid = np.cumsum(firsts) - 1
+            mileage = np.zeros(int(gid[-1]) + 1 if len(gid) else 0)
+            np.add.at(mileage, gid, out[3][order])
+            sel = order[firsts]
+            return pa.table(
+                {
+                    "route_id": t["route_id"].take(pa.array(rows[sel])),
+                    "ix": pa.array(ix[sel]),
+                    "iy": pa.array(iy[sel]),
+                    "mileage": pa.array(mileage),
+                }
+            )
+        _, first = np.unique(packed, return_index=True)
+        return pa.table(
+            {
+                "route_id": t["route_id"].take(pa.array(rows[first])),
+                "ix": pa.array(ix[first]),
+                "iy": pa.array(iy[first]),
+            }
+        )
+
+    return routes.map_batches(fn, batch_format="pyarrow")
+
+
+def cell_mileage_histogram(
+    ds: ray.data.Dataset,
+    res: int,
+    x0_col: str = "x0",
+    y0_col: str = "y0",
+    x1_col: str = "x1",
+    y1_col: str = "y1",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-cell total segment mileage — the weighted raster↔vector tile map.
+
+    Clip lengths are micro-rounded to int64 BEFORE any aggregation, so the
+    per-batch packed-key combiner and the final tiny ``groupby`` both sum
+    integers: the result is independent of batch boundaries and shuffle
+    order (bitwise-reproducible, and bitwise vs the SQL oracle).
+    """
+    pairs = segment_cell_cover(
+        ds,
+        res,
+        x0_col,
+        y0_col,
+        x1_col,
+        y1_col,
+        keep_cols=(),
+        clip_lengths=True,
+        micro=True,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        ln = t["clip_len"].to_numpy(zero_copy_only=False)
+        if len(ix) == 0:
+            return pa.table(
+                {
+                    "ix": pa.array([], pa.int64()),
+                    "iy": pa.array([], pa.int64()),
+                    "__m": pa.array([], pa.int64()),
+                }
+            )
+        packed = (ix << np.int64(32)) | (iy & np.int64(0xFFFFFFFF))
+        order = np.argsort(packed, kind="stable")
+        packed_s = packed[order]
+        firsts = np.concatenate([[True], packed_s[1:] != packed_s[:-1]])
+        gid = np.cumsum(firsts) - 1
+        sums = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, dtype=np.int64)
+        np.add.at(sums, gid, ln[order])
+        sel = order[firsts]
+        return pa.table(
+            {
+                "ix": pa.array(ix[sel]),
+                "iy": pa.array(iy[sel]),
+                "__m": pa.array(sums),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["ix", "iy"])
+        .aggregate(Sum("__m", alias_name="mileage_micro"))
     )
 
 
