@@ -362,6 +362,25 @@ def _q_tile_histogram(sf_dir: str):
     )
 
 
+def _q_tile_pyramid(sf_dir: str):
+    """Hierarchical rollup of the res-10 tile histogram to two coarser
+    levels — one point scan, parents aggregated from child cells."""
+    from linref_ray.spatial import tile_pyramid
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.multiply(t["value"], 7.0)
+        y = pc.cast(pc.multiply(t["user_id"], 3), pa.float64())
+        return t.append_column("x", x).append_column("y", y)
+
+    return tile_pyramid(
+        ds.map_batches(fn, batch_format="pyarrow"), res=10, levels=2
+    )
+
+
 def _q_knn(sf_dir: str):
     from linref_ray.similarity import knn_brute_force
 
@@ -618,6 +637,31 @@ def _q_cell_mileage(sf_dir: str):
 
     return cell_mileage_histogram(
         _segments_from_events(sf_dir), res=8, num_partitions=8
+    )
+
+
+def _q_knn_routes(sf_dir: str):
+    """k-nearest-routes lookup (k=2) for event-derived points over the
+    axis-aligned route set — closed-form SQL oracle (clamp + abs + rank)."""
+    from linref_ray.spatial import build_route_index, knn_routes
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.multiply(t["value"], 11.0)
+        y = pc.cast(
+            pc.subtract(pc.bit_wise_and(t["user_id"], 127), 20), pa.float64()
+        )
+        return t.append_column("x", x).append_column("y", y)
+
+    pts = ds.map_batches(fn, batch_format="pyarrow")
+    ref = build_route_index(_straight_routes(), res=4, pad=600.0)
+    out = knn_routes(pts, ref, k=2, buffer=600.0, x_col="x", y_col="y")
+    return _int_micro_cols(
+        out.select_columns(["event_id", "route_id", "rank", "loc", "snap_dist"]),
+        {"loc": 6, "snap_dist": 6},
     )
 
 
@@ -1533,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrate": _q_integrate,
         "tpch_pricing": _q_tpch_pricing,
         "tile_histogram": _q_tile_histogram,
+        "tile_pyramid": _q_tile_pyramid,
         "segment_cells": _q_segment_cells,
         "cell_mileage": _q_cell_mileage,
         "knn": _q_knn,
@@ -1553,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "cluster": _q_cluster,
         "project": _q_project,
+        "knn_routes": _q_knn_routes,
         "overlay_profile": _q_overlay_profile,
         "quality": _q_quality,
         "vocab_topk": _q_vocab_topk,
@@ -1747,6 +1793,23 @@ select cast(floor(value * 7.0 / 1.0) as bigint) as ix,
        count(*) as n
 from events group by 1, 2
 """,
+        "tile_pyramid": """
+with base as (
+  select cast(floor(value * 7.0 / 1.0) as bigint) as ix,
+         cast(floor(user_id * 3 / 1.0) as bigint) as iy,
+         count(*) as n
+  from events group by 1, 2
+)
+select 0 as level, ix, iy, n from base
+union all
+select 1 as level, cast(floor(ix / 2.0) as bigint) as ix,
+       cast(floor(iy / 2.0) as bigint) as iy, cast(sum(n) as bigint) as n
+from base group by 2, 3
+union all
+select 2 as level, cast(floor(ix / 4.0) as bigint) as ix,
+       cast(floor(iy / 4.0) as bigint) as iy, cast(sum(n) as bigint) as n
+from base group by 2, 3
+""",
         "knn": """
 with q as (select vec_id as query_id, embedding as qe from embeddings
            where vec_id in (0, 1, 2)),
@@ -1902,6 +1965,35 @@ select event_id, route_id,
 from (select proj.*, row_number() over (
         partition by event_id order by dist, ridx) as rk from proj)
 where rk = 1 and dist <= 600.0
+""",
+        # Same projection formulation, top-2 routes per point with rank.
+        "knn_routes": """
+with pts as (
+  select event_id, value * 11.0 as x,
+         cast((user_id % 128) - 20 as double) as y
+  from events
+), routes(route_id, x0, y0, x1, y1, horiz, ridx) as (
+  values ('H0', 0.0, 0.0, 100.0, 0.0, true, 0),
+         ('H1', 0.0, 40.0, 100.0, 40.0, true, 1),
+         ('V2', 50.0, 100.0, 50.0, 200.0, false, 2)
+), proj as (
+  select p.event_id, r.route_id, r.ridx,
+         case when r.horiz
+              then greatest(r.x0, least(r.x1, p.x)) - r.x0
+              else greatest(r.y0, least(r.y1, p.y)) - r.y0 end as loc,
+         case when r.horiz
+              then sqrt((greatest(r.x0, least(r.x1, p.x)) - p.x) ^ 2
+                        + (p.y - r.y0) ^ 2)
+              else sqrt((greatest(r.y0, least(r.y1, p.y)) - p.y) ^ 2
+                        + (p.x - r.x0) ^ 2) end as dist
+  from pts p cross join routes r
+)
+select event_id, route_id, rk - 1 as rank,
+       cast(round(round(loc, 9) * 1000000) as bigint) as loc,
+       cast(round(round(dist, 9) * 1000000) as bigint) as snap_dist
+from (select proj.*, row_number() over (
+        partition by event_id order by dist, ridx) as rk from proj)
+where rk <= 2 and dist <= 600.0
 """,
         # Raster↔vector: bbox-candidate cells refined by the segment-vs-box
         # separating-axis corner test — the identical doubles the kernel

@@ -108,6 +108,31 @@ def build_route_index(
     return ray.put(RouteIndex(routes, res=res, pad=pad))
 
 
+def _project_candidates(idx: "RouteIndex", x, y, qi, si):
+    """Project points onto their candidate segments: (distance, measure).
+
+    Clamped orthogonal projection onto each segment, measure linearly
+    interpolated between the segment's m-endpoints — the vectorized heart
+    shared by the nearest (``SnapPoints``) and top-k (``KnnRoutes``) stages.
+    """
+    axp, ayp = idx.ax[si], idx.ay[si]
+    vx = idx.bx[si] - axp
+    vy = idx.by[si] - ayp
+    seg2 = vx * vx + vy * vy
+    t = np.divide(
+        (x[qi] - axp) * vx + (y[qi] - ayp) * vy,
+        seg2,
+        out=np.zeros_like(seg2),
+        where=seg2 > 0,
+    )
+    t = np.clip(t, 0.0, 1.0)
+    dx = x[qi] - (axp + t * vx)
+    dy = y[qi] - (ayp + t * vy)
+    d = np.sqrt(dx * dx + dy * dy)
+    m = idx.m0[si] + t * (idx.m1[si] - idx.m0[si])
+    return d, m
+
+
 class SnapPoints:
     """Actor-pool ``map_batches`` stage: snap (x, y) points to the nearest
     route within ``buffer``, yielding ``route_id, loc (M), snap_dist``.
@@ -144,21 +169,7 @@ class SnapPoints:
         best_m = np.full(n, np.nan)
         best_r = np.full(n, -1, dtype=np.int64)
         if len(qi):
-            axp, ayp = idx.ax[si], idx.ay[si]
-            vx = idx.bx[si] - axp
-            vy = idx.by[si] - ayp
-            seg2 = vx * vx + vy * vy
-            t = np.divide(
-                (x[qi] - axp) * vx + (y[qi] - ayp) * vy,
-                seg2,
-                out=np.zeros_like(seg2),
-                where=seg2 > 0,
-            )
-            t = np.clip(t, 0.0, 1.0)
-            dx = x[qi] - (axp + t * vx)
-            dy = y[qi] - (ayp + t * vy)
-            d = np.sqrt(dx * dx + dy * dy)
-            m = idx.m0[si] + t * (idx.m1[si] - idx.m0[si])
+            d, m = _project_candidates(idx, x, y, qi, si)
             # Deterministic argmin per point: (distance, route, segment).
             order = np.lexsort([si, idx.ridx[si], d, qi])
             qi_s = qi[order]
@@ -217,6 +228,111 @@ def snap_points(
 
     def fn(batch: pa.Table) -> pa.Table:
         return SnapPoints(**kwargs)(batch)
+
+    return points.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+class KnnRoutes:
+    """``map_batches`` stage: the k NEAREST ROUTES per (x, y) point within
+    ``buffer`` — the north star's kNN event lookup. Per point: best segment
+    per route first (so a route appears at most once), then routes ranked
+    by (distance, route index). Emits ``route_id, loc, snap_dist, rank``
+    (rank 0 = nearest), one row per (point, matched route).
+    """
+
+    def __init__(
+        self,
+        index_ref,
+        k: int = 3,
+        buffer: float = 5.0,
+        x_col: str = "x",
+        y_col: str = "y",
+    ):
+        self.idx: RouteIndex = ray.get(index_ref)
+        self.k = k
+        self.buffer = buffer
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.idx
+        if idx.pad < self.buffer:
+            raise ValueError("route index pad must cover the snap buffer")
+        x = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cells = cell_of_points(x, y, idx.res)
+        qi, si = idx.candidates(cells)
+        empty = pa.table(
+            {
+                **{c: batch[c].take(pa.array([], pa.int64()))
+                   for c in batch.column_names},
+                "route_id": pa.array([], pa.string()),
+                "loc": pa.array([], pa.float64()),
+                "snap_dist": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if not len(qi):
+            return empty
+        d, m = _project_candidates(idx, x, y, qi, si)
+        r = idx.ridx[si]
+        # Best segment per (point, route): deterministic by (d, segment).
+        order = np.lexsort([si, d, r, qi])
+        qs, rs = qi[order], r[order]
+        firsts = np.concatenate(
+            [[True], (qs[1:] != qs[:-1]) | (rs[1:] != rs[:-1])]
+        )
+        best = order[firsts]
+        # Rank routes within each point by (distance, route index).
+        d2, q2, r2 = d[best], qi[best], r[best]
+        order2 = np.lexsort([r2, d2, q2])
+        q2s = q2[order2]
+        newq = np.concatenate([[True], q2s[1:] != q2s[:-1]])
+        starts = np.maximum.accumulate(
+            np.where(newq, np.arange(len(q2s)), 0)
+        )
+        rank = np.arange(len(q2s)) - starts
+        keep = (rank < self.k) & (d2[order2] <= self.buffer)
+        sel = best[order2[keep]]
+        if not len(sel):
+            return empty
+        out = batch.take(pa.array(qi[sel]))
+        out = out.append_column(
+            "route_id", pa.array(idx.route_ids[r[sel]], pa.string())
+        )
+        out = out.append_column("loc", pa.array(m[sel]))
+        out = out.append_column("snap_dist", pa.array(d[sel]))
+        out = out.append_column("rank", pa.array(rank[keep]))
+        return out
+
+
+def knn_routes(
+    points: ray.data.Dataset,
+    index_ref,
+    k: int = 3,
+    buffer: float = 5.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    concurrency: int | None = None,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Top-k snap stage — same broadcast-index, shuffle-free shape as
+    :func:`snap_points`; elastic tasks by default, actor pool on request."""
+    kwargs = dict(
+        index_ref=index_ref, k=k, buffer=buffer, x_col=x_col, y_col=y_col
+    )
+    if concurrency is not None:
+        return points.map_batches(
+            KnnRoutes,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return KnnRoutes(**kwargs)(batch)
 
     return points.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
@@ -379,6 +495,51 @@ def tile_histogram(
         .groupby(["ix", "iy"])
         .aggregate(Sum("__n", alias_name="n"))
     )
+
+
+def tile_pyramid(
+    ds: ray.data.Dataset,
+    res: int,
+    levels: int = 2,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Multi-resolution tile rollup: per-cell counts at ``res`` and at
+    ``levels`` coarser resolutions, WITHOUT rescanning the points.
+
+    Points are scanned exactly once for the base histogram (whose per-batch
+    combiner already collapses the wide input); every coarser level
+    aggregates the previous level's (cells ≪ points) rows — parent cell =
+    arithmetic-shift of the child grid indices, i.e. floor(ix / 2^k) from
+    the base, matching the Morton-prefix parent relation of H3/S2-style
+    hierarchies. Output: ``level`` (0 = finest), ``ix, iy, n``.
+    """
+    from ray.data.aggregate import Sum
+
+    def tag(level: int):
+        def fn(t: pa.Table) -> pa.Table:
+            lv = pa.array(np.full(len(t), level, dtype=np.int64))
+            return t.append_column("level", lv)
+
+        return fn
+
+    def parent(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False) >> np.int64(1)
+        iy = t["iy"].to_numpy(zero_copy_only=False) >> np.int64(1)
+        return pa.table(
+            {"ix": pa.array(ix), "iy": pa.array(iy), "n": t["n"]}
+        )
+
+    cur = tile_histogram(ds, res, x_col, y_col)
+    out = cur.map_batches(tag(0), batch_format="pyarrow")
+    for level in range(1, levels + 1):
+        cur = (
+            cur.map_batches(parent, batch_format="pyarrow")
+            .groupby(["ix", "iy"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        out = out.union(cur.map_batches(tag(level), batch_format="pyarrow"))
+    return out
 
 
 def segment_cell_cover(

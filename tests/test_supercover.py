@@ -180,6 +180,26 @@ def test_route_cell_cover_mileage_conserves(ray_session):
         assert per_route[rid] == pytest.approx(chord, rel=1e-9)
 
 
+def test_tile_pyramid_levels_conserve_count(ray_session):
+    import ray.data
+
+    from linref_ray.spatial import tile_pyramid
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    t = pa.table({"x": rng.uniform(-50, 50, 5000), "y": rng.uniform(-50, 50, 5000)})
+    out = tile_pyramid(ray.data.from_arrow(t), res=8, levels=3).to_pandas()
+    sums = out.groupby("level").n.sum()
+    assert set(sums.index) == {0, 1, 2, 3}
+    assert (sums == 5000).all()
+    # strictly fewer (or equal) cells per coarser level
+    cells = out.groupby("level").size()
+    assert cells[0] >= cells[1] >= cells[2] >= cells[3]
+    # parent relation: every level-1 cell is the shift of some level-0 cell
+    l0 = {(a >> 1, b >> 1) for a, b in zip(*out[out.level == 0][["ix", "iy"]].values.T)}
+    l1 = set(zip(*out[out.level == 1][["ix", "iy"]].values.T))
+    assert l1 == l0
+
+
 def test_cell_mileage_histogram_conserves_total(ray_session):
     import ray.data
 
