@@ -947,6 +947,44 @@ def _q_embedding_neardup_exact(sf_dir: str):
     return _int_micro_cols(out, {"cosine": 6})
 
 
+def _q_semantic_neardup(sf_dir: str):
+    """SemDeDup-style near-dup pairs (k-means cluster prefilter → exact
+    in-cluster cosine). Same threshold (0.4) as `embedding_neardup_exact`,
+    so the quantizer's recall is measurable against that oracled ground
+    truth (precision is 1.0 by construction — every emitted pair is
+    exact-cosine verified). Rows-only: cluster membership depends on the
+    sampled quantizer, which SQL can't replay."""
+    from linref_ray.similarity import semantic_near_duplicates
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semantic_near_duplicates(
+        emb, threshold=0.4, n_clusters=8, num_partitions=NPARTS
+    )
+    return _round_cols(out, {"cosine": 6})
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """End-to-end semantic dedup survivors, SQL-oracled: n_clusters=1
+    collapses the k-means prefilter to a single cluster so the pair stage
+    is exact all-pairs cosine (like `embedding_neardup_exact`), then
+    connected components → keep the min-vec_id canonical per component.
+    Oracle replays the closure with a recursive CTE. The organic-recall
+    variant of the prefilter is `semantic_neardup` above."""
+    from linref_ray.similarity import semantic_dedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    out = semantic_dedup(
+        emb, threshold=0.4, n_clusters=1, num_partitions=NPARTS,
+        max_cluster=1_000_000,  # stay exact (no chain degradation)
+    )
+    return out.select_columns(["vec_id", "label"])
+
+
 def _planted_dup_corpus() -> rd.Dataset:
     """Deterministic near-dup corpus: 30 families × 6 near-identical copies
     (one short suffix token differs on a 40-token base) + 120 unique
@@ -1615,6 +1653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
+        "semantic_neardup": _q_semantic_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "separate": _q_separate,
         "distribute": _q_distribute,
         "distribute_nodecay": _q_distribute_nodecay,
@@ -2057,8 +2097,9 @@ from l join r on l.route_id = r.route_id
  and least(l."end", r."end") > greatest(l.beg, r.beg)
 """,
         # langid / minhash_dedup / simhash / separate / distribute / quality /
-        # fingerprints / embedding_neardup / image_invariants: heuristic,
-        # hash, or order-dependent pipelines — rows-only checks.
+        # fingerprints / embedding_neardup / semantic_neardup /
+        # image_invariants: heuristic, hash, or order-dependent pipelines —
+        # rows-only checks.
     }
     oracles["quality"] = """
 with w as (
@@ -2286,6 +2327,29 @@ c as (
   from idx
 )
 select fmt, invariant_ok, count(*) as n from c group by 1, 2
+"""
+    oracles["semantic_dedup"] = """
+with recursive pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b
+  from embeddings a join embeddings b on a.vec_id < b.vec_id
+  where list_cosine_similarity(cast(a.embedding as double[]),
+                               cast(b.embedding as double[])) >= 0.4
+),
+edges as (
+  select id_a as u, id_b as v from pairs
+  union
+  select id_b, id_a from pairs
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+roots as (select u, least(u, min(v)) as root from reach group by u)
+select e.vec_id, e.label
+from embeddings e
+left join roots r on e.vec_id = r.u
+where r.u is null or r.root = e.vec_id
 """
     oracles["embedding_neardup_exact"] = """
 select a.vec_id as id_a, b.vec_id as id_b,

@@ -116,6 +116,85 @@ def knn_brute_force(
     )
 
 
+def _anchor_cosine_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Union a typed empty (id_a, id_b, cosine) block so a run with zero
+    verified pairs still yields a schema'd dataset downstream (Ray 2.49
+    loses the schema of an all-empty map_groups output)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    ).union(ds)
+
+
+def _make_cosine_verifier(
+    id_col: str, vec_col: str, threshold: float, max_bucket: int, label: str
+):
+    """Within-group exact-cosine pair verifier shared by the LSH and the
+    k-means (SemDeDup-style) cascades: tiled all-pairs so per-step scratch
+    is O(tile × group), hot groups chain-degrade (logged) at
+    ``max_bucket``. Emits (id_a, id_b, cosine) with id_a < id_b."""
+
+    def verify(t: pa.Table) -> pa.Table:
+        from linref_ray.dedup import _chain_or_all_pairs
+
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        m = _to_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        out_a, out_b, out_c = [], [], []
+        if n > max_bucket:
+            # Hot group (e.g. boilerplate embeddings): chain pairs, logged.
+            a, b = _chain_or_all_pairs(ids, max_bucket, label)
+            cos = (mn[a] * mn[b]).sum(axis=1)
+            hit = cos >= threshold
+            out_a.append(ids[a[hit]])
+            out_b.append(ids[b[hit]])
+            out_c.append(cos[hit])
+        else:
+            # Tiled all-pairs: per-step scratch is O(tile x group), never
+            # the full O(group^2) cosine matrix.
+            tile = 1024
+            for i0 in range(0, n, tile):
+                i1 = min(i0 + tile, n)
+                cos = mn[i0:i1] @ mn[i0:].T  # columns j >= i0 only
+                ai, bj = np.nonzero(cos >= threshold)
+                keep = (ai + i0) < (bj + i0)
+                ai, bj = ai[keep], bj[keep]
+                if not len(ai):
+                    continue
+                out_a.append(ids[ai + i0])
+                out_b.append(ids[bj + i0])
+                out_c.append(cos[ai, bj])
+        if not out_a:
+            return empty
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {
+                "id_a": pa.array(lo),
+                "id_b": pa.array(hi),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    return verify
+
+
 def embedding_near_duplicates(
     embeddings: ray.data.Dataset,
     threshold: float = 0.95,
@@ -174,58 +253,9 @@ def embedding_near_duplicates(
             }
         )
 
-    def verify(t: pa.Table) -> pa.Table:
-        from linref_ray.dedup import _chain_or_all_pairs
-
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(ids)
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
-        if n < 2:
-            return empty
-        m = _to_matrix(t[vec_col])
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        out_a, out_b, out_c = [], [], []
-        if n > max_bucket:
-            # Hot bucket (e.g. boilerplate embeddings): chain pairs, logged.
-            a, b = _chain_or_all_pairs(ids, max_bucket, "embedding-LSH")
-            cos = (mn[a] * mn[b]).sum(axis=1)
-            hit = cos >= threshold
-            out_a.append(ids[a[hit]])
-            out_b.append(ids[b[hit]])
-            out_c.append(cos[hit])
-        else:
-            # Tiled all-pairs: per-step scratch is O(tile x bucket), never
-            # the full O(bucket^2) cosine matrix.
-            tile = 1024
-            for i0 in range(0, n, tile):
-                i1 = min(i0 + tile, n)
-                cos = mn[i0:i1] @ mn[i0:].T  # columns j >= i0 only
-                ai, bj = np.nonzero(cos >= threshold)
-                keep = (ai + i0) < (bj + i0)
-                ai, bj = ai[keep], bj[keep]
-                if not len(ai):
-                    continue
-                out_a.append(ids[ai + i0])
-                out_b.append(ids[bj + i0])
-                out_c.append(cos[ai, bj])
-        if not out_a:
-            return empty
-        ia = np.concatenate(out_a)
-        ib = np.concatenate(out_b)
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pa.table(
-            {
-                "id_a": pa.array(lo),
-                "id_b": pa.array(hi),
-                "cosine": pa.array(np.concatenate(out_c)),
-            }
-        )
+    verify = _make_cosine_verifier(
+        id_col, vec_col, threshold, max_bucket, "embedding-LSH"
+    )
 
     out = (
         embeddings.map_batches(bucket, batch_format="pyarrow")
@@ -241,12 +271,17 @@ def embedding_near_duplicates(
 
         # Merge pairs found by more than one plane set (cosine is the same
         # deterministic dot product in every bucket).
-        out = (
-            out.repartition(max(num_partitions // 2, 2))
+        # Anchor both sides of the merge: the pre-anchor types the groupby
+        # key columns when every bucket verified empty, and the post-anchor
+        # restores the schema an aggregate over an all-empty input drops
+        # (it emits no blocks at all).
+        return _anchor_cosine_pairs(
+            _anchor_cosine_pairs(out)
+            .repartition(max(num_partitions // 2, 2))
             .groupby(["id_a", "id_b"])
             .aggregate(Min("cosine", alias_name="cosine"))
         )
-    return out
+    return _anchor_cosine_pairs(out)
 
 
 def kmeans_centroids(
@@ -275,6 +310,87 @@ def kmeans_centroids(
             if len(sel):
                 cent[j] = sel.mean(axis=0)
     return cent
+
+
+def semantic_near_duplicates(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 16,
+    seed: int = 3,
+    sample: int = 2048,
+    iters: int = 8,
+    max_cluster: int = 8192,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public):
+    k-means clusters the embedding space — driver-sample quantizer
+    (deterministic, seeded), centroids broadcast once via ``ray.put`` —
+    then exact cosine pairs are verified only WITHIN a cluster. One
+    shuffle (groupby cluster); precision 1.0 in-cluster, recall bounded by
+    the quantizer like the paper's. ``threshold`` plays the paper's
+    1−epsilon role."""
+    cent = kmeans_centroids(
+        embeddings, k=n_clusters, sample=sample, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _to_matrix(t[vec_col])
+        # argmin ||m - c||² via the expanded form; ||m||² is constant per
+        # row and drops out of the argmin.
+        d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                "__bucket": pa.array(d.argmin(axis=1).astype(np.int64)),
+            }
+        )
+
+    verify = _make_cosine_verifier(
+        id_col, vec_col, threshold, max_cluster, "semantic-kmeans"
+    )
+    return _anchor_cosine_pairs(
+        embeddings.map_batches(assign, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 16,
+    seed: int = 3,
+    max_cluster: int = 8192,
+) -> ray.data.Dataset:
+    """End-to-end semantic dedup: within-cluster near-dup pairs →
+    connected components → keep the minimum-id canonical of each
+    component. Component resolution over the (tiny) verified edge list on
+    the driver; survivors filter in one streaming pass with the loser set
+    broadcast — the embedding payload never shuffles
+    (:func:`linref_ray.dedup.dedup_corpus`)."""
+    from linref_ray.dedup import dedup_corpus
+
+    pairs = semantic_near_duplicates(
+        embeddings.select_columns([id_col, vec_col]),
+        threshold=threshold,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_partitions=num_partitions,
+        seed=seed,
+        max_cluster=max_cluster,
+    )
+    return dedup_corpus(embeddings, pairs, id_col=id_col)
 
 
 def knn_ivf(
