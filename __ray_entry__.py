@@ -902,6 +902,27 @@ def _q_asof_join(sf_dir: str):
     return _round_cols(out, {"matched_value": 6})
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-line fractions,
+    bullet/ellipsis shares, top word-2-gram share), SQL-oracled."""
+    from linref_ray.text import repetition_signals
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = repetition_signals(docs)
+    return _round_cols(
+        out,
+        {
+            "frac_dup_lines": 6,
+            "frac_dup_chars": 6,
+            "frac_bullet": 6,
+            "frac_ellipsis": 6,
+            "frac_top_2gram": 6,
+        },
+    )
+
+
 def _q_fingerprints(sf_dir: str):
     from linref_ray.text import fingerprints
 
@@ -1651,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "fingerprints": _q_fingerprints,
+        "repetition": _q_repetition,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "semantic_neardup": _q_semantic_neardup,
@@ -2327,6 +2349,55 @@ c as (
   from idx
 )
 select fmt, invariant_ok, count(*) as n from c group by 1, 2
+"""
+    oracles["repetition"] = """
+with l as (
+  select doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') as lines
+  from documents
+),
+ln as (select doc_id, unnest(lines) as line from l),
+lc as (select doc_id, line, count(*) as c, sum(length(line)) as chars
+       from ln group by 1, 2),
+la as (
+  select doc_id,
+         sum(c) as n_lines,
+         sum(chars) as all_chars,
+         sum(case when c > 1 then c else 0 end) as dup_lines,
+         sum(case when c > 1 then chars else 0 end) as dup_chars,
+         sum(case when left(line, 1) in ('-', '*', chr(8226))
+             then c else 0 end) as bullet,
+         sum(case when length(line) >= 3 and right(line, 3) = '...'
+             then c else 0 end) as ell
+  from lc group by 1
+),
+w as (
+  select doc_id, regexp_extract_all(text, '[A-Za-z]+') as ws from documents
+),
+g as (
+  select doc_id,
+         unnest([ws[i] || chr(31) || ws[i+1]
+                 for i in range(1, greatest(len(ws) - 1, 0) + 1)]) as g
+  from w
+),
+gc as (select doc_id, g, count(*) as c from g group by 1, 2),
+gt as (select doc_id, max(c) as top_c, sum(c) as n2 from gc group by 1)
+select d.doc_id,
+       coalesce(la.n_lines, 0) as n_lines,
+       round(round(coalesce(la.dup_lines, 0) * 1.0
+             / greatest(coalesce(la.n_lines, 0), 1), 9), 6) as frac_dup_lines,
+       round(round(coalesce(la.dup_chars, 0) * 1.0
+             / greatest(coalesce(la.all_chars, 0), 1), 9), 6) as frac_dup_chars,
+       round(round(coalesce(la.bullet, 0) * 1.0
+             / greatest(coalesce(la.n_lines, 0), 1), 9), 6) as frac_bullet,
+       round(round(coalesce(la.ell, 0) * 1.0
+             / greatest(coalesce(la.n_lines, 0), 1), 9), 6) as frac_ellipsis,
+       coalesce(gt.top_c, 0) as top_2gram_count,
+       round(round(coalesce(gt.top_c, 0) * 1.0
+             / greatest(coalesce(gt.n2, 0), 1), 9), 6) as frac_top_2gram
+from documents d
+left join la on d.doc_id = la.doc_id
+left join gt on d.doc_id = gt.doc_id
 """
     oracles["semantic_dedup"] = """
 with recursive pairs as (

@@ -196,6 +196,167 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
 
+def _repetition_features(texts: list[str]) -> dict[str, np.ndarray] | None:
+    """Vectorized Gopher-style repetition signals (Rae et al. 2021, public)
+    over a whole batch: one utf-32 decode, newline-run line segmentation,
+    FNV line hashes for duplicate detection, and word-2-gram top counts —
+    no per-line or per-word Python. Returns None if a text contains NUL
+    (the batch separator) — caller falls back to the scalar path.
+
+    Definitions (mirrored exactly by the SQL oracle):
+    lines = newline-split, empties dropped; a line is "duplicate" if its
+    exact text occurs >1× within the doc; char fractions are over the sum
+    of line lengths; words are ``[A-Za-z]+`` runs (case-sensitive); the
+    top-2-gram fraction is max 2-gram count / total 2-grams.
+    """
+    from linref_ray.kernels.hashing import _fnv1a_segments
+
+    n = len(texts)
+    try:
+        cp = np.frombuffer(
+            "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
+        )
+    except UnicodeEncodeError:
+        return None
+    sep_pos = np.flatnonzero(cp == 0)
+    if len(sep_pos) != n - 1:
+        return None
+    # --- line spans (runs of non-break chars; empty lines vanish) ---
+    brk = (cp == 10) | (cp == 0)
+    keep = ~brk
+    prev = np.concatenate(([False], keep[:-1]))
+    nxt = np.concatenate((keep[1:], [False]))
+    ls = np.flatnonzero(keep & ~prev)
+    le = np.flatnonzero(keep & ~nxt)
+    line_len = le - ls + 1
+    line_doc = np.searchsorted(sep_pos, ls)
+    n_lines = np.bincount(line_doc, minlength=n).astype(np.int64)
+    line_chars = np.bincount(line_doc, weights=line_len, minlength=n)
+    # duplicate lines: hash the codepoint bytes of each span
+    bv = cp.view(np.uint8)
+    h = _fnv1a_segments(bv, ls * 4, line_len * 4)
+    order = np.lexsort((h, line_doc))
+    d_s, h_s = line_doc[order], h[order]
+    starts = np.concatenate(
+        ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]))
+    ) if len(d_s) else np.zeros(0, bool)
+    run_id = np.cumsum(starts) - 1
+    run_len = np.bincount(run_id, minlength=run_id[-1] + 1 if len(run_id) else 0)
+    dup_sorted = run_len[run_id] > 1
+    dup = np.zeros(len(ls), bool)
+    dup[order] = dup_sorted
+    dup_lines = np.bincount(line_doc[dup], minlength=n).astype(np.int64)
+    dup_chars = np.bincount(
+        line_doc[dup], weights=line_len[dup], minlength=n
+    )
+    # bullet / ellipsis line shares
+    first = cp[ls] if len(ls) else np.empty(0, np.uint32)
+    bullet = (first == 45) | (first == 42) | (first == 0x2022)
+    ell = (
+        (line_len >= 3)
+        & (cp[le] == 46)
+        & (cp[np.maximum(le - 1, 0)] == 46)
+        & (cp[np.maximum(le - 2, 0)] == 46)
+    ) if len(ls) else np.zeros(0, bool)
+    n_bullet = np.bincount(line_doc[bullet], minlength=n).astype(np.int64)
+    n_ell = np.bincount(line_doc[ell], minlength=n).astype(np.int64)
+    # --- word 2-grams (alpha runs, exact case) ---
+    is_alpha = ((cp | np.uint32(32)) >= 97) & ((cp | np.uint32(32)) <= 122)
+    wprev = np.concatenate(([False], is_alpha[:-1]))
+    wnxt = np.concatenate((is_alpha[1:], [False]))
+    ws = np.flatnonzero(is_alpha & ~wprev)
+    we = np.flatnonzero(is_alpha & ~wnxt)
+    w_len = we - ws + 1
+    w_doc = np.searchsorted(sep_pos, ws)
+    alpha_rank = np.cumsum(is_alpha)
+    starts_flat = (alpha_rank[ws] - 1) if len(ws) else np.empty(0, np.int64)
+    flat_cs = cp[is_alpha].astype(np.uint8)
+    h_w = _fnv1a_segments(flat_cs, starts_flat, w_len)
+    adj = w_doc[1:] == w_doc[:-1] if len(ws) else np.zeros(0, bool)
+    with np.errstate(over="ignore"):
+        pair_h = h_w[:-1][adj] * np.uint64(0x9E3779B97F4A7C15) + h_w[1:][adj]
+    pair_doc = w_doc[:-1][adj]
+    n_2grams = np.bincount(pair_doc, minlength=n).astype(np.int64)
+    top_2gram = np.zeros(n, np.int64)
+    if len(pair_h):
+        po = np.lexsort((pair_h, pair_doc))
+        pd_s, ph_s = pair_doc[po], pair_h[po]
+        pstarts = np.concatenate(
+            ([True], (pd_s[1:] != pd_s[:-1]) | (ph_s[1:] != ph_s[:-1]))
+        )
+        prun = np.cumsum(pstarts) - 1
+        prun_len = np.bincount(prun)
+        np.maximum.at(top_2gram, pd_s[pstarts], prun_len)
+    denom_l = np.maximum(n_lines, 1).astype(np.float64)
+    denom_c = np.maximum(line_chars, 1)
+    return {
+        "n_lines": n_lines,
+        "frac_dup_lines": dup_lines / denom_l,
+        "frac_dup_chars": dup_chars / denom_c,
+        "frac_bullet": n_bullet / denom_l,
+        "frac_ellipsis": n_ell / denom_l,
+        "top_2gram_count": top_2gram,
+        "frac_top_2gram": top_2gram / np.maximum(n_2grams, 1),
+    }
+
+
+def repetition_signals(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals per doc: duplicate-line
+    fraction (count and character mass), bullet-/ellipsis-line shares, and
+    the most-frequent word-2-gram's share of all 2-grams. Fully vectorized
+    (:func:`_repetition_features`); a rare NUL-bearing batch falls back to
+    a scalar path with identical semantics."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+
+    def scalar(texts: list[str]) -> dict[str, np.ndarray]:
+        n = len(texts)
+        out = {
+            k: np.zeros(n, np.int64 if k in ("n_lines", "top_2gram_count") else np.float64)
+            for k in (
+                "n_lines", "frac_dup_lines", "frac_dup_chars", "frac_bullet",
+                "frac_ellipsis", "top_2gram_count", "frac_top_2gram",
+            )
+        }
+        for i, s in enumerate(texts):
+            lines = [l for l in s.split("\n") if l != ""]
+            cnt = Counter(lines)
+            nl = max(len(lines), 1)
+            nc = max(sum(map(len, lines)), 1)
+            out["n_lines"][i] = len(lines)
+            out["frac_dup_lines"][i] = (
+                sum(c for c in cnt.values() if c > 1) / nl
+            )
+            out["frac_dup_chars"][i] = (
+                sum(c * len(l) for l, c in cnt.items() if c > 1) / nc
+            )
+            out["frac_bullet"][i] = (
+                sum(l[0] in "-*•" for l in lines) / nl
+            )
+            out["frac_ellipsis"][i] = (
+                sum(l.endswith("...") for l in lines) / nl
+            )
+            words = word_re.findall(s)
+            grams = Counter(zip(words, words[1:]))
+            top = max(grams.values(), default=0)
+            out["top_2gram_count"][i] = top
+            out["frac_top_2gram"][i] = top / max(len(words) - 1, 1)
+        return out
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        feats = _repetition_features(texts)
+        if feats is None:
+            feats = scalar(texts)
+        cols = {"doc_id": t["doc_id"]}
+        cols.update({k: pa.array(v) for k, v in feats.items()})
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
 _LANG_MARKERS = {
     # Distinctive function words / characters per language (public knowledge).
     "en": {"the", "and", "of", "is", "that", "with", "for"},
