@@ -902,6 +902,17 @@ def _q_asof_join(sf_dir: str):
     return _round_cols(out, {"matched_value": 6})
 
 
+def _q_normalize(sf_dir: str):
+    """Unicode NFC + whitespace-collapse + trim normalization, pure Arrow
+    kernels, bit-identical to the SQL regexp formula."""
+    from linref_ray.text import normalize_text
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return normalize_text(docs)
+
+
 def _q_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line fractions,
     bullet/ellipsis shares, top word-2-gram share), SQL-oracled."""
@@ -1673,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "fingerprints": _q_fingerprints,
         "repetition": _q_repetition,
+        "normalize": _q_normalize,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "semantic_neardup": _q_semantic_neardup,
@@ -2349,6 +2361,12 @@ c as (
   from idx
 )
 select fmt, invariant_ok, count(*) as n from c group by 1, 2
+"""
+    oracles["normalize"] = r"""
+select doc_id,
+       trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+         as norm_text
+from documents
 """
     oracles["repetition"] = """
 with l as (

@@ -196,6 +196,51 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
 
+def normalize_text(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = False,
+) -> ray.data.Dataset:
+    """Canonical text cleanup for dedup/tokenizer front-ends: unicode NFC
+    composition, ASCII-whitespace-run collapse to single spaces, and
+    edge-space trim (optionally lowercase). Bit-identical to the SQL
+    ``trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))``
+    (both sides run RE2 with ASCII ``\\s``).
+
+    Collapse/trim/lower are Arrow kernels. NFC composition is NOT
+    delegated to ``pc.utf8_normalize`` — pyarrow 16.1's NFC leaves
+    combining marks decomposed (a+U+0301 stays two codepoints), diverging
+    from DuckDB/CPython — so batches containing non-ASCII rows route
+    those rows through ``unicodedata.normalize`` (one C call per string;
+    ASCII rows are NFC-invariant and skip it)."""
+    import unicodedata
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = t[text_col]
+        # non-ASCII detection: utf8 byte length != codepoint length
+        if pc.any(
+            pc.not_equal(pc.binary_length(x), pc.utf8_length(x))
+        ).as_py():
+            x = pa.array(
+                [
+                    s if s is None or s.isascii()
+                    else unicodedata.normalize("NFC", s)
+                    for s in x.to_pylist()
+                ],
+                pa.string(),
+            )
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim(x, " ")
+        if lowercase:
+            x = pc.utf8_lower(x)
+        cols = {c: t[c] for c in t.column_names if c != text_col}
+        cols[out_col] = x
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def _repetition_features(texts: list[str]) -> dict[str, np.ndarray] | None:
     """Vectorized Gopher-style repetition signals (Rae et al. 2021, public)
     over a whole batch: one utf-32 decode, newline-run line segmentation,

@@ -75,6 +75,36 @@ def test_nul_fallback_matches_vectorized_semantics(ray_session):
         assert list(with_nul[c][:2]) == list(without[c])
 
 
+def test_normalize_text_unicode_and_passthrough(ray_session):
+    from linref_ray.text import normalize_text
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["  á x\t\ny  ", "ÀB", "plain"]
+            ),
+            "extra": pa.array([7, 8, 9], pa.int64()),
+        }
+    )
+    out = (
+        normalize_text(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # NFC composes a+combining-acute to U+00E1; whitespace runs collapse
+    assert out.norm_text.tolist() == ["\u00e1 x y", "\u00c0B", "plain"]
+    assert out.extra.tolist() == [7, 8, 9]  # non-text columns pass through
+    low = (
+        normalize_text(rd.from_arrow(tbl), lowercase=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert low.norm_text.tolist() == ["\u00e1 x y", "\u00e0b", "plain"]
+
+
 def test_organic_vectorized_equals_scalar(ray_session):
     import pyarrow.parquet as pq
 
