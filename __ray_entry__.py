@@ -1604,6 +1604,73 @@ def _q_overlay_chained(sf_dir: str):
     return _round_cols(out, {"ovl": 6})
 
 
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 41 == 0 play the eval
+    suite; every other doc is flagged if it shares any lowercased word
+    3-gram with that suite."""
+    from linref_ray.text import decontaminate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ev = docs.filter(lambda r: r["doc_id"] % 41 == 0)
+    scan = docs.filter(lambda r: r["doc_id"] % 41 != 0)
+    return decontaminate(scan, ev, n=3)
+
+
+def _q_lm_rarity(sf_dir: str):
+    from linref_ray.text import lm_rarity
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_rarity(docs, rare_max=500)
+
+
+def _pii_augmented_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministically inject emails / long numbers (the corpus has none
+    organically) — the SQL oracle rebuilds the identical augmented text."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        aug = [
+            s
+            + (f" contact user{i}@example.com" if i % 3 == 0 else "")
+            + (f" ref {10000000 + i}" if i % 4 == 0 else "")
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(aug, pa.string())}
+        )
+
+    return docs.map_batches(inject, batch_format="pyarrow")
+
+
+def _q_redact(sf_dir: str):
+    from linref_ray.text import redact_pii
+
+    return redact_pii(_pii_augmented_docs(sf_dir))
+
+
+def _q_source_cap(sf_dir: str):
+    """Per-source document cap (the per-domain cap of web pipelines): keep
+    the 5 longest docs of every source, doc_id-ascending tie-break."""
+    from linref_ray.stats import top_k_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return top_k_per_group(
+        docs, group_col="source", order_col="n_chars", k=5,
+        descending=True, tie_col="doc_id",
+    )
+
+
 def entry() -> Any:
     """Flagship: images → invariants → geotag → snap → event join → tiles.
 
@@ -1712,6 +1779,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_multikey": _q_overlay_multikey,
         "overlay_chained": _q_overlay_chained,
         "equal_groups": _q_equal_groups,
+        "decontam": _q_decontam,
+        "lm_rarity": _q_lm_rarity,
+        "redact": _q_redact,
+        "source_cap": _q_source_cap,
     }
 
 
@@ -2621,5 +2692,70 @@ with s as (
 select user_id, cast(session as bigint) as session, count(*) as n,
        min(sec) as ts_min, max(sec) as ts_max
 from g group by 1, 2
+"""
+    oracles["decontam"] = """
+with w as (select doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') as ws
+           from documents),
+ew as (select * from w where doc_id % 41 = 0),
+eg as (select distinct array_to_string(ws[i:i+2], ' ') as g
+       from (select doc_id, ws,
+                    unnest(generate_series(1, len(ws)-2)) as i from ew)),
+sw as (select * from w where doc_id % 41 <> 0),
+sg as (select doc_id, array_to_string(ws[i:i+2], ' ') as g
+       from (select doc_id, ws,
+                    unnest(generate_series(1, len(ws)-2)) as i from sw)),
+agg as (select doc_id, count(*) as n_grams,
+        sum(case when g in (select g from eg) then 1 else 0 end)::bigint
+          as n_hits
+        from sg group by doc_id)
+select w.doc_id, coalesce(a.n_grams, 0) as n_grams,
+       coalesce(a.n_hits, 0) as n_hits,
+       coalesce(a.n_hits, 0) > 0 as contaminated
+from sw w left join agg a using (doc_id)
+"""
+    oracles["lm_rarity"] = """
+with d as (select doc_id, text from documents where length(text) >= 2),
+g as (select doc_id,
+             unicode(substring(text, i, 1))::bigint * 2097152
+               + unicode(substring(text, i+1, 1))::bigint as gram
+      from (select doc_id, text,
+                   unnest(generate_series(1, length(text)-1)) as i from d)),
+counts as (select gram, count(*)::bigint as c from g group by gram),
+scored as (select doc_id, count(*)::bigint as n_bigrams,
+                  sum(case when c <= 500 then 1 else 0 end)::bigint as n_rare,
+                  min(c) as min_count
+           from g join counts using (gram) group by doc_id)
+select doc_id, n_bigrams, n_rare, min_count,
+       cast(n_rare as double) / cast(n_bigrams as double) as rarity
+from scored
+"""
+    from linref_ray.text import EMAIL_PATTERN, LONG_NUM_PATTERN
+
+    oracles["redact"] = f"""
+with aug as (select doc_id,
+  text || (case when doc_id % 3 = 0
+                then ' contact user' || doc_id || '@example.com'
+                else '' end)
+       || (case when doc_id % 4 = 0
+                then ' ref ' || (10000000 + doc_id) else '' end) as text
+  from documents),
+r1 as (select doc_id,
+              len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::bigint
+                as n_emails,
+              regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') as t1
+       from aug)
+select doc_id,
+       regexp_replace(t1, '{LONG_NUM_PATTERN}', '<NUM>', 'g') as clean_text,
+       n_emails,
+       len(regexp_extract_all(t1, '{LONG_NUM_PATTERN}'))::bigint as n_nums
+from r1
+"""
+    oracles["source_cap"] = """
+select doc_id, source, n_chars from (
+  select doc_id, source, n_chars,
+         row_number() over (partition by source
+           order by n_chars desc, doc_id asc) as rk
+  from documents) where rk <= 5
 """
     return oracles

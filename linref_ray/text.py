@@ -542,6 +542,296 @@ def fingerprints(
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
+def _space_token_hashes(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray]:
+    """``(doc_idx, token_hash)`` for split-on-single-space tokenization with
+    empty tokens dropped (≡ maximal runs of non-``' '`` codepoints — exactly
+    DuckDB's ``list_filter(string_split(s, ' '), x -> x <> '')``).
+
+    One utf-32 decode of the NUL-joined batch, FNV-1a over each token's
+    codepoint bytes. Docs containing NUL are hashed individually through the
+    same kernel (a single doc needs no separator), so every batch succeeds;
+    lone surrogates round-trip via ``surrogatepass``."""
+    from linref_ray.kernels.hashing import _fnv1a_segments
+
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+
+    cp = np.frombuffer(
+        "\x00".join(texts).encode("utf-32-le", "surrogatepass"),
+        dtype=np.uint32,
+    )
+    sep_pos = np.flatnonzero(cp == 0)
+    if len(sep_pos) == n - 1:  # no NUL inside any doc — one fused pass
+        is_tok = (cp != 32) & (cp != 0)
+        prev = np.concatenate(([False], is_tok[:-1]))
+        nxt = np.concatenate((is_tok[1:], [False]))
+        ws = np.flatnonzero(is_tok & ~prev)
+        lens = np.flatnonzero(is_tok & ~nxt) - ws + 1
+        h = _fnv1a_segments(cp.view(np.uint8), ws * 4, lens * 4)
+        return np.searchsorted(sep_pos, ws), h
+    docs_idx, hashes = [], []
+    for i, s in enumerate(texts):  # rare: some doc contains NUL
+        cpi = np.frombuffer(
+            s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        )
+        # NUL is a real token char here (SQL string_split keeps it too);
+        # only ' ' separates.
+        is_tok = cpi != 32
+        prev = np.concatenate(([False], is_tok[:-1]))
+        nxt = np.concatenate((is_tok[1:], [False]))
+        ws = np.flatnonzero(is_tok & ~prev)
+        lens = np.flatnonzero(is_tok & ~nxt) - ws + 1
+        h = _fnv1a_segments(cpi.view(np.uint8), ws * 4, lens * 4)
+        docs_idx.append(np.full(len(h), i))
+        hashes.append(h)
+    return (
+        np.concatenate(docs_idx) if docs_idx else np.empty(0, np.int64),
+        np.concatenate(hashes) if hashes else np.empty(0, np.uint64),
+    )
+
+
+_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _word_ngram_hashes(
+    texts: list[str], n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``(doc_idx, gram_hash)`` of word ``n``-grams (adjacent lowercased
+    space-tokens), combined by a golden-ratio polynomial over the token
+    hashes — collision odds ~pairs/2⁶⁴, the same accepted-negligible bound
+    as :func:`_quality_features` word identity."""
+    w_doc, h = _space_token_hashes(texts)
+    if len(h) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    m = len(h) - (n - 1)
+    gh = h[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            gh = gh * _GRAM_MIX + h[j : j + m]
+    valid = w_doc[:m] == w_doc[n - 1 :]
+    return w_doc[:m][valid], gh[valid]
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_eval_grams: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Benchmark decontamination — flag corpus docs sharing any lowercased
+    word ``n``-gram with an eval/benchmark set (the GPT-3-appendix /
+    PaLM-style n-gram-overlap method, public knowledge).
+
+    Scale shape: the eval side is tiny by definition (benchmark suites are
+    MBs; the corpus is TBs), so its DISTINCT gram-hash set is reduced with
+    per-batch ``np.unique`` partials, collected to the driver, and broadcast
+    once via ``ray.put`` — the corpus side then streams through one
+    stateless ``map_batches`` membership scan (sorted-array
+    ``searchsorted``), no shuffle anywhere. ``max_eval_grams`` guards the
+    small-side assumption with a hard error instead of a silent OOM.
+
+    Output: ``(id, n_grams, n_hits, contaminated)`` per corpus doc —
+    ``n_hits`` counts gram *positions* whose gram is in the eval set.
+    """
+    import ray as _ray
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(t[text_col]).to_pylist()
+        _, gh = _word_ngram_hashes(texts, n)
+        return pa.table({"g": pa.array(np.unique(gh))})
+
+    parts = _ray.get(
+        eval_docs.map_batches(
+            eval_partial, batch_format="pyarrow"
+        ).to_arrow_refs()
+    )
+    merged = pa.concat_tables(parts, promote_options="default")
+    banned = np.unique(merged["g"].to_numpy(zero_copy_only=False))
+    if len(banned) > max_eval_grams:
+        raise ValueError(
+            f"eval side produced {len(banned)} distinct {n}-grams "
+            f"(> max_eval_grams={max_eval_grams}); decontaminate broadcasts "
+            "the eval set — it must be the small side"
+        )
+    banned_ref = _ray.put(banned)
+
+    def scan(t: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(t[text_col]).to_pylist()
+        rows = len(texts)
+        gdoc, gh = _word_ngram_hashes(texts, n)
+        b = _ray.get(banned_ref)  # per-worker plasma fetch, cached
+        if len(gh) and len(b):
+            pos = np.minimum(np.searchsorted(b, gh), len(b) - 1)
+            hit = b[pos] == gh
+        else:
+            hit = np.zeros(len(gh), bool)
+        n_grams = np.bincount(gdoc, minlength=rows).astype(np.int64)
+        n_hits = np.bincount(gdoc[hit], minlength=rows).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_grams": pa.array(n_grams),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow", batch_size=2048)
+
+
+# codepoints are < 0x110000 (21 bits): pack a bigram as a*2^21 + b — the
+# exact integer the SQL oracle rebuilds with unicode(substring(..)).
+_BIGRAM_BASE = np.int64(1 << 21)
+
+
+def _char_bigram_grams(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """``(doc_idx, packed_bigram)`` of adjacent codepoint pairs per doc.
+    Docs containing NUL are processed individually (NUL is a real char for
+    them, not the batch separator)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    cp = np.frombuffer(
+        "\x00".join(texts).encode("utf-32-le", "surrogatepass"),
+        dtype=np.uint32,
+    ).astype(np.int64)
+    sep_pos = np.flatnonzero(cp == 0)
+    if len(sep_pos) == n - 1:
+        ok = (cp[:-1] != 0) & (cp[1:] != 0)
+        g = cp[:-1] * _BIGRAM_BASE + cp[1:]
+        pos = np.flatnonzero(ok)
+        return np.searchsorted(sep_pos, pos), g[pos]
+    docs_idx, grams = [], []
+    for i, s in enumerate(texts):
+        cpi = np.frombuffer(
+            s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        ).astype(np.int64)
+        if len(cpi) >= 2:
+            grams.append(cpi[:-1] * _BIGRAM_BASE + cpi[1:])
+            docs_idx.append(np.full(len(cpi) - 1, i))
+    return (
+        np.concatenate(docs_idx) if docs_idx else np.empty(0, np.int64),
+        np.concatenate(grams) if grams else np.empty(0, np.int64),
+    )
+
+
+def lm_rarity(
+    docs: ray.data.Dataset,
+    rare_max: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+    max_vocab: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Corpus-LM rarity scoring — the shape of a CCNet-style perplexity
+    quality filter (Wenzek et al. 2020, public method) with a char-bigram
+    model trained on the corpus itself, so it is deterministic and exactly
+    SQL-checkable (integer counts + ONE IEEE division, no float sums).
+
+    Two streaming scans: (1) per-batch ``np.unique`` bigram-count partials
+    → one small ``groupby(gram)`` (vocabulary ≤ distinct codepoint pairs,
+    guarded by ``max_vocab``) → broadcast via ``ray.put``; (2) score each
+    doc against the broadcast table. Output per doc with ≥1 bigram:
+    ``(id, n_bigrams, n_rare, min_count, rarity)`` where ``n_rare`` counts
+    bigram positions whose corpus count ≤ ``rare_max`` and
+    ``rarity = n_rare / n_bigrams``."""
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, g = _char_bigram_grams(t[text_col].to_pylist())
+        u, c = np.unique(g, return_counts=True)
+        return pa.table(
+            {"gram": pa.array(u), "c": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("gram")
+        .sum("c")
+    )
+    tbl = pa.concat_tables(
+        _ray.get(counts.to_arrow_refs()), promote_options="default"
+    )
+    grams = tbl["gram"].to_numpy(zero_copy_only=False)
+    cnts = tbl["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(grams) > max_vocab:
+        raise ValueError(
+            f"bigram vocabulary {len(grams)} > max_vocab={max_vocab}"
+        )
+    order = np.argsort(grams)
+    model_ref = _ray.put((grams[order], cnts[order]))
+
+    def score(t: pa.Table) -> pa.Table:
+        gdoc, g = _char_bigram_grams(t[text_col].to_pylist())
+        rows = len(t)
+        vocab, vc = _ray.get(model_ref)
+        c = vc[np.searchsorted(vocab, g)] if len(g) else np.empty(0, np.int64)
+        n_big = np.bincount(gdoc, minlength=rows).astype(np.int64)
+        n_rare = np.bincount(
+            gdoc[c <= rare_max], minlength=rows
+        ).astype(np.int64)
+        min_c = np.full(rows, np.iinfo(np.int64).max)
+        if len(g):
+            np.minimum.at(min_c, gdoc, c)
+        keep = n_big > 0
+        rarity = n_rare[keep].astype(np.float64) / n_big[keep].astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(keep)),
+                "n_bigrams": pa.array(n_big[keep]),
+                "n_rare": pa.array(n_rare[keep]),
+                "min_count": pa.array(min_c[keep]),
+                "rarity": pa.array(rarity),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+
+# RE2 patterns (pyarrow and DuckDB both run RE2, so replace/count are
+# bit-identical across the Ray op and the SQL oracle).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+LONG_NUM_PATTERN = r"[0-9]{7,}"
+
+
+def redact_pii(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> ray.data.Dataset:
+    """PII scrubbing — replace email addresses with ``<EMAIL>`` and ≥7-digit
+    runs with ``<NUM>`` (the standard pre-training scrub pass). Stateless
+    vectorized Arrow RE2 kernels; numbers are counted/replaced AFTER the
+    email pass so digits inside an address are not double-redacted.
+    Output: ``(id, clean_text, n_emails, n_nums)``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = t[text_col]
+        n_email = pc.count_substring_regex(x, EMAIL_PATTERN)
+        x = pc.replace_substring_regex(x, EMAIL_PATTERN, "<EMAIL>")
+        n_num = pc.count_substring_regex(x, LONG_NUM_PATTERN)
+        x = pc.replace_substring_regex(x, LONG_NUM_PATTERN, "<NUM>")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: x,
+                "n_emails": pc.cast(n_email, pa.int64()),
+                "n_nums": pc.cast(n_num, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def vocab_topk(
     docs: ray.data.Dataset,
     n: int = 50,
