@@ -1671,6 +1671,81 @@ def _q_source_cap(sf_dir: str):
     )
 
 
+def _q_within_distance(sf_dir: str):
+    """Radius spatial join (all routes within 300 of each point) — same
+    closed-form axis-aligned oracle as project/knn_routes, no rank cutoff."""
+    from linref_ray.spatial import build_route_index, routes_within_distance
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.multiply(t["value"], 11.0)
+        y = pc.cast(
+            pc.subtract(pc.bit_wise_and(t["user_id"], 127), 20), pa.float64()
+        )
+        return t.append_column("x", x).append_column("y", y)
+
+    pts = ds.map_batches(fn, batch_format="pyarrow")
+    ref = build_route_index(_straight_routes(), res=4, pad=600.0)
+    out = routes_within_distance(pts, ref, radius=300.0, x_col="x", y_col="y")
+    return _int_micro_cols(
+        out.select_columns(
+            ["event_id", "route_id", "rank", "loc", "snap_dist"]
+        ),
+        {"loc": 6, "snap_dist": 6},
+    )
+
+
+def _q_shared_spans(sf_dir: str):
+    """Exact duplicated-span pairs (ExactSubstr flavor): docs sharing ≥5
+    distinct 16-byte substrings, exhaustive mode (keep_mod=1). The ASCII
+    filter pins byte windows == char windows so the SQL oracle (char
+    substrings) is bit-identical; the corpus is organically ASCII."""
+    from linref_ray.dedup import shared_span_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def ascii_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.binary_length(t["text"]), pc.utf8_length(t["text"]))
+        )
+
+    return shared_span_pairs(
+        docs.map_batches(ascii_only, batch_format="pyarrow"),
+        window=16, keep_mod=1, min_shared=5,
+    )
+
+
+def _q_connected_components(sf_dir: str):
+    """Distributed connected components (min-label propagation + pointer
+    jumping, all Ray shuffles) over the organic exact-Jaccard dup graph."""
+    from linref_ray.dedup import ngram_jaccard_pairs
+    from linref_ray.graph import connected_components
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    comps = connected_components(ngram_jaccard_pairs(docs, threshold=0.5))
+    return comps.rename_columns({"node": "doc_id", "label": "component"})
+
+
+def _q_dedup_corpus_dist(sf_dir: str):
+    """dedup_corpus scale path: distributed CC + hash anti-join (no driver
+    union-find) — must keep exactly the same survivors as `dedup_corpus`."""
+    from linref_ray.dedup import dedup_corpus, ngram_jaccard_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_corpus(
+        docs, ngram_jaccard_pairs(docs, threshold=0.5), method="distributed"
+    )
+
+
 def entry() -> Any:
     """Flagship: images → invariants → geotag → snap → event join → tiles.
 
@@ -1783,6 +1858,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_rarity": _q_lm_rarity,
         "redact": _q_redact,
         "source_cap": _q_source_cap,
+        "connected_components": _q_connected_components,
+        "dedup_corpus_dist": _q_dedup_corpus_dist,
+        "shared_spans": _q_shared_spans,
+        "within_distance": _q_within_distance,
     }
 
 
@@ -2757,5 +2836,91 @@ select doc_id, source, n_chars from (
          row_number() over (partition by source
            order by n_chars desc, doc_id asc) as rk
   from documents) where rk <= 5
+"""
+    # Same organic pair derivation as dedup_corpus, but emitting the
+    # per-node component labels themselves (component = min member id).
+    oracles["connected_components"] = """
+with recursive w as (
+  select doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') as ws
+  from documents
+),
+sh as (
+  select doc_id,
+         list_distinct([
+           coalesce(ws[i], '') || chr(31) || coalesce(ws[i+1], '')
+             || chr(31) || coalesce(ws[i+2], '')
+           for i in range(1, greatest(len(ws) - 2, 1) + 1)
+         ]) as grams
+  from w
+),
+g as (select doc_id, unnest(grams) as g from sh),
+sizes as (select doc_id, len(grams) as n from sh),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from g a join g b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select i.id_a, i.id_b
+  from inter i
+  join sizes sa on sa.doc_id = i.id_a
+  join sizes sb on sb.doc_id = i.id_b
+  where c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+edges as (
+  select id_a as u, id_b as v from pairs where id_a <> id_b
+  union
+  select id_b, id_a from pairs where id_a <> id_b
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+roots as (select u, least(u, min(v)) as root from reach group by u)
+select u as doc_id, root as component from roots
+"""
+    oracles["dedup_corpus_dist"] = oracles["dedup_corpus"]
+    oracles["within_distance"] = """
+with pts as (
+  select event_id, value * 11.0 as x,
+         cast((user_id % 128) - 20 as double) as y
+  from events
+), routes(route_id, x0, y0, x1, y1, horiz, ridx) as (
+  values ('H0', 0.0, 0.0, 100.0, 0.0, true, 0),
+         ('H1', 0.0, 40.0, 100.0, 40.0, true, 1),
+         ('V2', 50.0, 100.0, 50.0, 200.0, false, 2)
+), proj as (
+  select p.event_id, r.route_id, r.ridx,
+         case when r.horiz
+              then greatest(r.x0, least(r.x1, p.x)) - r.x0
+              else greatest(r.y0, least(r.y1, p.y)) - r.y0 end as loc,
+         case when r.horiz
+              then sqrt((greatest(r.x0, least(r.x1, p.x)) - p.x) ^ 2
+                        + (p.y - r.y0) ^ 2)
+              else sqrt((greatest(r.y0, least(r.y1, p.y)) - p.y) ^ 2
+                        + (p.x - r.x0) ^ 2) end as dist
+  from pts p cross join routes r
+)
+select event_id, route_id, rk - 1 as rank,
+       cast(round(round(loc, 9) * 1000000) as bigint) as loc,
+       cast(round(round(dist, 9) * 1000000) as bigint) as snap_dist
+from (select proj.*, row_number() over (
+        partition by event_id order by dist, ridx) as rk from proj)
+where dist <= 300.0
+"""
+    oracles["shared_spans"] = """
+with d as (select doc_id, text from documents
+           where strlen(text) = length(text) and length(text) >= 16),
+wins as (select distinct doc_id, substring(text, i, 16) as w
+         from (select doc_id, text,
+                      unnest(generate_series(1, length(text)-15)) as i
+               from d)),
+pairs as (select a.doc_id as id_a, b.doc_id as id_b,
+                 count(*)::bigint as n_shared
+          from wins a join wins b on a.w = b.w and a.doc_id < b.doc_id
+          group by 1, 2)
+select * from pairs where n_shared >= 5
 """
     return oracles

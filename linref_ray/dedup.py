@@ -12,6 +12,7 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -318,7 +319,10 @@ def minhash_near_duplicates(
         ),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        # autoscaling (1, N): a fixed pool of size == cluster CPUs parks
+        # every core in idle actors and starves the read/shuffle stages —
+        # observed deadlock at ray.init(num_cpus=4)
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -648,7 +652,8 @@ def ngram_jaccard_pairs(
         ),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        # autoscaling, same deadlock note as minhash_near_duplicates
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -664,10 +669,135 @@ def ngram_jaccard_pairs(
     )
 
 
+def shared_span_pairs(
+    docs: ray.data.Dataset,
+    window: int = 16,
+    keep_mod: int = 8,
+    min_shared: int = 1,
+    max_bucket: int = 1024,
+    num_partitions: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Shared exact-substring pairs — the duplicated-span detection of Lee
+    et al. 2022's ExactSubstr (public method): ``(id_a, id_b, n_shared)``
+    for doc pairs sharing ≥ ``min_shared`` DISTINCT ``window``-byte
+    substrings. Docs shorter than ``window`` bytes emit nothing.
+
+    ``keep_mod`` samples the Rabin-Karp window hashes content-defined
+    (kept iff hash % keep_mod == 0, so both docs keep the same windows of a
+    shared span): a shared span of length L survives with probability
+    1-(1-1/keep_mod)^(L-window+1) — ~1 for spans a few×keep_mod longer
+    than the window. The scale path trades index size for short-span
+    recall; ``keep_mod=1`` keeps EVERY window, making the pair set
+    exhaustive and exact — the mode the SQL oracle checks.
+
+    One data shuffle end-to-end: per-doc distinct kept hashes → (fp, id)
+    postings carrying a coarse ``__pid = fp % P`` → ``groupby(__pid)`` →
+    ONE kernel per partition sweeps all its fp-buckets via lexsort + run
+    boundaries (never one dispatch per bucket), emitting pairs with hot
+    buckets chain-degraded at ``max_bucket`` (logged); a final
+    ``groupby(id_a, id_b).count`` sums the distinct-window overlap per
+    pair. Hash collisions across different windows inflate a count with
+    probability ~pairs/2⁶⁴ — the accepted-negligible bound used throughout.
+    """
+    from linref_ray.kernels.hashing import rolling_fingerprints_many
+
+    def postings(t: pa.Table) -> pa.Table:
+        # byte-length filter BEFORE fingerprinting: the scalar fingerprint
+        # spec zero-pads short docs, which this pair op must not see
+        blen = pc.binary_length(t[text_col]).to_numpy(zero_copy_only=False)
+        keep = blen >= window
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        texts = [
+            s for s, k in zip(t[text_col].to_pylist(), keep) if k
+        ]
+        flat, lens = rolling_fingerprints_many(
+            texts, window=window, keep_mod=keep_mod
+        )
+        fp = flat.astype(np.uint64)
+        return pa.table(
+            {
+                "fp": pa.array(flat),
+                "doc": pa.array(np.repeat(ids, lens)),
+                "__spid": pa.array(
+                    (fp % np.uint64(num_partitions)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        ids = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([ids, fp])
+        fp_s, ids_s = fp[order], ids[order]
+        brk = np.flatnonzero(fp_s[1:] != fp_s[:-1])
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk + 1, [len(fp_s)]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for a, z in zip(starts, ends):
+            seg = ids_s[a:z]  # per-doc fingerprints are distinct already
+            if len(seg) < 2:
+                continue
+            ai, bi = _chain_or_all_pairs(seg, max_bucket, "shared-span")
+            out_a.append(seg[ai])
+            out_b.append(seg[bi])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(postings, batch_format="pyarrow", batch_size=1024)
+        .groupby("__spid")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count()"], pa.int64())
+        out = pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"], "n_shared": n}
+        )
+        if min_shared > 1:
+            out = out.filter(
+                pc.greater_equal(out["n_shared"], min_shared)
+            )
+        return out
+
+    anchor = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return (
+        anchor.union(pairs)
+        .groupby(["id_a", "id_b"])
+        .count()
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def dedup_corpus(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,
     id_col: str = "doc_id",
+    method: str = "driver",
 ) -> ray.data.Dataset:
     """End-to-end near-dedup: given verified near-dup ``(id_a, id_b)``
     pairs from any cascade (minhash / simhash / exact n-gram / embedding /
@@ -682,9 +812,40 @@ def dedup_corpus(
     The loser set broadcasts once via ``ray.put`` and the corpus filters
     in one streaming ``map_batches`` pass — the wide text/bytes columns
     never shuffle.
+
+    ``method='distributed'`` is the edges-don't-fit-anywhere scale path:
+    components via :func:`linref_ray.graph.connected_components` (min-label
+    propagation + pointer jumping, all Ray shuffles) and the loser filter
+    as a distributed hash anti-join — nothing touches the driver, at the
+    cost of one id-hash shuffle of the corpus (wide columns move once).
+    Requires integer ids.
     """
     import pyarrow.compute as pc
     import ray
+
+    if method == "distributed":
+        from linref_ray.graph import component_losers, connected_components
+        from linref_ray.joins import hash_join
+
+        comps = connected_components(pairs)
+        losers = component_losers(comps).map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t["node"],
+                    "__dup": pa.array(np.ones(len(t), np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(docs, losers, on=id_col, how="left")
+
+        def keep_unmarked(t: pa.Table) -> pa.Table:
+            out = t.filter(pc.is_null(t["__dup"]))
+            return out.drop_columns(["__dup"])
+
+        return joined.map_batches(keep_unmarked, batch_format="pyarrow")
+    if method != "driver":
+        raise ValueError(f"unknown method {method!r}")
 
     edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
     if len(edges) == 0 or "id_a" not in edges.columns:

@@ -337,6 +337,28 @@ def knn_routes(
     return points.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def routes_within_distance(
+    points: ray.data.Dataset,
+    index_ref,
+    radius: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    concurrency: int | None = None,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Radius spatial join: EVERY route within ``radius`` of each point
+    (not just the k nearest), one row per (point, route) with ``loc``,
+    ``snap_dist`` and the deterministic distance ``rank``. Same
+    broadcast-index, shuffle-free shape as :func:`snap_points` — the
+    candidate cells already bound the search to ``pad ≥ radius``, so
+    "unbounded k" costs the same scan as top-k."""
+    return knn_routes(
+        points, index_ref, k=1 << 62, buffer=radius,
+        x_col=x_col, y_col=y_col,
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
 class EventRangeIndex:
     """Broadcast per-route interval index for point→event-range joins.
 
