@@ -1698,6 +1698,56 @@ def _q_within_distance(sf_dir: str):
     )
 
 
+def _q_knn_graph(sf_dir: str):
+    """Brute-force cosine kNN graph (every vector's top-5 neighbors) —
+    corpus matrix broadcast once, one matmul per batch, no shuffle."""
+    from linref_ray.similarity import knn_graph
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_cols(knn_graph(emb, k=5), {"cosine": 6})
+
+
+def _q_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed kNN graph with nprobe == n_centroids: every cell
+    probed, result exact — shares the brute-force oracle while exercising
+    the cell-postings shuffle path end to end."""
+    from linref_ray.similarity import knn_graph_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_cols(
+        knn_graph_ivf(emb, k=5, n_centroids=8, nprobe=8), {"cosine": 6}
+    )
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 relevance of every doc to a 3-term query — two streaming scans
+    (tiny stats partials, then batch-local scoring), no shuffle. Micro
+    rounding absorbs ln() drift between numpy and DuckDB."""
+    from linref_ray.text import bm25_scores
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _int_micro_cols(
+        bm25_scores(docs, ("spark", "merge", "window")), {"bm25": 6}
+    )
+
+
+def _q_dedup_segments(sf_dir: str):
+    """Segment-level exact dedup (CCNet-line-dedup generalized to 10-word
+    chunks): repeated segments keep only their globally-first occurrence;
+    documents are rewritten with the surviving words. Organic corpus, full
+    rebuilt text compared bit-for-bit."""
+    from linref_ray.dedup import dedup_segments
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_segments(docs, words_per_seg=10).select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def _q_shared_spans(sf_dir: str):
     """Exact duplicated-span pairs (ExactSubstr flavor): docs sharing ≥5
     distinct 16-byte substrings, exhaustive mode (keep_mod=1). The ASCII
@@ -1860,6 +1910,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _q_source_cap,
         "connected_components": _q_connected_components,
         "dedup_corpus_dist": _q_dedup_corpus_dist,
+        "bm25": _q_bm25,
+        "knn_graph": _q_knn_graph,
+        "knn_graph_ivf": _q_knn_graph_ivf,
+        "dedup_segments": _q_dedup_segments,
         "shared_spans": _q_shared_spans,
         "within_distance": _q_within_distance,
     }
@@ -2909,6 +2963,60 @@ select event_id, route_id, rk - 1 as rank,
 from (select proj.*, row_number() over (
         partition by event_id order by dist, ridx) as rk from proj)
 where dist <= 300.0
+"""
+    oracles["knn_graph"] = """
+with d as (select q.vec_id as query_id, e.vec_id,
+             list_cosine_similarity(cast(q.embedding as double[]),
+                                    cast(e.embedding as double[])) as cosine
+      from embeddings q, embeddings e where e.vec_id != q.vec_id)
+select query_id, vec_id, round(round(cosine, 9), 6) as cosine
+from (select d.*, row_number() over (
+        partition by query_id order by cosine desc, vec_id asc) as rk from d)
+where rk <= 5
+"""
+    oracles["knn_graph_ivf"] = oracles["knn_graph"]
+    oracles["bm25"] = """
+with w as (select doc_id,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') as ws
+  from documents),
+d as (select doc_id, len(ws) as dl,
+    len(list_filter(ws, x -> x = 'spark'))  as tf1,
+    len(list_filter(ws, x -> x = 'merge'))  as tf2,
+    len(list_filter(ws, x -> x = 'window')) as tf3
+  from w),
+s as (select count(*) as n, cast(sum(dl) as double) as sumdl,
+    sum(case when tf1 > 0 then 1 else 0 end) as df1,
+    sum(case when tf2 > 0 then 1 else 0 end) as df2,
+    sum(case when tf3 > 0 then 1 else 0 end) as df3
+  from d)
+select doc_id,
+  cast(round(round(
+      ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        / (tf1 + 1.2*(1.0 - 0.75 + 0.75*(dl/(sumdl/n))))
+    + ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        / (tf2 + 1.2*(1.0 - 0.75 + 0.75*(dl/(sumdl/n))))
+    + ln(1.0 + (n - df3 + 0.5)/(df3 + 0.5)) * (tf3 * (1.2 + 1.0))
+        / (tf3 + 1.2*(1.0 - 0.75 + 0.75*(dl/(sumdl/n))))
+  , 9) * 1000000) as bigint) as bm25
+from d, s
+"""
+    oracles["dedup_segments"] = """
+with w as (select doc_id, string_split(text, ' ') as ws from documents),
+seg as (
+  select doc_id, i as seg_idx,
+         array_to_string(ws[(i*10+1):((i+1)*10)], ' ') as seg
+  from w, unnest(generate_series(0, cast(ceil(len(ws)/10.0) as bigint) - 1)) as t(i)
+),
+win as (select seg, min(doc_id * 1048576 + seg_idx) as wkey from seg group by seg),
+keep as (
+  select s.doc_id, s.seg_idx, s.seg
+  from seg s join win on s.seg = win.seg
+  where s.doc_id * 1048576 + s.seg_idx = win.wkey
+),
+sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
+        from keep group by doc_id)
+select w.doc_id, coalesce(sel.t2, '') as text
+from w left join sel on w.doc_id = sel.doc_id
 """
     oracles["shared_spans"] = """
 with d as (select doc_id, text from documents

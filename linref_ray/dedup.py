@@ -793,6 +793,204 @@ def shared_span_pairs(
     )
 
 
+def dedup_segments(
+    docs: ray.data.Dataset,
+    words_per_seg: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+    max_seg_per_doc: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Segment-level exact dedup (the CCNet line-dedup idea generalized to
+    fixed ``words_per_seg``-word chunks): every repeated segment keeps ONLY
+    its globally-first occurrence (min ``(doc_id, seg_idx)``); all other
+    occurrences are cut out of their documents and the surviving words are
+    re-joined. Returns the input rows with ``text_col`` rewritten (possibly
+    ``''`` when every segment lost).
+
+    Segments are compared by a 64-bit FNV-combine over per-word FNV-1a
+    hashes — equal word sequences hash equal, distinct ones collide with
+    probability ~2⁻⁶⁴ (the accepted bound used by every dedup op here), so
+    the winner shuffle moves ``(hash, packed doc·seg)`` int rows only.
+    Scale shape: one int shuffle to pick winners, one int shuffle to
+    aggregate each doc's loser list, and ONE text shuffle (the
+    ``hash_join`` attaching loser lists); the rebuild is a streaming
+    vectorized pass (difference-array segment masking + ``binary_join``).
+    Requires ``doc_id < 2^63 / max_seg_per_doc`` and fewer than
+    ``max_seg_per_doc`` segments per doc (packing bound, checked).
+    """
+    import pandas as pd
+
+    from linref_ray.joins import hash_join
+    from linref_ray.kernels.hashing import _hash_tokens_u64
+
+    W = int(words_per_seg)
+    if W < 1:
+        raise ValueError("words_per_seg must be >= 1")
+    P = np.uint64(num_partitions)
+    FNV = np.uint64(0x100000001B3)
+    OFF = np.uint64(0xCBF29CE484222325)
+
+    def _split_words(t: pa.Table):
+        """Exact single-space split (empties preserved) so that
+        ``' '.join(words) == text`` — lossless rebuild, and identical to
+        the SQL oracle's ``string_split(text, ' ')``."""
+        wl = pc.split_pattern(t[text_col], " ")
+        lens = pc.list_value_length(wl).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return wl, lens
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        wl, lens = _split_words(t)
+        wh = _hash_tokens_u64(pc.list_flatten(wl).to_pylist())
+        nseg = -(-lens // W)  # >=1: split('') is ['']
+        if nseg.max(initial=0) >= max_seg_per_doc:
+            raise ValueError("doc exceeds max_seg_per_doc segments")
+        seg_doc = np.repeat(np.arange(len(ids)), nseg)
+        seg_off = np.concatenate(([0], np.cumsum(nseg)[:-1]))
+        seg_local = np.arange(len(seg_doc)) - seg_off[seg_doc]
+        word_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        start = word_off[seg_doc] + seg_local * W
+        h = np.full(len(seg_doc), OFF, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(W):
+                valid = seg_local * W + p < lens[seg_doc]
+                if not valid.any():
+                    break
+                hv = h[valid]
+                h[valid] = (hv ^ wh[start[valid] + p]) * FNV
+        packed = ids[seg_doc] * max_seg_per_doc + seg_local
+        return pa.table(
+            {
+                "__h": pa.array(h.astype(np.int64)),
+                "packed": pa.array(packed),
+                "__spid": pa.array((h % P).astype(np.int64)),
+            }
+        )
+
+    def losers(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__idx": pa.array([], pa.int64()),
+                "__dpid": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        h = t["__h"].to_numpy(zero_copy_only=False)
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([packed, h])
+        hs, ps = h[order], packed[order]
+        lose = ps[np.concatenate(([False], hs[1:] == hs[:-1]))]
+        if not len(lose):
+            return empty
+        d = lose // max_seg_per_doc
+        dp = pd.util.hash_array(d) % np.uint64(num_partitions)
+        return pa.table(
+            {
+                id_col: pa.array(d),
+                "__idx": pa.array(lose % max_seg_per_doc),
+                "__dpid": pa.array(dp.astype(np.int64)),
+            }
+        )
+
+    def listify(t: pa.Table) -> pa.Table:
+        # Loser indexes ride as a comma-joined string — Acero joins don't
+        # support list payload columns, and split/cast on the other side is
+        # equally vectorized.
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__loser_str": pa.array([], pa.string()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        s = t["__idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([s, d])
+        ds_, ss_ = d[order], s[order]
+        first = np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        starts = np.flatnonzero(first)
+        offsets = np.concatenate((starts, [len(ds_)]))
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pc.cast(pa.array(ss_, pa.int64()), pa.string()),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ds_[starts]),
+                "__loser_str": pc.binary_join(la, ","),
+            }
+        )
+
+    loser_lists = (
+        docs.map_batches(postings, batch_format="pyarrow", batch_size=1024)
+        .groupby("__spid")
+        .map_groups(losers, batch_format="pyarrow")
+        .groupby("__dpid")
+        .map_groups(listify, batch_format="pyarrow")
+    )
+    anchor = ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__loser_str": pa.array([], pa.string()),
+            }
+        )
+    )
+    joined = hash_join(
+        docs, anchor.union(loser_lists), on=id_col, how="left",
+        num_partitions=num_partitions,
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        out_cols = [c for c in t.column_names if c != "__loser_str"]
+        if len(t) == 0:
+            return t.select(out_cols)
+        wl, lens = _split_words(t)
+        word_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        total = int(lens.sum())
+        idxs = pc.split_pattern(
+            pc.coalesce(t["__loser_str"], pa.scalar("", pa.string())), ","
+        )
+        vals_s = pc.list_flatten(idxs)
+        par_all = pc.list_parent_indices(idxs).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(vals_s, "")
+        vals = pc.cast(
+            vals_s.filter(nonempty), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        par = par_all[nonempty.to_numpy(zero_copy_only=False)]
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if len(vals):
+            s0 = word_off[par] + vals * W
+            e0 = np.minimum(s0 + W, word_off[par] + lens[par])
+            np.add.at(diff, s0, 1)
+            np.add.at(diff, e0, -1)
+        keep = np.cumsum(diff[:-1]) == 0
+        kept_counts = np.add.reduceat(
+            keep.astype(np.int64), word_off
+        ) if total else np.zeros(len(t), np.int64)
+        # reduceat repeats a doc's sum when its slice is empty (lens>=1
+        # always here, but guard the all-empty batch)
+        new_off = np.concatenate(([0], np.cumsum(kept_counts)))
+        kept_words = pc.list_flatten(wl).filter(pa.array(keep))
+        if isinstance(kept_words, pa.ChunkedArray):
+            kept_words = kept_words.combine_chunks()
+        la = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), kept_words
+        )
+        new_text = pc.binary_join(la, " ")
+        cols = {c: t[c] for c in out_cols}
+        cols[text_col] = new_text
+        return pa.table(cols)
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 def dedup_corpus(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,

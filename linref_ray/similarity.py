@@ -514,3 +514,216 @@ def knn_lsh(
     return knn_brute_force(
         filtered, query_ids, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def knn_graph(
+    embeddings: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Brute-force cosine kNN GRAPH: for EVERY vector its ``k`` nearest
+    neighbors (self excluded), deterministic ties (cosine desc, id asc).
+    Output: ``(query_id, vec_id, cosine)``.
+
+    The normalized corpus matrix broadcasts ONCE via ``ray.put``; each
+    batch is one (B×N) matmul against it, per-row exact top-k resolved
+    tie-complete (partition for the k-th value, keep ALL >= it, lexsort,
+    cut k) — no shuffle, no reduce stage: a row's neighbors complete
+    within its own batch. O(N²d) flops and O(Nd) broadcast memory are the
+    honest bounds of the brute path (1e8×64-d float64 ≈ 51 GB object
+    store); past that use :func:`knn_graph_ivf`."""
+    corpus = pa.concat_tables(
+        ray.get(
+            embeddings.select_columns([id_col, vec_col]).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    c_ids = np.asarray(corpus[id_col].to_pylist(), dtype=np.int64)
+    cm = _to_matrix(corpus[vec_col])
+    cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((c_ids, cn))
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ids_all, cn_all = ray.get(ref)  # per-worker plasma read, zero-copy
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = mn @ cn_all.T  # (B, N)
+        cos[ids[:, None] == ids_all[None, :]] = -np.inf
+        take = min(k, cos.shape[1] - 1)
+        if take <= 0:
+            return empty
+        # tie-complete top-k: keep everything >= the k-th value, then
+        # resolve (cosine desc, id asc) exactly
+        kth = np.partition(cos, cos.shape[1] - take, axis=1)[
+            :, cos.shape[1] - take
+        ]
+        out_q, out_v, out_c = [], [], []
+        for i in range(len(ids)):
+            cand = np.flatnonzero(cos[i] >= kth[i])
+            c = cos[i, cand]
+            order = np.lexsort([ids_all[cand], -c])[:take]
+            sel = cand[order]
+            fin = np.isfinite(cos[i, sel])
+            out_q.append(np.full(fin.sum(), ids[i]))
+            out_v.append(ids_all[sel[fin]])
+            out_c.append(cos[i, sel[fin]])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    return embeddings.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+def knn_graph_ivf(
+    embeddings: ray.data.Dataset,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 65536,
+) -> ray.data.Dataset:
+    """IVF-bucketed kNN graph — the scale path: no full-corpus broadcast,
+    no O(N²) scan. Every vector posts ONCE as data (its nearest coarse
+    cell) and ``nprobe`` times as query (its closest cells); a
+    ``groupby(cell)`` kernel brute-forces query×data within each cell;
+    a final ``groupby(query)`` merge re-ranks the per-cell partials
+    (cosine desc, id asc) and cuts k. Shuffle volume: (1+nprobe)·N vector
+    rows. With ``nprobe == n_centroids`` every cell is probed, candidates
+    cover the corpus, and the result is EXACT (= :func:`knn_graph`) — the
+    oracle mode. Cells larger than ``max_cell`` raise (re-run with more
+    centroids) rather than silently quadratic-exploding."""
+    cent = kmeans_centroids(
+        embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cent_ref = ray.put(cent)
+
+    def postings(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t[vec_col])
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        near = np.argsort(d, axis=1, kind="stable")
+        np_ = min(nprobe, d.shape[1])
+        vecs = t[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        n = len(ids)
+        # one data posting + nprobe query postings per vector
+        cells = np.concatenate(
+            [near[:, 0]] + [near[:, j] for j in range(np_)]
+        ).astype(np.int64)
+        side = np.concatenate(
+            [np.zeros(n, np.int8)] + [np.ones(n, np.int8)] * np_
+        )
+        row = np.tile(np.arange(n), np_ + 1)
+        # a query posting to the vector's own data cell is redundant
+        keep = ~((side == 1) & (cells == near[row, 0]))
+        cells, side, row = cells[keep], side[keep], row[keep]
+        return pa.table(
+            {
+                "__cell": pa.array(cells),
+                "__side": pa.array(side),
+                id_col: pa.array(ids[row]),
+                vec_col: vecs.take(pa.array(row)),
+            }
+        )
+
+    def cell_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        if len(t) > max_cell:
+            raise ValueError(
+                f"IVF cell of {len(t)} rows exceeds max_cell={max_cell}; "
+                "increase n_centroids"
+            )
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        # data rows serve both their own cell's queries and themselves
+        di = np.flatnonzero(side == 0)
+        qi = np.arange(len(ids))
+        if not len(di):
+            return empty
+        cos = mn[qi] @ mn[di].T
+        q_ids, d_ids = ids[qi], ids[di]
+        cos[q_ids[:, None] == d_ids[None, :]] = -np.inf
+        take = min(k, len(di))
+        out_q, out_v, out_c = [], [], []
+        for i in range(len(qi)):
+            c = cos[i]
+            t_i = min(take, len(c))
+            # tie-complete: include every candidate >= the worst kept value
+            kth = np.partition(c, len(c) - t_i)[len(c) - t_i]
+            cand = np.flatnonzero(c >= kth)
+            order = np.lexsort([d_ids[cand], -c[cand]])[:t_i]
+            sel = cand[order]
+            fin = np.isfinite(c[sel])
+            out_q.append(np.full(fin.sum(), q_ids[i]))
+            out_v.append(d_ids[sel[fin]])
+            out_c.append(c[sel[fin]])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        c = t["cosine"].to_numpy(zero_copy_only=False)
+        # a (query, data) pair can reappear via several probed cells
+        order = np.lexsort([v, -c, q])
+        q_s, v_s = q[order], v[order]
+        uniq = np.concatenate(
+            ([True], (q_s[1:] != q_s[:-1]) | (v_s[1:] != v_s[:-1]))
+        )
+        order = order[uniq]
+        q_s = q[order]
+        starts = np.concatenate(([True], q_s[1:] != q_s[:-1]))
+        start_idx = np.flatnonzero(starts)
+        pos = np.arange(len(q_s)) - start_idx[np.cumsum(starts) - 1]
+        sel = order[pos < k]
+        return pa.table(
+            {
+                "query_id": pa.array(q[sel]),
+                "vec_id": pa.array(v[sel]),
+                "cosine": pa.array(c[sel]),
+            }
+        )
+
+    return (
+        embeddings.map_batches(postings, batch_format="pyarrow",
+                               batch_size=1024)
+        .groupby("__cell")
+        .map_groups(cell_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

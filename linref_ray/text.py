@@ -999,3 +999,102 @@ def tfidf_topk(
         )
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+
+def bm25_scores(
+    docs: ray.data.Dataset,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """BM25 score of every document against a fixed bag of query ``terms``
+    (Robertson tf saturation, Lucene-style ``ln(1+(N-df+0.5)/(df+0.5))``
+    idf). Output: ``(id, bm25)`` for ALL docs (zero-hit docs score 0.0).
+
+    Scale shape mirrors :func:`tfidf_topk`: scan 1 streams tiny per-batch
+    partials — per-term document frequencies plus (ndocs, Σdl) — through
+    one small ``groupby(term).sum``; the resulting constants (idf per term,
+    avgdl) are driver-computed scalars captured in the scoring closure
+    (bytes, not a broadcast table). Scan 2 scores each batch locally:
+    term frequencies via vectorized word matching, no shuffle at all.
+    Tokenization (lower, single-space split, empties dropped) is identical
+    to ``vocab_topk`` / the SQL oracle."""
+    import ray as _ray
+
+    terms = tuple(terms)
+
+    def _tok(t: pa.Table):
+        toks = pc.split_pattern(pc.utf8_lower(t[text_col]), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        words = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=str)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        keep = words != ""
+        return words[keep], doc_idx[keep]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        words, doc_idx = _tok(t)
+        n = len(t)
+        dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        names = ["\x00ndocs", "\x00sumdl"]
+        vals = [n, int(dl.sum())]
+        for term in terms:
+            hit = np.bincount(doc_idx[words == term], minlength=n) > 0
+            names.append(term)
+            vals.append(int(hit.sum()))
+        return pa.table(
+            {
+                "term": pa.array(names, pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+
+    stats_tbl = pa.concat_tables(
+        _ray.get(
+            docs.map_batches(stats_partial, batch_format="pyarrow")
+            .groupby("term")
+            .sum("v")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    sd = dict(
+        zip(stats_tbl["term"].to_pylist(),
+            stats_tbl["v" if "v" in stats_tbl.column_names else "sum(v)"]
+            .to_numpy(zero_copy_only=False))
+    )
+    n_docs = int(sd["\x00ndocs"])
+    avgdl = sd["\x00sumdl"] / n_docs  # IEEE int/int division, SQL-matched
+    k1p = k1 + 1.0
+    idf = [
+        float(np.log(1.0 + (n_docs - sd.get(term, 0) + 0.5)
+                     / (sd.get(term, 0) + 0.5)))
+        for term in terms
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out_empty = pa.table(
+            {
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "bm25": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return out_empty
+        words, doc_idx = _tok(t)
+        dl = np.bincount(doc_idx, minlength=n).astype(np.float64)
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        s = np.zeros(n, dtype=np.float64)
+        for term, w in zip(terms, idf):
+            tf = np.bincount(
+                doc_idx[words == term], minlength=n
+            ).astype(np.float64)
+            s = s + w * (tf * k1p) / (tf + norm)
+        return pa.table({id_col: t[id_col], "bm25": pa.array(s)})
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=2048)

@@ -1,0 +1,202 @@
+"""dedup_segments (chunk-level exact dedup), bm25_scores, and the kNN
+graph (brute + IVF). SQL parity at sf0.01 is gated by the
+`dedup_segments` / `bm25` / `knn_graph` / `knn_graph_ivf` oracles in
+__ray_entry__; these tests pin semantics on adversarial small shapes and
+pure-Python references.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _seg_reference(texts: dict[int, str], w: int) -> dict[int, str]:
+    """Pure-Python reference: global first-occurrence wins per segment."""
+    segs = []
+    for d in sorted(texts):
+        ws = texts[d].split(" ")
+        for i in range(0, max(len(ws), 1), w):
+            segs.append((d, i // w, " ".join(ws[i : i + w])))
+    win: dict[str, tuple[int, int]] = {}
+    for d, i, s in sorted(segs):
+        win.setdefault(s, (d, i))
+    out = {}
+    for d in sorted(texts):
+        ws = texts[d].split(" ")
+        kept = []
+        for i in range(0, max(len(ws), 1), w):
+            s = " ".join(ws[i : i + w])
+            if win[s] == (d, i // w):
+                kept.extend(ws[i : i + w])
+        out[d] = " ".join(kept)
+    return out
+
+
+def _run_segments(texts: dict[int, str], w: int) -> dict[int, str]:
+    from linref_ray.dedup import dedup_segments
+
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[d] for d in sorted(texts)]}
+    )
+    out = dedup_segments(rd.from_pandas(df), words_per_seg=w).to_pandas()
+    return dict(zip(out.doc_id, out.text))
+
+
+def test_segments_basic(ray_session):
+    texts = {
+        0: "a b c d e f",
+        1: "x y z a b c",  # second occurrence of "a b c" dropped
+        2: "a b c",        # whole doc duplicated -> ""
+        3: "",             # empty doc
+    }
+    assert _run_segments(texts, 3) == _seg_reference(texts, 3)
+    assert _run_segments(texts, 3)[2] == ""
+
+
+def test_segments_within_doc_and_tail(ray_session):
+    # same segment twice INSIDE one doc; ragged tail segments compete too
+    texts = {
+        5: "p q r p q r p q",   # seg0="p q r", seg1="p q r"(dup), seg2="p q"
+        7: "p q",               # loses the "p q" tail to doc5's seg2
+        9: "r p q",
+    }
+    got = _run_segments(texts, 3)
+    assert got == _seg_reference(texts, 3)
+    assert got[5] == "p q r p q"
+
+
+def test_segments_random_matches_reference(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        d: " ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+        for d in range(60)
+    }
+    for w in (1, 4, 10):
+        assert _run_segments(texts, w) == _seg_reference(texts, w)
+
+
+def _bm25_reference(texts, terms, k1=1.2, b=0.75):
+    toks = {d: [x for x in t.lower().split(" ") if x] for d, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for d, ws in toks.items():
+        s = 0.0
+        for term in terms:
+            df = sum(1 for v in toks.values() if term in v)
+            tf = ws.count(term)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(ws) / avgdl)))
+        out[d] = s
+    return out
+
+
+def test_bm25_matches_reference(ray_session):
+    from linref_ray.text import bm25_scores
+
+    texts = {
+        0: "spark merge window spark",
+        1: "table join batch",
+        2: "spark spark spark spark spark spark",
+        3: "",
+        4: "window merge",
+    }
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[d] for d in sorted(texts)]}
+    )
+    got = bm25_scores(
+        rd.from_pandas(df), ("spark", "merge", "window")
+    ).to_pandas()
+    ref = _bm25_reference(texts, ("spark", "merge", "window"))
+    for d, s in zip(got.doc_id, got.bm25):
+        assert abs(s - ref[d]) < 1e-12
+    # saturation: six occurrences score less than 6x one occurrence
+    gm = dict(zip(got.doc_id, got.bm25))
+    assert gm[2] < 6 * gm[0]
+    assert gm[3] == 0.0
+
+
+def _graph_reference(ids, m, k):
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    cos = mn @ mn.T
+    out = []
+    for i in range(len(ids)):
+        cand = sorted(
+            ((float(-cos[i, j]), int(ids[j])) for j in range(len(ids)) if j != i)
+        )[:k]
+        out.extend((int(ids[i]), v, -c) for c, v in cand)
+    return sorted(out)
+
+
+def test_knn_graph_matches_reference(ray_session):
+    from linref_ray.similarity import knn_graph
+
+    rng = np.random.default_rng(4)
+    m = rng.normal(size=(40, 8))
+    ids = np.arange(40)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = knn_graph(rd.from_arrow(tbl), k=3).to_pandas()
+    got_t = sorted(
+        (int(q), int(v), float(c))
+        for q, v, c in zip(got.query_id, got.vec_id, got.cosine)
+    )
+    ref = _graph_reference(
+        ids, np.asarray([np.asarray(v, np.float32) for v in m],
+                        dtype=np.float64), 3
+    )
+    assert len(got_t) == len(ref)
+    for (gq, gv, gc), (rq, rv, rc) in zip(got_t, ref):
+        assert (gq, gv) == (rq, rv) and abs(gc - rc) < 1e-9
+
+
+def test_knn_graph_ivf_exact_at_full_probe(ray_session):
+    from linref_ray.similarity import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(9)
+    m = rng.normal(size=(60, 8)).astype(np.float32)
+    ds = rd.from_arrow(pa.table(
+        {
+            "vec_id": pa.array(np.arange(60), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        }
+    ))
+    a = knn_graph(ds, k=4).to_pandas().sort_values(
+        ["query_id", "vec_id"]).reset_index(drop=True)
+    b = knn_graph_ivf(ds, k=4, n_centroids=4, nprobe=4).to_pandas(
+    ).sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert list(a.query_id) == list(b.query_id)
+    assert list(a.vec_id) == list(b.vec_id)
+    assert np.allclose(a.cosine, b.cosine, atol=1e-12)
+
+
+def test_knn_graph_ivf_recall_on_clustered(ray_session):
+    from linref_ray.similarity import knn_graph, knn_graph_ivf
+
+    # tight clusters: selective probing still finds the true neighbors
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(6, 8)) * 10
+    m = np.concatenate(
+        [c + rng.normal(size=(20, 8)) * 0.1 for c in centers]
+    ).astype(np.float32)
+    ds = rd.from_arrow(pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        }
+    ))
+    exact = knn_graph(ds, k=3).to_pandas()
+    approx = knn_graph_ivf(ds, k=3, n_centroids=6, nprobe=2).to_pandas()
+    e = set(zip(exact.query_id, exact.vec_id))
+    a = set(zip(approx.query_id, approx.vec_id))
+    assert len(a & e) / len(e) > 0.95
