@@ -1748,6 +1748,33 @@ def _q_dedup_segments(sf_dir: str):
     )
 
 
+def _q_quantile_filter(sf_dir: str):
+    """Quantile-threshold curation filter: keep docs at or above the exact
+    P90 of n_chars — counts-only quantile shuffle, then one streaming
+    filter pass with a closure-scalar threshold."""
+    from linref_ray.stats import filter_by_quantile
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return filter_by_quantile(docs, "n_chars", q=0.9, keep="above")
+
+
+def _q_remove_spans(sf_dir: str):
+    """ExactSubstr span removal (Lee et al. 2022): every duplicated
+    16-char span keeps only its globally-first occurrence; all other
+    occurrences are cut and documents re-joined. Char-exact via UTF-32,
+    full rewritten corpus compared bit-for-bit."""
+    from linref_ray.dedup import remove_duplicate_spans
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return remove_duplicate_spans(docs, window=16).select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def _q_shared_spans(sf_dir: str):
     """Exact duplicated-span pairs (ExactSubstr flavor): docs sharing ≥5
     distinct 16-byte substrings, exhaustive mode (keep_mod=1). The ASCII
@@ -1914,6 +1941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "knn_graph_ivf": _q_knn_graph_ivf,
         "dedup_segments": _q_dedup_segments,
+        "quantile_filter": _q_quantile_filter,
+        "remove_spans": _q_remove_spans,
         "shared_spans": _q_shared_spans,
         "within_distance": _q_within_distance,
     }
@@ -3017,6 +3046,44 @@ sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
         from keep group by doc_id)
 select w.doc_id, coalesce(sel.t2, '') as text
 from w left join sel on w.doc_id = sel.doc_id
+"""
+    oracles["quantile_filter"] = """
+select doc_id, n_chars from documents
+where n_chars >= (select percentile_cont(0.9) within group (order by n_chars)
+                  from documents)
+"""
+    oracles["remove_spans"] = """
+with d as (select doc_id, text, length(text) as n from documents),
+wins as (
+  select doc_id, i - 1 as p, substring(text, i, 16) as w
+  from d, unnest(generate_series(1, n - 15)) as t(i)
+  where n >= 16
+),
+first_occ as (select w, min(doc_id * 4294967296 + p) as wkey
+              from wins group by w),
+losers as (
+  select s.doc_id, s.p
+  from wins s join first_occ f on s.w = f.w
+  where s.doc_id * 4294967296 + s.p <> f.wkey
+),
+chars as (
+  select doc_id, j - 1 as cpos, substring(text, j, 1) as ch
+  from d, unnest(generate_series(1, n)) as t(j)
+),
+removed as (
+  select distinct c.doc_id, c.cpos
+  from chars c join losers l
+    on c.doc_id = l.doc_id and c.cpos >= l.p and c.cpos < l.p + 16
+),
+kept as (
+  select c.doc_id, c.cpos, c.ch
+  from chars c anti join removed r
+    on c.doc_id = r.doc_id and c.cpos = r.cpos
+),
+agg as (select doc_id, string_agg(ch, '' order by cpos) as text
+        from kept group by doc_id)
+select d.doc_id, coalesce(a.text, '') as text
+from d left join agg a on d.doc_id = a.doc_id
 """
     oracles["shared_spans"] = """
 with d as (select doc_id, text from documents

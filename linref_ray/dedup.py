@@ -793,6 +793,216 @@ def shared_span_pairs(
     )
 
 
+def remove_duplicate_spans(
+    docs: ray.data.Dataset,
+    window: int = 16,
+    keep_mod: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """ExactSubstr span REMOVAL (the dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public method): every
+    ``window``-char span that occurs more than once in the corpus keeps only
+    its globally-first occurrence (min ``(doc_id, position)``); all other
+    occurrences have their char range cut out, overlapping cuts merging
+    naturally, and each document's surviving characters are re-joined in
+    order. Returns the input rows with ``text_col`` rewritten.
+
+    Chars, not bytes: texts round-trip through UTF-32 so window positions,
+    cuts and the SQL oracle's ``substring`` all index the same codepoints —
+    no multibyte edge cases. ``keep_mod=1`` (default) fingerprints EVERY
+    window: exact, the oracle mode. ``keep_mod>1`` is the scale path:
+    content-defined sampling (hash ≡ 0 mod m) keeps index size ~1/m while
+    long duplicated spans are still caught by their sampled windows (the
+    same trade documented on :func:`shared_span_pairs`).
+
+    Scale shape mirrors :func:`dedup_segments`: winner election shuffles
+    ``(fp, packed doc·pos)`` int rows only; per-doc loser positions
+    aggregate small; ONE text shuffle (the ``hash_join``); the rebuild is
+    a streaming pass that re-decodes only MODIFIED docs. Packing bound:
+    ``doc_id < 2^31`` and positions ``< 2^32``.
+    """
+    import pandas as pd
+
+    from linref_ray.joins import hash_join
+
+    W = int(window)
+    if W < 1:
+        raise ValueError("window must be >= 1")
+    PACK = np.int64(1) << np.int64(32)
+    P = np.uint64(num_partitions)
+    base = np.uint64(0x100000001B3)
+    powers = np.empty(W, dtype=np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, W):
+            powers[i] = powers[i - 1] * base
+
+    def _codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Per-batch UTF-32 codepoint CSR: (flat uint32 codes, char lens)."""
+        lens = np.fromiter(map(len, texts), np.int64, len(texts))
+        flat = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        )
+        return flat, lens
+
+    def postings(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__h": pa.array([], pa.int64()),
+                "packed": pa.array([], pa.int64()),
+                "__spid": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if ids.max(initial=0) >= (1 << 31) or ids.min(initial=0) < 0:
+            raise ValueError("doc ids must fit in 31 bits for span packing")
+        codes, lens = _codes(t[text_col].to_pylist())
+        m_per = np.maximum(lens - W + 1, 0)
+        total = int(m_per.sum())
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(ids)), m_per)
+        seg_off = np.concatenate(([0], np.cumsum(m_per)[:-1]))
+        within = np.arange(total) - seg_off[doc_idx]
+        word_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = word_off[doc_idx] + within
+        acc = np.zeros(total, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(W):
+                acc += codes[pos + j].astype(np.uint64) * powers[W - 1 - j]
+        if keep_mod > 1:
+            keep = acc % np.uint64(keep_mod) == 0
+            acc, doc_idx, within = acc[keep], doc_idx[keep], within[keep]
+        packed = ids[doc_idx] * PACK + within
+        return pa.table(
+            {
+                "__h": pa.array(acc.astype(np.int64)),
+                "packed": pa.array(packed),
+                "__spid": pa.array((acc % P).astype(np.int64)),
+            }
+        )
+
+    def losers(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__idx": pa.array([], pa.int64()),
+                "__dpid": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        h = t["__h"].to_numpy(zero_copy_only=False)
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([packed, h])
+        hs, ps = h[order], packed[order]
+        lose = ps[np.concatenate(([False], hs[1:] == hs[:-1]))]
+        if not len(lose):
+            return empty
+        d = lose // PACK
+        dp = pd.util.hash_array(d) % np.uint64(num_partitions)
+        return pa.table(
+            {
+                id_col: pa.array(d),
+                "__idx": pa.array(lose % PACK),
+                "__dpid": pa.array(dp.astype(np.int64)),
+            }
+        )
+
+    def listify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__cut_str": pa.array([], pa.string()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        s = t["__idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([s, d])
+        ds_, ss_ = d[order], s[order]
+        first = np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        starts = np.flatnonzero(first)
+        offsets = np.concatenate((starts, [len(ds_)]))
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pc.cast(pa.array(ss_, pa.int64()), pa.string()),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ds_[starts]),
+                "__cut_str": pc.binary_join(la, ","),
+            }
+        )
+
+    cut_lists = (
+        docs.map_batches(postings, batch_format="pyarrow", batch_size=1024)
+        .groupby("__spid")
+        .map_groups(losers, batch_format="pyarrow")
+        .groupby("__dpid")
+        .map_groups(listify, batch_format="pyarrow")
+    )
+    anchor = ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__cut_str": pa.array([], pa.string()),
+            }
+        )
+    )
+    joined = hash_join(
+        docs, anchor.union(cut_lists), on=id_col, how="left",
+        num_partitions=num_partitions,
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        out_cols = [c for c in t.column_names if c != "__cut_str"]
+        if len(t) == 0:
+            return t.select(out_cols)
+        cut = t["__cut_str"]
+        modified = np.flatnonzero(
+            pc.is_valid(cut).to_numpy(zero_copy_only=False)
+        )
+        texts = t[text_col].to_pylist()
+        if len(modified):
+            mod_texts = [texts[i] for i in modified]
+            codes, lens = _codes(mod_texts)
+            off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            cut_m = cut.take(pa.array(modified))
+            sl = pc.split_pattern(cut_m, ",")
+            vals = pc.cast(
+                pc.list_flatten(sl), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            par = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+            diff = np.zeros(int(lens.sum()) + 1, dtype=np.int64)
+            s0 = off[par] + vals
+            e0 = s0 + W  # pos <= len-W by construction, never clipped
+            np.add.at(diff, s0, 1)
+            np.add.at(diff, e0, -1)
+            keep = np.cumsum(diff[:-1]) == 0
+            kept = codes[keep]
+            kcnt = np.add.reduceat(
+                keep.astype(np.int64), off
+            ) if len(keep) else np.zeros(len(modified), np.int64)
+            kcnt[lens == 0] = 0  # reduceat repeats on empty slices
+            ko = np.concatenate(([0], np.cumsum(kcnt)))
+            kb = kept.tobytes()
+            for i, row in enumerate(modified):
+                texts[row] = kb[ko[i] * 4 : ko[i + 1] * 4].decode(
+                    "utf-32-le"
+                )
+        cols = {c: t[c] for c in out_cols}
+        cols[text_col] = pa.array(texts, pa.string())
+        return pa.table(cols)
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 def dedup_segments(
     docs: ray.data.Dataset,
     words_per_seg: int = 10,

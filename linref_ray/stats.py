@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -137,3 +138,34 @@ def top_k_per_group(
         .groupby(PID)
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def filter_by_quantile(
+    ds: ray.data.Dataset,
+    value_col: str,
+    q: float = 0.9,
+    keep: str = "above",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Quantile-threshold filter — the "keep the top (1-q) of the corpus by
+    quality score" primitive of curation pipelines. Computes the exact
+    ``q``-quantile of ``value_col`` (:func:`exact_quantiles` — counts-only
+    shuffle, driver-small result), then streams one vectorized filter pass:
+    ``keep='above'`` keeps rows with value >= the quantile, ``'below'``
+    keeps value <= it. The threshold is a closure scalar — nothing
+    broadcast, nothing re-shipped per batch; the wide columns never
+    shuffle."""
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    qt = exact_quantiles(ds, value_col, qs=(q,))
+    thr = qt["value"][0].as_py()
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        mask = (
+            pc.greater_equal(v, thr) if keep == "above"
+            else pc.less_equal(v, thr)
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

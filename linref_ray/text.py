@@ -515,7 +515,10 @@ def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
             )
 
     return docs.map_batches(
-        LangId, batch_format="pyarrow", batch_size=1024, concurrency=2,
+        LangId, batch_format="pyarrow", batch_size=1024,
+        # autoscaling: a fixed pool can park CPUs a tiny cluster needs
+        # elsewhere (same liveness note as the dedup signature stages)
+        concurrency=(1, 2),
         num_cpus=1,
     )
 

@@ -200,3 +200,89 @@ def test_knn_graph_ivf_recall_on_clustered(ray_session):
     e = set(zip(exact.query_id, exact.vec_id))
     a = set(zip(approx.query_id, approx.vec_id))
     assert len(a & e) / len(e) > 0.95
+
+
+def _spans_reference(texts: dict[int, str], w: int) -> dict[int, str]:
+    """Pure-Python ExactSubstr removal reference."""
+    first: dict[str, tuple[int, int]] = {}
+    for d in sorted(texts):
+        t = texts[d]
+        for p in range(len(t) - w + 1):
+            first.setdefault(t[p : p + w], (d, p))
+    out = {}
+    for d in sorted(texts):
+        t = texts[d]
+        cut = np.zeros(len(t), dtype=bool)
+        for p in range(len(t) - w + 1):
+            if first[t[p : p + w]] != (d, p):
+                cut[p : p + w] = True
+        out[d] = "".join(c for c, x in zip(t, cut) if not x)
+    return out
+
+
+def _run_spans(texts: dict[int, str], w: int, **kw) -> dict[int, str]:
+    from linref_ray.dedup import remove_duplicate_spans
+
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[d] for d in sorted(texts)]}
+    )
+    out = remove_duplicate_spans(
+        rd.from_pandas(df), window=w, **kw
+    ).to_pandas()
+    return dict(zip(out.doc_id, out.text))
+
+
+def test_remove_spans_basic(ray_session):
+    texts = {
+        0: "abcdefghij",
+        1: "xxabcdefghijyy",  # embedded copy cut, flanks survive
+        2: "abcd",            # exactly one window, duplicated -> ""
+        3: "zzzz",
+    }
+    got = _run_spans(texts, 4)
+    assert got == _spans_reference(texts, 4)
+    assert got[1] == "xxyy" and got[2] == ""
+
+
+def test_remove_spans_within_doc_and_unicode(ray_session):
+    texts = {
+        1: "héllo wörld héllo wörld",  # self-repeat: second copy cut
+        2: "ascii only text here",
+    }
+    got = _run_spans(texts, 5)
+    assert got == _spans_reference(texts, 5)
+    assert got[1].startswith("héllo wörld")
+    assert len(got[1]) < len(texts[1])
+
+
+def test_remove_spans_random_matches_reference(ray_session):
+    rng = np.random.default_rng(17)
+    alpha = list("abcdef ")
+    texts = {}
+    shared = "".join(rng.choice(alpha, size=30))
+    for d in range(40):
+        t = "".join(rng.choice(alpha, size=rng.integers(0, 60)))
+        if d % 3 == 0:  # plant the shared span mid-doc
+            cutp = len(t) // 2
+            t = t[:cutp] + shared + t[cutp:]
+        texts[d] = t
+    for w in (8, 16):
+        assert _run_spans(texts, w) == _spans_reference(texts, w)
+
+
+def test_remove_spans_sampled_catches_long_spans(ray_session):
+    # keep_mod>1: content-defined sampling still removes most of a LONG
+    # duplicated span (some flank chars may survive; nothing unique is cut)
+    rng = np.random.default_rng(23)
+    alpha = list("abcdefgh ")
+    shared = "".join(rng.choice(alpha, size=200))
+    texts = {
+        0: shared,
+        1: "UNIQ" + shared + "TAIL",
+    }
+    got = _run_spans(texts, 16, keep_mod=4)
+    exact = _spans_reference(texts, 16)
+    assert got[0] == shared                      # winner doc untouched
+    assert "UNIQ" in got[1] and "TAIL" in got[1]  # unique flanks survive
+    assert len(got[1]) < len(texts[1]) - 150      # bulk of the copy removed
+    assert len(exact[1]) <= len(got[1])           # sampling only under-cuts

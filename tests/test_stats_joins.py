@@ -142,3 +142,20 @@ def test_group_topk_partition_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_filter_by_quantile(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linref_ray.stats import filter_by_quantile
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 1000, 200)
+    ds = rd.from_pandas(pd.DataFrame({"id": np.arange(200), "v": v}))
+    thr = np.quantile(v, 0.8)  # numpy 'linear' == percentile_cont
+    hi = filter_by_quantile(ds, "v", q=0.8, keep="above").to_pandas()
+    lo = filter_by_quantile(ds, "v", q=0.8, keep="below").to_pandas()
+    assert sorted(hi.id) == sorted(np.flatnonzero(v >= thr))
+    assert sorted(lo.id) == sorted(np.flatnonzero(v <= thr))
