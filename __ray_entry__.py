@@ -1748,6 +1748,17 @@ def _q_dedup_segments(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing placement — distributed prefix
+    scan (bucket token sums → driver cumsum → broadcast bases)."""
+    from linref_ray.sampling import pack_sequences
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(docs, seq_len=256, bucket_size=64)
+
+
 def _q_quantile_filter(sf_dir: str):
     """Quantile-threshold curation filter: keep docs at or above the exact
     P90 of n_chars — counts-only quantile shuffle, then one streaming
@@ -1941,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "knn_graph_ivf": _q_knn_graph_ivf,
         "dedup_segments": _q_dedup_segments,
+        "pack_sequences": _q_pack_sequences,
         "quantile_filter": _q_quantile_filter,
         "remove_spans": _q_remove_spans,
         "shared_spans": _q_shared_spans,
@@ -3046,6 +3058,19 @@ sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
         from keep group by doc_id)
 select w.doc_id, coalesce(sel.t2, '') as text
 from w left join sel on w.doc_id = sel.doc_id
+"""
+    oracles["pack_sequences"] = """
+with w as (select doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) as n_tokens
+  from documents),
+o as (select doc_id, n_tokens,
+    coalesce(sum(n_tokens) over (order by doc_id
+      rows between unbounded preceding and 1 preceding), 0) as tok_offset
+  from w)
+select doc_id, n_tokens, tok_offset,
+       tok_offset // 256 as first_seq,
+       (tok_offset + greatest(n_tokens, 1) - 1) // 256 as last_seq
+from o
 """
     oracles["quantile_filter"] = """
 select doc_id, n_chars from documents

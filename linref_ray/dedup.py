@@ -125,6 +125,44 @@ def _chain_or_all_pairs(
     return np.triu_indices(n, k=1)
 
 
+def _allpairs_runs(
+    run_starts: np.ndarray, run_sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Global indices of ALL within-run pairs (i<j) for MANY runs at once —
+    the vectorized replacement for a per-run ``np.triu_indices`` loop
+    (200k+ tiny runs per kernel made the Python loop the stage wall).
+
+    Pair k of an n-run maps to (i, j) by triangular-number inversion:
+    ``i = n-2 - floor((sqrt(8*(C-k-1)+1) - 1)/2)`` with ``C = n(n-1)/2``,
+    then ``j = k - S(i) + i + 1`` where ``S(i) = i(n-1) - i(i-1)/2`` counts
+    pairs with first index < i. Exact in float64 for C < 2^52 (run sizes
+    are capped far below); an integer correction step guards the sqrt edge.
+    """
+    c_r = run_sizes * (run_sizes - 1) // 2
+    K = int(c_r.sum())
+    if K == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    run_id = np.repeat(np.arange(len(run_sizes)), c_r)
+    cum = np.concatenate(([0], np.cumsum(c_r)[:-1]))
+    k = np.arange(K, dtype=np.int64) - cum[run_id]
+    n = run_sizes[run_id]
+    c = c_r[run_id]
+    v = 8.0 * (c - k - 1) + 1.0
+    i = n - 2 - ((np.sqrt(v) - 1.0) / 2.0).astype(np.int64)
+    # correction: S(i) <= k < S(i+1)
+    def _s(ii):
+        return ii * (n - 1) - ii * (ii - 1) // 2
+    i = np.clip(i, 0, n - 2)
+    too_hi = _s(i) > k
+    i[too_hi] -= 1
+    too_lo = _s(i + 1) <= k
+    i[too_lo] += 1
+    j = k - _s(i) + i + 1
+    base = run_starts[run_id]
+    return base + i, base + j
+
+
 def pair_jaccard(
     ia: np.ndarray,
     ib: np.ndarray,
@@ -696,9 +734,11 @@ def shared_span_pairs(
     postings carrying a coarse ``__pid = fp % P`` → ``groupby(__pid)`` →
     ONE kernel per partition sweeps all its fp-buckets via lexsort + run
     boundaries (never one dispatch per bucket), emitting pairs with hot
-    buckets chain-degraded at ``max_bucket`` (logged); a final
-    ``groupby(id_a, id_b).count`` sums the distinct-window overlap per
-    pair. Hash collisions across different windows inflate a count with
+    buckets chain-degraded at ``max_bucket`` (logged) and pair counts
+    partial-aggregated INSIDE the kernel (≤ P rows per distinct pair cross
+    the final ``groupby(pair).sum`` — not one row per shared window); the
+    sum is the distinct-window overlap per pair. Hash collisions across
+    different windows inflate a count with
     probability ~pairs/2⁶⁴ — the accepted-negligible bound used throughout.
     """
     from linref_ray.kernels.hashing import rolling_fingerprints_many
@@ -731,6 +771,7 @@ def shared_span_pairs(
             {
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
             }
         )
         if len(t) == 0:
@@ -742,21 +783,46 @@ def shared_span_pairs(
         brk = np.flatnonzero(fp_s[1:] != fp_s[:-1])
         starts = np.concatenate(([0], brk + 1))
         ends = np.concatenate((brk + 1, [len(fp_s)]))
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for a, z in zip(starts, ends):
-            seg = ids_s[a:z]  # per-doc fingerprints are distinct already
-            if len(seg) < 2:
-                continue
-            ai, bi = _chain_or_all_pairs(seg, max_bucket, "shared-span")
-            out_a.append(seg[ai])
-            out_b.append(seg[bi])
-        if not out_a:
+        sizes = ends - starts
+        # small runs: ONE vectorized all-pairs pass over every run at once
+        small = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket))
+        ai, bi = _allpairs_runs(starts[small], sizes[small])
+        out_a = [ids_s[ai]]
+        out_b = [ids_s[bi]]
+        # hot runs (rare, logged): chain degradation, per run
+        for r in np.flatnonzero(sizes > max_bucket):
+            seg = ids_s[starts[r] : ends[r]]
+            ca, cb = _chain_or_all_pairs(seg, max_bucket, "shared-span")
+            out_a.append(seg[ca])
+            out_b.append(seg[cb])
+        if not sum(len(x) for x in out_a):
             return empty
+        # partial aggregation INSIDE the partition: a pair sharing many
+        # windows whose fingerprints land in this partition collapses to
+        # ONE (pair, count) row here, so the global shuffle moves at most
+        # num_partitions rows per distinct pair instead of one row per
+        # shared window (dup-heavy corpora emit orders of magnitude more
+        # raw pair rows than distinct pairs)
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        order = np.lexsort([b, a])
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(a_s)))
+        ua, ub = a_s[starts], b_s[starts]
+        ppid = (
+            (ua.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ ub.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int64)
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(out_a)),
-                "id_b": pa.array(np.concatenate(out_b)),
+                "id_a": pa.array(ua),
+                "id_b": pa.array(ub),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+                "__ppid": pa.array(ppid),
             }
         )
 
@@ -766,30 +832,52 @@ def shared_span_pairs(
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
-    def finish(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["count()"], pa.int64())
-        out = pa.table(
-            {"id_a": t["id_a"], "id_b": t["id_b"], "n_shared": n}
+    def pair_sum(t: pa.Table) -> pa.Table:
+        # final per-pair sum as ONE kernel per coarse pair-hash partition —
+        # Ray's multi-key groupby().sum() Aggregate was the stage wall
+        # (~490 s remote on 5M pair rows at sf0.1; this kernel is <1 s)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
         )
-        if min_shared > 1:
-            out = out.filter(
-                pc.greater_equal(out["n_shared"], min_shared)
-            )
-        return out
+        if len(t) == 0:
+            return empty
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        n = t["n_partial"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([b, a])
+        a_s, b_s, n_s = a[order], b[order], n[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(n_s, starts)
+        keep = tot >= min_shared
+        return pa.table(
+            {
+                "id_a": pa.array(a_s[starts][keep]),
+                "id_b": pa.array(b_s[starts][keep]),
+                "n_shared": pa.array(tot[keep].astype(np.int64)),
+            }
+        )
 
     anchor = ray.data.from_arrow(
         pa.table(
             {
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+                "__ppid": pa.array([], pa.int64()),
             }
         )
     )
     return (
         anchor.union(pairs)
-        .groupby(["id_a", "id_b"])
-        .count()
-        .map_batches(finish, batch_format="pyarrow")
+        .groupby("__ppid")
+        .map_groups(pair_sum, batch_format="pyarrow")
     )
 
 

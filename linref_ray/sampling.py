@@ -163,3 +163,108 @@ def stratified_sample(
         return t.filter(pa.array(hash_buckets(keys, salt) < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    seq_len: int = 2048,
+    bucket_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout):
+    documents concatenated in ``id`` order, the token stream chunked into
+    fixed ``seq_len`` sequences. Returns each doc's deterministic placement
+    ``(id, n_tokens, tok_offset, first_seq, last_seq)`` — everything a
+    sharded tokenizer-writer needs to emit its slice independently.
+
+    The global token offset is a DISTRIBUTED PREFIX SCAN: docs bucket by
+    ``id // bucket_size``; pass 1 streams per-bucket token sums (one row
+    per bucket — at 1e9 docs / 4096 that's a 244k-row driver cumsum);
+    the exclusive bucket bases broadcast via ``ray.put``; pass 2 is one
+    ``groupby(bucket)`` kernel that sorts its bucket locally and adds the
+    base. No global sort, no all-to-all beyond the bucket groupby; text
+    never shuffles (token counts are computed per batch, and pass 2 moves
+    ``(id, n_tokens)`` int rows only). Token = nonempty whitespace word,
+    identical to the SQL oracle.
+    """
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    L = int(seq_len)
+    B = int(bucket_size)
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t[text_col], " ")
+        total = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        emptyc = np.bincount(
+            pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)[
+                pc.equal(flat, "").to_numpy(zero_copy_only=False)
+            ],
+            minlength=len(ids),
+        )
+        n_tok = total - emptyc
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_tokens": pa.array(n_tok),
+                "__bkt": pa.array(ids // B),
+            }
+        )
+
+    per_doc = docs.map_batches(
+        counts, batch_format="pyarrow", batch_size=1024
+    ).materialize()  # consumed twice: bucket sums + placement pass
+
+    bkt_tbl = pa.concat_tables(
+        _ray.get(
+            per_doc.groupby("__bkt").sum("n_tokens").to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    b_ids = bkt_tbl["__bkt"].to_numpy(zero_copy_only=False)
+    b_sum = bkt_tbl["sum(n_tokens)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b_ids)
+    base = dict(
+        zip(
+            b_ids[order].tolist(),
+            np.concatenate(([0], np.cumsum(b_sum[order])[:-1])).tolist(),
+        )
+    )
+    base_ref = _ray.put(base)
+
+    def place(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "tok_offset": pa.array([], pa.int64()),
+                "first_seq": pa.array([], pa.int64()),
+                "last_seq": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        bases = _ray.get(base_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s, n_s = ids[order], n[order]
+        off = bases[int(ids_s[0] // B)] + np.concatenate(
+            ([0], np.cumsum(n_s)[:-1])
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids_s),
+                "n_tokens": pa.array(n_s),
+                "tok_offset": pa.array(off),
+                "first_seq": pa.array(off // L),
+                "last_seq": pa.array((off + np.maximum(n_s, 1) - 1) // L),
+            }
+        )
+
+    return per_doc.groupby("__bkt").map_groups(place, batch_format="pyarrow")

@@ -144,3 +144,37 @@ def test_stratified_sample_respects_per_stratum_fractions(ray_session):
         ds, "label", {}, "vec_id", default=1.0
     ).to_pandas()
     assert len(out2) == n
+
+
+def test_pack_sequences_prefix_scan(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linref_ray.sampling import pack_sequences
+
+    rng = np.random.default_rng(7)
+    # sparse, shuffled, multi-bucket ids; some empty docs
+    ids = rng.choice(10_000, size=300, replace=False)
+    texts = [
+        " ".join(f"t{j}" for j in range(rng.integers(0, 40)))
+        for _ in ids
+    ]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    out = (
+        pack_sequences(rd.from_pandas(df), seq_len=64, bucket_size=128)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["n_tokens"] = [len([w for w in t.split(" ") if w]) for t in texts]
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    exp_off = np.concatenate(([0], np.cumsum(ref.n_tokens)[:-1]))
+    assert list(out.doc_id) == list(ref.doc_id)
+    assert list(out.n_tokens) == list(ref.n_tokens)
+    assert list(out.tok_offset) == list(exp_off)
+    assert list(out.first_seq) == list(exp_off // 64)
+    assert list(out.last_seq) == list(
+        (exp_off + np.maximum(ref.n_tokens, 1) - 1) // 64
+    )
