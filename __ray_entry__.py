@@ -1227,8 +1227,17 @@ def _q_interpolate_geom(sf_dir: str):
     srcs = _tile_fragments(9810)
     rel = Relation(pts, srcs, PT, LIN, num_partitions=NPARTS)
     out = rel.interpolate_geoms(multiple="first")
+
+    def drop_unmatched(t: pa.Table) -> pa.Table:
+        # points beyond the tiled range emit NaN coords by spec; the
+        # query reports matched interpolations (oracle bounds loc the
+        # same way — no unmatched points exist at sf0.01, some do at 0.1)
+        return t.filter(pc.is_finite(t["x"]))
+
     return _int_micro_cols(
-        out.select_columns(["event_id", "x", "y"]), {"x": 6, "y": 6}
+        out.map_batches(drop_unmatched, batch_format="pyarrow")
+        .select_columns(["event_id", "x", "y"]),
+        {"x": 6, "y": 6},
     )
 
 
@@ -2793,6 +2802,7 @@ select event_id,
        cast(round(round(loc, 9) * 1000000) as bigint) as x,
        cast(round(cast(route_id as double) * 1000000) as bigint) as y
 from p
+where loc <= 9810  -- the tiled fragment range; beyond it points are unmatched
 """
     oracles["audio_features_planted"] = """
 with i as (select unnest(generate_series(0, 39)) as i)

@@ -1173,7 +1173,8 @@ class Relation:
 
         ``multiple`` ∈ {'first','last','raise','list'} — same selection
         semantics as :meth:`cut` ('list' explodes to one row per match with
-        ``interp_idx``). Unmatched targets emit null coordinates. The
+        ``interp_idx``). Unmatched targets emit NaN coordinates (filter
+        with ``pc.is_finite`` to keep matches only). The
         target side must be point events and the source side linear events
         carrying ``xs/ys/ms`` list columns (the reference's axis
         requirement, both directions).
