@@ -508,15 +508,13 @@ def tile_histogram(
             }
         )
 
-    # Pre-aggregate per batch (combiner), then a tiny final groupby.
-    partials = with_cells.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
+    # Pre-aggregate per batch (combiner), then a coarse-pid kernel sum —
+    # the tile key space is high-cardinality, where Ray's multi-key
+    # Aggregate is pathological (see partition.grouped_int_sum).
+    from linref_ray.partition import grouped_int_sum
 
-    return (
-        partials.repartition(8)
-        .groupby(["ix", "iy"])
-        .aggregate(Sum("__n", alias_name="n"))
-    )
+    partials = with_cells.map_batches(partial, batch_format="pyarrow")
+    return grouped_int_sum(partials, ("ix", "iy"), "__n", out_col="n")
 
 
 def tile_pyramid(
@@ -536,7 +534,6 @@ def tile_pyramid(
     the base, matching the Morton-prefix parent relation of H3/S2-style
     hierarchies. Output: ``level`` (0 = finest), ``ix, iy, n``.
     """
-    from ray.data.aggregate import Sum
 
     def tag(level: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -552,13 +549,14 @@ def tile_pyramid(
             {"ix": pa.array(ix), "iy": pa.array(iy), "n": t["n"]}
         )
 
+    from linref_ray.partition import grouped_int_sum
+
     cur = tile_histogram(ds, res, x_col, y_col)
     out = cur.map_batches(tag(0), batch_format="pyarrow")
     for level in range(1, levels + 1):
-        cur = (
-            cur.map_batches(parent, batch_format="pyarrow")
-            .groupby(["ix", "iy"])
-            .aggregate(Sum("n", alias_name="n"))
+        cur = grouped_int_sum(
+            cur.map_batches(parent, batch_format="pyarrow"),
+            ("ix", "iy"), "n",
         )
         out = out.union(cur.map_batches(tag(level), batch_format="pyarrow"))
     return out
@@ -750,13 +748,12 @@ def cell_mileage_histogram(
             }
         )
 
-    from ray.data.aggregate import Sum
+    from linref_ray.partition import grouped_int_sum
 
-    return (
-        pairs.map_batches(partial, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .groupby(["ix", "iy"])
-        .aggregate(Sum("__m", alias_name="mileage_micro"))
+    return grouped_int_sum(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        ("ix", "iy"), "__m", out_col="mileage_micro",
+        num_partitions=num_partitions,
     )
 
 

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from linref_ray.partition import DEFAULT_NUM_PARTITIONS, KEYCOL, PID, add_partition_cols
+from linref_ray.partition import DEFAULT_NUM_PARTITIONS, grouped_sums, KEYCOL, PID, add_partition_cols
 
 
 _TS_DIVISOR = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
@@ -91,10 +91,11 @@ def tumbling_window(
         return _window_partials(t[key_col], win, vals, key_col)
 
     partials = ds.map_batches(fn, batch_format="pyarrow")
-    return (
-        partials.repartition(max(num_partitions // 2, 4))
-        .groupby([key_col, "window"])
-        .aggregate(Sum("__n", alias_name="n"), Sum("__s", alias_name="total"))
+    # (key, window) is high-cardinality — coarse-pid kernel sum, not the
+    # built-in Aggregate (see partition.grouped_sums)
+    return grouped_sums(
+        partials, (key_col, "window"), (("__n", "n"), ("__s", "total")),
+        num_partitions=max(num_partitions // 2, 4),
     )
 
 
@@ -128,10 +129,9 @@ def sliding_window(
         return _window_partials(out[key_col], win, vals, key_col)
 
     partials = ds.map_batches(expand, batch_format="pyarrow")
-    return (
-        partials.repartition(max(num_partitions // 2, 4))
-        .groupby([key_col, "window"])
-        .aggregate(Sum("__n", alias_name="n"), Sum("__s", alias_name="total"))
+    return grouped_sums(
+        partials, (key_col, "window"), (("__n", "n"), ("__s", "total")),
+        num_partitions=max(num_partitions // 2, 4),
     )
 
 
