@@ -219,6 +219,10 @@ def grouped_sums(
     )
     return (
         anchor.union(ds.map_batches(add_pid, batch_format="pyarrow"))
+        # consolidate the many tiny partial blocks first: the sort-based
+        # groupby pays a large fixed cost PER BLOCK (repartition-before-
+        # groupby pitfall), and partials are slim
+        .repartition(num_partitions)
         .groupby("__gpid")
         .map_groups(kernel, batch_format="pyarrow")
     )

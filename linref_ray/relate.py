@@ -782,13 +782,65 @@ class Relation:
         )
 
     def value_counts(self, col, target="left", **kwargs):
-        """Long-format (id, value, n) counts (``relate.py:969-1018``)."""
+        """Long-format (id, value, n) counts (``relate.py:969-1018``).
+
+        (id, value) is high-cardinality, where Ray's multi-key Aggregate
+        is pathological (partition.grouped_sums note): partition on the
+        int id hash alone — every (id, value) group is then
+        partition-local — and count groups in ONE factorize+lexsort
+        kernel per partition."""
+        import pandas as pd
+
         tid, _, _ = self._tid(target)
         pairs = self.intersect(**kwargs)
+        nparts = self.num_partitions
+        val_type = None
+        for n, ty in zip(pairs.schema().names, pairs.schema().types):
+            if n == col and isinstance(ty, pa.DataType):
+                val_type = ty
+        if val_type is None:
+            val_type = pa.string()
+
+        def add_pid(t: pa.Table) -> pa.Table:
+            ids = t[tid].to_numpy(zero_copy_only=False)
+            pid = (
+                pd.util.hash_array(ids) % np.uint64(nparts)
+            ).astype(np.int64)
+            return t.append_column("__vpid", pa.array(pid))
+
+        def count_kernel(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    tid: pa.array([], pa.int64()),
+                    col: pa.array([], val_type),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+            if len(t) == 0:
+                return empty
+            ids = t[tid].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = t[col].to_numpy(zero_copy_only=False)
+            uniq, codes = np.unique(vals, return_inverse=True)
+            order = np.lexsort([codes, ids])
+            ids_s, codes_s = ids[order], codes[order]
+            first = np.concatenate(
+                ([True], (ids_s[1:] != ids_s[:-1])
+                 | (codes_s[1:] != codes_s[:-1]))
+            )
+            starts = np.flatnonzero(first)
+            n = np.diff(np.append(starts, len(ids_s)))
+            return pa.table(
+                {
+                    tid: pa.array(ids_s[starts]),
+                    col: pc.cast(pa.array(uniq[codes_s[starts]]), val_type),
+                    "n": pa.array(n.astype(np.int64)),
+                }
+            )
+
         out = (
-            pairs.repartition(self.num_partitions)
-            .groupby([tid, col])
-            .aggregate(Count(alias_name="n"))
+            pairs.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("__vpid")
+            .map_groups(count_kernel, batch_format="pyarrow")
         )
         return out.rename_columns({tid: self._out_id(target)})
 
