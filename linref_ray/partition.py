@@ -102,10 +102,14 @@ def salted_partition_rows(
         - np.repeat(offs[:-1], counts)
         + np.repeat(b0, counts)
     )
-    salted = np.char.add(
-        np.char.add(keys[rows].astype(str), "#"), buckets.astype(str)
+    # integer mix of (key hash, bucket) — the earlier np.char string
+    # concat ("key#bucket") was the dominant cost of the salted path
+    kh = pd.util.hash_array(np.asarray(keys), categorize=True)[rows]
+    mixed = (
+        kh * np.uint64(0x9E3779B97F4A7C15)
+        ^ buckets.view(np.uint64)
     )
-    pid = (pd.util.hash_array(salted) % np.uint64(num_partitions)).astype(np.int64)
+    pid = (mixed % np.uint64(num_partitions)).astype(np.int64)
     return rows, buckets, pid
 
 
