@@ -1757,6 +1757,49 @@ def _q_dedup_segments(sf_dir: str):
     )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-20 tokens via the candidate-complete two-pass frequent-
+    items sketch (batch-local Misra-Gries-style candidates, broadcast
+    candidate set, exact second pass). The unconditioned exact-top-k SQL
+    oracle passing proves the sketch guarantee held on this corpus."""
+    from linref_ray.text import heavy_hitters
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return heavy_hitters(docs, k=20, capacity=64)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog cardinality of the text column (rows-only: the sketch
+    estimate is not SQL-replicable; `distinct_exact` is the oracled twin
+    and tests assert <2% relative error at p=14)."""
+    import pandas as pd
+
+    from linref_ray.stats import approx_distinct
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    est = approx_distinct(docs, "text", precision=14)
+    return pd.DataFrame({"approx_distinct": [est]})
+
+
+def _q_distinct_exact(sf_dir: str):
+    """Exact distinct count via the content-hash groupby (the
+    `approx_distinct` twin's ground truth)."""
+    import pandas as pd
+
+    from linref_ray.dedup import exact_dedup
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pd.DataFrame(
+        {"n_distinct": [exact_dedup(docs).count()]}
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing placement — distributed prefix
     scan (bucket token sums → driver cumsum → broadcast bases)."""
@@ -1961,6 +2004,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "knn_graph_ivf": _q_knn_graph_ivf,
         "dedup_segments": _q_dedup_segments,
+        "approx_distinct": _q_approx_distinct,
+        "distinct_exact": _q_distinct_exact,
+        "heavy_hitters": _q_heavy_hitters,
         "pack_sequences": _q_pack_sequences,
         "quantile_filter": _q_quantile_filter,
         "remove_spans": _q_remove_spans,
@@ -3068,6 +3114,18 @@ sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
         from keep group by doc_id)
 select w.doc_id, coalesce(sel.t2, '') as text
 from w left join sel on w.doc_id = sel.doc_id
+"""
+    oracles["heavy_hitters"] = """
+with w as (
+  select unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+    as token
+  from documents
+),
+c as (select token, count(*)::bigint as n from w group by token)
+select token, n from c order by n desc, token asc limit 20
+"""
+    oracles["distinct_exact"] = """
+select count(distinct text)::bigint as n_distinct from documents
 """
     oracles["pack_sequences"] = """
 with w as (select doc_id,

@@ -169,3 +169,87 @@ def filter_by_quantile(
         return t.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def approx_distinct(
+    ds: ray.data.Dataset,
+    col: str,
+    precision: int = 12,
+) -> float:
+    """HyperLogLog approximate COUNT DISTINCT (Flajolet et al. 2007,
+    public) — the mergeable-sketch cardinality path for columns whose
+    exact distinct would itself need a full shuffle.
+
+    Per batch: stable 64-bit value hashes → register index (top
+    ``precision`` bits) and rank (leading-zero count of the rest + 1);
+    the batch partial is its max rank per register — slim ``(register,
+    rank)`` rows. One tiny ``groupby(register).max`` merges all partials
+    (registers ≤ 2^precision), and the driver applies the standard HLL
+    estimator with linear-counting small-range correction. Deterministic
+    for a given input set and independent of batching/partitioning
+    (max is order-free) — asserted by tests.
+    """
+    import pandas as pd
+    import ray as _ray
+
+    p = int(precision)
+    if not 4 <= p <= 18:
+        raise ValueError("precision must be in [4, 18]")
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "reg": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        h = pd.util.hash_array(
+            t[col].to_numpy(zero_copy_only=False), categorize=False
+        )
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        # rank = leading zeros of the remaining 64-p bits + 1; the OR above
+        # caps it at 64-p+1 without a branch
+        rank = np.zeros(len(h), dtype=np.int64)
+        x = rest.copy()
+        probe = np.uint64(1) << np.uint64(63)
+        while True:
+            lead = (x & probe) == 0
+            if not lead.any():
+                break
+            rank[lead] += 1
+            x[lead] = x[lead] << np.uint64(1)
+        rank += 1
+        order = np.lexsort([-rank, reg])
+        reg_s, rank_s = reg[order], rank[order]
+        first = np.concatenate(([True], reg_s[1:] != reg_s[:-1]))
+        return pa.table(
+            {
+                "reg": pa.array(reg_s[first]),
+                "rank": pa.array(rank_s[first]),
+            }
+        )
+
+    tbl = pa.concat_tables(
+        _ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("reg")
+            .max("rank")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    if len(tbl):
+        regs[tbl["reg"].to_numpy(zero_copy_only=False)] = tbl[
+            "max(rank)"
+        ].to_numpy(zero_copy_only=False)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range fix
+    return float(est)

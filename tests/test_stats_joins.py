@@ -159,3 +159,49 @@ def test_filter_by_quantile(ray_session):
     lo = filter_by_quantile(ds, "v", q=0.8, keep="below").to_pandas()
     assert sorted(hi.id) == sorted(np.flatnonzero(v >= thr))
     assert sorted(lo.id) == sorted(np.flatnonzero(v <= thr))
+
+
+def test_approx_distinct_accuracy_and_partition_independence(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linref_ray.stats import approx_distinct
+
+    rng = np.random.default_rng(3)
+    # 20k rows over exactly 7000 distinct values
+    vals = [f"v{int(i)}" for i in rng.integers(0, 7000, 20_000)]
+    truth = len(set(vals))
+    df = pd.DataFrame({"x": vals})
+    est = approx_distinct(rd.from_pandas(df), "x", precision=14)
+    assert abs(est - truth) / truth < 0.02
+    # partition independence: different blocking, identical estimate
+    est2 = approx_distinct(
+        rd.from_pandas(df).repartition(13), "x", precision=14
+    )
+    assert est == est2
+
+
+def test_heavy_hitters_exact_topk(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linref_ray.text import heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # zipf-ish corpus: token ti appears ~ 1/(i+1) of the time
+    weights = 1.0 / np.arange(1, 101)
+    weights /= weights.sum()
+    docs = []
+    for d in range(200):
+        toks = rng.choice(100, size=50, p=weights)
+        docs.append(" ".join(f"t{i:03d}" for i in toks))
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": docs})
+    got = heavy_hitters(rd.from_pandas(df), k=10, capacity=64).to_pandas()
+    # brute-force exact
+    from collections import Counter
+
+    c = Counter(w for t in docs for w in t.split())
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.token, got.n)) == exp
