@@ -1757,6 +1757,18 @@ def _q_dedup_segments(sf_dir: str):
     )
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable ε-approximate quantiles of events.value (rows-only: the
+    sketch depends on batching; the exact `quantiles` query is the oracled
+    twin and tests assert the rank-error bound)."""
+    from linref_ray.stats import approx_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return approx_quantiles(
+        ev, "value", qs=(0.25, 0.5, 0.75, 0.95), points_per_batch=512
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact top-20 tokens via the candidate-complete two-pass frequent-
     items sketch (batch-local Misra-Gries-style candidates, broadcast
@@ -2005,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_ivf": _q_knn_graph_ivf,
         "dedup_segments": _q_dedup_segments,
         "approx_distinct": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
         "distinct_exact": _q_distinct_exact,
         "heavy_hitters": _q_heavy_hitters,
         "pack_sequences": _q_pack_sequences,

@@ -253,3 +253,81 @@ def approx_distinct(
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting small-range fix
     return float(est)
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    points_per_batch: int = 256,
+) -> pa.Table:
+    """Mergeable ε-approximate quantiles — the scale path where
+    :func:`exact_quantiles`' per-distinct-value count shuffle would explode
+    on continuous float columns (1e12 rows of doubles have ~1e12 distinct
+    values; this never shuffles more than ``points_per_batch`` rows per
+    batch).
+
+    Each batch contributes its own exact quantile grid decimated to
+    ``points_per_batch`` (value, weight) points — a classic mergeable
+    summary with rank error ≤ batch_rows / points_per_batch per batch,
+    i.e. ≤ total_rows / points_per_batch overall after the single merge
+    (one tiny driver-side weighted-quantile pass; partials are
+    driver-small by construction). Deterministic given the batching;
+    tests assert the rank-error bound against the exact result.
+    Returns an Arrow table ``(q, value)``.
+    """
+    import ray as _ray
+
+    k = int(points_per_batch)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "v": pa.array([], pa.float64()),
+                "w": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        v = np.sort(
+            t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        n = len(v)
+        if n <= k:
+            return pa.table(
+                {"v": pa.array(v), "w": pa.array(np.ones(n))}
+            )
+        # exact batch quantiles at k evenly spaced ranks, each carrying
+        # weight n/k — a decimated empirical CDF
+        idx = np.minimum(
+            ((np.arange(k) + 0.5) * n / k).astype(np.int64), n - 1
+        )
+        return pa.table(
+            {
+                "v": pa.array(v[idx]),
+                "w": pa.array(np.full(k, n / k)),
+            }
+        )
+
+    tbl = pa.concat_tables(
+        _ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    w = tbl["w"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1] if len(cum) else 0.0
+    out_q, out_v = [], []
+    for q in qs:
+        if not len(v):
+            continue
+        pos = np.searchsorted(cum, q * total, side="left")
+        out_q.append(float(q))
+        out_v.append(float(v[min(pos, len(v) - 1)]))
+    return pa.table(
+        {"q": pa.array(out_q), "value": pa.array(out_v)}
+    )

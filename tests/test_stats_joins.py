@@ -205,3 +205,23 @@ def test_heavy_hitters_exact_topk(ray_session):
     c = Counter(w for t in docs for w in t.split())
     exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got.token, got.n)) == exp
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linref_ray.stats import approx_quantiles
+
+    rng = np.random.default_rng(8)
+    v = rng.normal(size=50_000)  # continuous: every value distinct
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(16)
+    got = approx_quantiles(ds, "x", qs=(0.1, 0.5, 0.9, 0.99),
+                           points_per_batch=256)
+    sv = np.sort(v)
+    for q, val in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+        # rank of the returned value must be within total/points_per_batch
+        # of the true rank (the mergeable-summary bound, with slack 2x)
+        rank = np.searchsorted(sv, val)
+        assert abs(rank - q * len(v)) < 2 * len(v) / 256, (q, rank)
