@@ -618,6 +618,44 @@ def _word_ngram_hashes(
     return w_doc[:m][valid], gh[valid]
 
 
+def _bloom_build(hashes: np.ndarray, fp: float) -> tuple[np.ndarray, int, int]:
+    """Bloom bit array over 64-bit hashes (classic double hashing):
+    ``(words, m_bits, k)`` with false-positive target ``fp``."""
+    import math
+
+    n = max(len(hashes), 1)
+    m_bits = max(64, int(-n * math.log(fp) / (math.log(2) ** 2)))
+    k = max(1, round(m_bits / n * math.log(2)))
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    h1 = hashes.astype(np.uint64)
+    h2 = h1 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+    return words, m_bits, k
+
+
+def _bloom_probe(
+    words: np.ndarray, m_bits: int, k: int, hashes: np.ndarray
+) -> np.ndarray:
+    h1 = hashes.astype(np.uint64)
+    h2 = h1 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    hit = np.ones(len(hashes), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            bit = (
+                words[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ) & np.uint64(1)
+            hit &= bit.astype(bool)
+    return hit
+
+
 def decontaminate(
     docs: ray.data.Dataset,
     eval_docs: ray.data.Dataset,
@@ -625,6 +663,8 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_eval_grams: int = 50_000_000,
+    method: str = "exact",
+    bloom_fp: float = 0.01,
 ) -> ray.data.Dataset:
     """Benchmark decontamination — flag corpus docs sharing any lowercased
     word ``n``-gram with an eval/benchmark set (the GPT-3-appendix /
@@ -640,8 +680,19 @@ def decontaminate(
 
     Output: ``(id, n_grams, n_hits, contaminated)`` per corpus doc —
     ``n_hits`` counts gram *positions* whose gram is in the eval set.
+
+    ``method='bloom'`` is the broadcast-size scale mode: the eval set ships
+    as a Bloom bit array (~10 bits/gram at ``bloom_fp=0.01`` vs 64 for the
+    sorted-hash array — 6.4× smaller, or 16× at fp=1%±). Bloom filters have
+    NO false negatives, so every truly contaminated doc is still flagged;
+    a ~``bloom_fp`` fraction of clean grams false-positive (over-flagging
+    only — the safe direction for decontamination). The exact mode is the
+    oracle mode.
     """
     import ray as _ray
+
+    if method not in ("exact", "bloom"):
+        raise ValueError("method must be 'exact' or 'bloom'")
 
     def eval_partial(t: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(t[text_col]).to_pylist()
@@ -661,14 +712,26 @@ def decontaminate(
             f"(> max_eval_grams={max_eval_grams}); decontaminate broadcasts "
             "the eval set — it must be the small side"
         )
-    banned_ref = _ray.put(banned)
+    if method == "bloom":
+        banned_ref = _ray.put(_bloom_build(banned, bloom_fp))
+        have_banned = bool(len(banned))
+    else:
+        banned_ref = _ray.put(banned)
+        have_banned = True
 
     def scan(t: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(t[text_col]).to_pylist()
         rows = len(texts)
         gdoc, gh = _word_ngram_hashes(texts, n)
         b = _ray.get(banned_ref)  # per-worker plasma fetch, cached
-        if len(gh) and len(b):
+        if method == "bloom":
+            words, m_bits, kk = b
+            hit = (
+                _bloom_probe(words, m_bits, kk, gh)
+                if len(gh) and have_banned
+                else np.zeros(len(gh), bool)
+            )
+        elif len(gh) and len(b):
             pos = np.minimum(np.searchsorted(b, gh), len(b) - 1)
             hit = b[pos] == gh
         else:

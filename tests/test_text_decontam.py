@@ -193,3 +193,52 @@ def test_redact_email_digits_not_double_counted(ray_session):
     out = redact_pii(docs).to_pandas()
     assert out["clean_text"][0] == "x <EMAIL> y"
     assert out["n_emails"][0] == 1 and out["n_nums"][0] == 0
+
+
+def test_bloom_mode_no_false_negatives_and_bounded_fp(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linref_ray.text import decontaminate
+
+    rng = np.random.default_rng(12)
+    vocab = [f"w{i}" for i in range(4000)]
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(400),
+        "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(400)],
+    })
+    evald = pd.DataFrame({
+        "doc_id": np.arange(20),
+        # eval docs reuse corpus docs 0..19 verbatim -> guaranteed overlap
+        "text": corpus.text[:20].tolist(),
+    })
+    ex = decontaminate(
+        rd.from_pandas(corpus), rd.from_pandas(evald)
+    ).to_pandas().set_index("doc_id")
+    bl = decontaminate(
+        rd.from_pandas(corpus), rd.from_pandas(evald),
+        method="bloom", bloom_fp=0.01,
+    ).to_pandas().set_index("doc_id")
+    # no false negatives: every exact hit is a bloom hit, per-doc counts >=
+    assert (bl.n_hits >= ex.n_hits).all()
+    assert set(ex[ex.contaminated].index) <= set(bl[bl.contaminated].index)
+    # bounded over-flagging: extra hit positions are ~fp of clean grams
+    extra = int(bl.n_hits.sum() - ex.n_hits.sum())
+    clean = int(ex.n_grams.sum() - ex.n_hits.sum())
+    assert extra <= max(20, 0.05 * clean), (extra, clean)
+
+
+def test_bloom_kernel_roundtrip(ray_session):
+    import numpy as np
+
+    from linref_ray.text import _bloom_build, _bloom_probe
+
+    rng = np.random.default_rng(1)
+    members = rng.integers(0, 2**63, 10_000, dtype=np.int64)
+    others = rng.integers(0, 2**63, 10_000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    words, m, k = _bloom_build(members, 0.01)
+    assert _bloom_probe(words, m, k, members).all()
+    fp = _bloom_probe(words, m, k, others).mean()
+    assert fp < 0.03, fp
