@@ -230,3 +230,57 @@ def grouped_sums(
         .groupby("__gpid")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def grouped_distinct(
+    ds,
+    cols: tuple[str, ...],
+    num_partitions: int = 8,
+):
+    """DISTINCT over a column tuple at high cardinality: coarse hash
+    partition on the canonical key string, then Arrow's own C++
+    ``Table.group_by`` per partition — same rationale as
+    :func:`grouped_sums` (Ray's Aggregate degrades with many groups),
+    but type-agnostic (string keys welcome)."""
+    import ray.data
+
+    key_cols = list(cols)
+    schema = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("__dpid2", pa.array([], pa.int64()))
+        key = canonical_key_array(t.select(key_cols), tuple(key_cols))
+        pid = hash_partition_ids(key, num_partitions)
+        return t.select(key_cols).append_column("__dpid2", pa.array(pid))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        sub = t.select(key_cols)
+        if len(sub) == 0:
+            return sub
+        return sub.group_by(key_cols, use_threads=False).aggregate(
+            []
+        ).select(key_cols)
+
+    anchor = ray.data.from_arrow(
+        pa.table(
+            {
+                **{
+                    c: pa.array(
+                        [],
+                        schema[c]
+                        if isinstance(schema.get(c), pa.DataType)
+                        else pa.string(),
+                    )
+                    for c in key_cols
+                },
+                "__dpid2": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return (
+        anchor.union(ds.map_batches(add_pid, batch_format="pyarrow"))
+        .repartition(num_partitions)
+        .groupby("__dpid2")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -917,7 +917,12 @@ def cluster_events(
 
     # Assign global ids: (route, local component) → dense int. The distinct
     # (route, comp) list is small (≤ events); aggregate it, label on driver.
-    distinct = local.groupby(["__ckey", "__cpos"]).count().drop_columns(["count()"])
+    from linref_ray.partition import grouped_distinct
+
+    distinct = grouped_distinct(
+        local.select_columns(["__ckey", "__cpos"]), ("__ckey", "__cpos"),
+        num_partitions=num_partitions,
+    )
     ddf = distinct.to_pandas()
     ddf = ddf.sort_values(["__ckey", "__cpos"]).reset_index(drop=True)
     ddf["cluster"] = np.arange(len(ddf), dtype=np.int64)
@@ -940,9 +945,11 @@ def cluster_events(
             lambda t: t.filter(pc.is_valid(t[link_col])),
             batch_format="pyarrow",
         )
-        pairs = (
-            links.groupby([link_col, "__ckey", "__cpos"]).count().to_pandas()
-        )
+        pairs = grouped_distinct(
+            links.select_columns([link_col, "__ckey", "__cpos"]),
+            (link_col, "__ckey", "__cpos"),
+            num_partitions=num_partitions,
+        ).to_pandas()
         comp_key = {
             (k, p): i
             for i, (k, p) in enumerate(zip(ddf["__ckey"], ddf["__cpos"]))
