@@ -141,11 +141,13 @@ def grouped_sums(
     (measured ~490 s remote wall on 5M rows / ~3M pair groups; this shape
     ran in ~1 s) — few-group aggregates should keep using the built-in.
 
-    ``sums`` is ``((in_col, out_col), ...)``. Integer columns sum exactly
-    (order-free); float64 columns sum in ``reduceat`` order, which differs
-    from the built-in aggregate's order by last-bit float association —
-    callers that need bit-stability against an oracle must round after the
-    total (the same contract the built-in already imposed).
+    ``sums`` is ``((in_col, out_col), ...)`` or ``((in_col, out_col,
+    op), ...)`` with ``op`` ∈ {'sum','min','max'} (default 'sum').
+    Integer sums and all min/max are order-free (bitwise-stable); float64
+    sums run in ``reduceat`` order, which differs from the built-in
+    aggregate's order by last-bit float association — callers that need
+    bit-stability against an oracle must round after the total (the same
+    contract the built-in already imposed).
     """
     import ray.data
 
@@ -179,10 +181,10 @@ def grouped_sums(
             {
                 **{c: pa.array([], key_types[c]) for c in keys},
                 **{
-                    out: pa.array(
-                        np.empty(0, _sum_np_dtype(col))
+                    spec[1]: pa.array(
+                        np.empty(0, _sum_np_dtype(spec[0]))
                     )
-                    for col, out in sums
+                    for spec in sums
                 },
             }
         )
@@ -202,11 +204,14 @@ def grouped_sums(
             c: pc.cast(pa.array(a[starts]), key_types[c])
             for c, a in zip(keys, sorted_arrs)
         }
-        for col, out in sums:
+        ufuncs = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+        for spec in sums:
+            col, out = spec[0], spec[1]
+            op = spec[2] if len(spec) > 2 else "sum"
             v = t[col].to_numpy(zero_copy_only=False).astype(
                 _sum_np_dtype(col)
             )
-            cols[out] = pa.array(np.add.reduceat(v[order], starts))
+            cols[out] = pa.array(ufuncs[op].reduceat(v[order], starts))
         return pa.table(cols)
 
     anchor = ray.data.from_arrow(
@@ -214,8 +219,8 @@ def grouped_sums(
             {
                 **{c: pa.array([], key_types[c]) for c in keys},
                 **{
-                    col: pa.array(np.empty(0, _sum_np_dtype(col)))
-                    for col, _ in sums
+                    spec[0]: pa.array(np.empty(0, _sum_np_dtype(spec[0])))
+                    for spec in sums
                 },
                 "__gpid": pa.array([], pa.int64()),
             }

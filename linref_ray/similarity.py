@@ -267,19 +267,21 @@ def embedding_near_duplicates(
         .map_groups(verify, batch_format="pyarrow")
     )
     if lsh_sets > 1:
-        from ray.data.aggregate import Min
+        from linref_ray.partition import grouped_sums
 
         # Merge pairs found by more than one plane set (cosine is the same
-        # deterministic dot product in every bucket).
-        # Anchor both sides of the merge: the pre-anchor types the groupby
-        # key columns when every bucket verified empty, and the post-anchor
-        # restores the schema an aggregate over an all-empty input drops
-        # (it emits no blocks at all).
+        # deterministic dot product in every bucket; min over equal values
+        # is order-free). Pair keys are high-cardinality — kernel merge,
+        # not the built-in Aggregate (partition.grouped_sums note). The
+        # pre-anchor types the key columns when every bucket verified
+        # empty; grouped_sums anchors its own output.
         return _anchor_cosine_pairs(
-            _anchor_cosine_pairs(out)
-            .repartition(max(num_partitions // 2, 2))
-            .groupby(["id_a", "id_b"])
-            .aggregate(Min("cosine", alias_name="cosine"))
+            grouped_sums(
+                _anchor_cosine_pairs(out),
+                ("id_a", "id_b"),
+                (("cosine", "cosine", "min"),),
+                num_partitions=max(num_partitions // 2, 2),
+            )
         )
     return _anchor_cosine_pairs(out)
 
