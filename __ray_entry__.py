@@ -1757,6 +1757,39 @@ def _q_dedup_segments(sf_dir: str):
     )
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """END-TO-END curation composition — normalize → exact-P25 length
+    filter → segment-level dedup → sequence packing — four engine stages
+    chained as ONE lazy pipeline with ONE composed SQL oracle: the packed
+    placement of the curated corpus must match bit-for-bit, which only
+    happens if every intermediate stage matched too."""
+    from linref_ray.dedup import dedup_segments
+    from linref_ray.sampling import pack_sequences
+    from linref_ray.stats import filter_by_quantile
+    from linref_ray.text import normalize_text
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    norm = normalize_text(docs).select_columns(["doc_id", "norm_text"])
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_norm", pc.cast(pc.utf8_length(t["norm_text"]), pa.int64())
+        )
+
+    survivors = filter_by_quantile(
+        norm.map_batches(with_len, batch_format="pyarrow"),
+        "n_norm", q=0.25, keep="above",
+    ).select_columns(["doc_id", "norm_text"])
+    deduped = dedup_segments(
+        survivors, words_per_seg=10, text_col="norm_text"
+    )
+    return pack_sequences(
+        deduped, seq_len=256, bucket_size=64, text_col="norm_text"
+    )
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable ε-approximate quantiles of events.value (rows-only: the
     sketch depends on batching; the exact `quantiles` query is the oracled
@@ -2018,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_segments": _q_dedup_segments,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
+        "curation_pipeline": _q_curation_pipeline,
         "distinct_exact": _q_distinct_exact,
         "heavy_hitters": _q_heavy_hitters,
         "pack_sequences": _q_pack_sequences,
@@ -3127,6 +3161,45 @@ sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
         from keep group by doc_id)
 select w.doc_id, coalesce(sel.t2, '') as text
 from w left join sel on w.doc_id = sel.doc_id
+"""
+    oracles["curation_pipeline"] = r"""
+with n as (
+  select doc_id,
+         trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) as t
+  from documents
+),
+f as (
+  select doc_id, t from n
+  where length(t) >= (select percentile_cont(0.25)
+                        within group (order by length(t)) from n)
+),
+w as (select doc_id, string_split(t, ' ') as ws from f),
+seg as (
+  select doc_id, i as seg_idx,
+         array_to_string(ws[(i*10+1):((i+1)*10)], ' ') as seg
+  from w, unnest(generate_series(0, cast(ceil(len(ws)/10.0) as bigint) - 1)) as u(i)
+),
+win as (select seg, min(doc_id * 1048576 + seg_idx) as wkey from seg group by seg),
+keep as (
+  select s.doc_id, s.seg_idx, s.seg
+  from seg s join win on s.seg = win.seg
+  where s.doc_id * 1048576 + s.seg_idx = win.wkey
+),
+sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
+        from keep group by doc_id),
+dd as (select w.doc_id, coalesce(sel.t2, '') as t
+       from w left join sel on w.doc_id = sel.doc_id),
+tok as (select doc_id,
+          len(list_filter(string_split(t, ' '), x -> x <> '')) as n_tokens
+        from dd),
+o as (select doc_id, n_tokens,
+        coalesce(sum(n_tokens) over (order by doc_id
+          rows between unbounded preceding and 1 preceding), 0) as tok_offset
+      from tok)
+select doc_id, n_tokens, tok_offset,
+       tok_offset // 256 as first_seq,
+       (tok_offset + greatest(n_tokens, 1) - 1) // 256 as last_seq
+from o
 """
     oracles["heavy_hitters"] = """
 with w as (
