@@ -260,6 +260,7 @@ def approx_quantiles(
     value_col: str,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
     points_per_batch: int = 256,
+    group_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """Mergeable ε-approximate quantiles — the scale path where
     :func:`exact_quantiles`' per-distinct-value count shuffle would explode
@@ -272,40 +273,69 @@ def approx_quantiles(
     summary with rank error ≤ batch_rows / points_per_batch per batch,
     i.e. ≤ total_rows / points_per_batch overall after the single merge
     (one tiny driver-side weighted-quantile pass; partials are
-    driver-small by construction). Deterministic given the batching;
-    tests assert the rank-error bound against the exact result.
-    Returns an Arrow table ``(q, value)``.
+    driver-small by construction). With ``group_cols`` the decimation
+    runs per in-batch group (rank error bounds per group the same way).
+    Deterministic given the batching; tests assert the rank-error bound
+    against the exact result. Returns an Arrow table
+    ``(group_cols..., q, value)``.
     """
     import ray as _ray
 
     k = int(points_per_batch)
+    gcols = list(group_cols)
+
+    def _decimate(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        n = len(v)
+        if n <= k:
+            return v, np.ones(n)
+        idx = np.minimum(
+            ((np.arange(k) + 0.5) * n / k).astype(np.int64), n - 1
+        )
+        return v[idx], np.full(k, n / k)
 
     def partial(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
+                **{c: pa.array([], t.schema.field(c).type) for c in gcols},
                 "v": pa.array([], pa.float64()),
                 "w": pa.array([], pa.float64()),
             }
         )
         if len(t) == 0:
             return empty
-        v = np.sort(
-            t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
         )
-        n = len(v)
-        if n <= k:
-            return pa.table(
-                {"v": pa.array(v), "w": pa.array(np.ones(n))}
-            )
-        # exact batch quantiles at k evenly spaced ranks, each carrying
-        # weight n/k — a decimated empirical CDF
-        idx = np.minimum(
-            ((np.arange(k) + 0.5) * n / k).astype(np.int64), n - 1
-        )
+        if not gcols:
+            v, w = _decimate(np.sort(vals))
+            return pa.table({"v": pa.array(v), "w": pa.array(w)})
+        key = np.empty(len(t), dtype=object)
+        key[:] = list(zip(*(t[c].to_pylist() for c in gcols)))
+        uniq, codes = np.unique(key, return_inverse=True)
+        order = np.lexsort([vals, codes])
+        codes_s, v_s = codes[order], vals[order]
+        first = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(v_s))
+        cols: dict = {c: [] for c in gcols}
+        vv, ww = [], []
+        for a, z in zip(starts, ends):
+            dv, dw = _decimate(v_s[a:z])
+            vv.append(dv)
+            ww.append(dw)
+            g = uniq[codes_s[a]]
+            for ci, c in enumerate(gcols):
+                cols[c].extend([g[ci]] * len(dv))
         return pa.table(
             {
-                "v": pa.array(v[idx]),
-                "w": pa.array(np.full(k, n / k)),
+                **{
+                    c: pc.cast(
+                        pa.array(cols[c]), t.schema.field(c).type
+                    )
+                    for c in gcols
+                },
+                "v": pa.array(np.concatenate(vv)),
+                "w": pa.array(np.concatenate(ww)),
             }
         )
 
@@ -315,19 +345,46 @@ def approx_quantiles(
         ),
         promote_options="default",
     )
+
+    def _weighted(v: np.ndarray, w: np.ndarray):
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1] if len(cum) else 0.0
+        for q in qs:
+            if not len(v):
+                continue
+            pos = np.searchsorted(cum, q * total, side="left")
+            yield float(q), float(v[min(pos, len(v) - 1)])
+
     v = tbl["v"].to_numpy(zero_copy_only=False)
     w = tbl["w"].to_numpy(zero_copy_only=False)
-    order = np.argsort(v, kind="stable")
-    v, w = v[order], w[order]
-    cum = np.cumsum(w)
-    total = cum[-1] if len(cum) else 0.0
+    if not gcols:
+        pairs = list(_weighted(v, w))
+        return pa.table(
+            {
+                "q": pa.array([p[0] for p in pairs]),
+                "value": pa.array([p[1] for p in pairs]),
+            }
+        )
+    key = np.empty(len(tbl), dtype=object)
+    key[:] = list(zip(*(tbl[c].to_pylist() for c in gcols)))
+    out: dict = {c: [] for c in gcols}
     out_q, out_v = [], []
-    for q in qs:
-        if not len(v):
-            continue
-        pos = np.searchsorted(cum, q * total, side="left")
-        out_q.append(float(q))
-        out_v.append(float(v[min(pos, len(v) - 1)]))
+    for g in sorted(set(key.tolist())):
+        m = key == g
+        for q, val in _weighted(v[m], w[m]):
+            for ci, c in enumerate(gcols):
+                out[c].append(g[ci])
+            out_q.append(q)
+            out_v.append(val)
     return pa.table(
-        {"q": pa.array(out_q), "value": pa.array(out_v)}
+        {
+            **{
+                c: pc.cast(pa.array(out[c]), tbl.schema.field(c).type)
+                for c in gcols
+            },
+            "q": pa.array(out_q),
+            "value": pa.array(out_v),
+        }
     )

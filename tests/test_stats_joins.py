@@ -225,3 +225,25 @@ def test_approx_quantiles_rank_error_bound(ray_session):
         # of the true rank (the mergeable-summary bound, with slack 2x)
         rank = np.searchsorted(sv, val)
         assert abs(rank - q * len(v)) < 2 * len(v) / 256, (q, rank)
+
+
+def test_approx_quantiles_grouped(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linref_ray.stats import approx_quantiles
+
+    rng = np.random.default_rng(4)
+    g = rng.choice(["a", "b", "c"], size=30_000)
+    v = rng.normal(loc=np.searchsorted(["a", "b", "c"], g) * 10.0)
+    ds = rd.from_pandas(pd.DataFrame({"g": g, "x": v})).repartition(8)
+    got = approx_quantiles(ds, "x", qs=(0.5,), points_per_batch=256,
+                           group_cols=("g",))
+    for grp, q, val in zip(got["g"].to_pylist(), got["q"].to_pylist(),
+                           got["value"].to_pylist()):
+        sv = np.sort(v[g == grp])
+        rank = np.searchsorted(sv, val)
+        assert abs(rank - q * len(sv)) < 2 * len(sv) / 256, (grp, rank)
+        # medians of the three groups sit near 0 / 10 / 20
+        assert abs(val - np.searchsorted(["a", "b", "c"], grp) * 10) < 1
