@@ -560,31 +560,47 @@ def knn_graph(
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _to_matrix(t[vec_col])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        cos = mn @ cn_all.T  # (B, N)
-        cos[ids[:, None] == ids_all[None, :]] = -np.inf
-        take = min(k, cos.shape[1] - 1)
+        B = len(ids)
+        N = len(ids_all)
+        take = min(k, N - 1)
         if take <= 0:
             return empty
-        # tie-complete top-k: keep everything >= the k-th value, then
-        # resolve (cosine desc, id asc) exactly
-        kth = np.partition(cos, cos.shape[1] - take, axis=1)[
-            :, cos.shape[1] - take
-        ]
-        out_q, out_v, out_c = [], [], []
-        for i in range(len(ids)):
-            cand = np.flatnonzero(cos[i] >= kth[i])
-            c = cos[i, cand]
-            order = np.lexsort([ids_all[cand], -c])[:take]
-            sel = cand[order]
-            fin = np.isfinite(cos[i, sel])
-            out_q.append(np.full(fin.sum(), ids[i]))
-            out_v.append(ids_all[sel[fin]])
-            out_c.append(cos[i, sel[fin]])
+        # corpus-tiled exact top-k: the full B×N cosine matrix does not fit
+        # a worker heap at real corpus sizes (1024×1e5 f64 ≈ 0.8 GB), so
+        # scan corpus tiles, keep each row's tile-local tie-complete
+        # top-take candidates (a guaranteed superset of the global top-take),
+        # and cut once at the end — all vectorized, ~64 MB scratch
+        ctile = max(take + 1, (8 << 20) // max(B, 1))
+        cand_r: list[np.ndarray] = []
+        cand_c: list[np.ndarray] = []
+        cand_v: list[np.ndarray] = []
+        for c0 in range(0, N, ctile):
+            c1 = min(c0 + ctile, N)
+            cos = mn @ cn_all[c0:c1].T
+            cos[ids[:, None] == ids_all[None, c0:c1]] = -np.inf
+            W = c1 - c0
+            tt = min(take, W)
+            kth = np.partition(cos, W - tt, axis=1)[:, W - tt]
+            mask = (cos >= kth[:, None]) & np.isfinite(cos)
+            ri, ci = np.nonzero(mask)
+            cand_r.append(ri)
+            cand_c.append(ci + c0)
+            cand_v.append(cos[ri, ci])
+        rr = np.concatenate(cand_r)
+        cc = np.concatenate(cand_c)
+        vv = np.concatenate(cand_v)
+        # deterministic global cut per row: (cosine desc, id asc)
+        order = np.lexsort([ids_all[cc], -vv, rr])
+        r_s = rr[order]
+        first = np.concatenate(([True], r_s[1:] != r_s[:-1]))
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(r_s)) - starts[np.cumsum(first) - 1]
+        sel = order[pos < take]
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "cosine": pa.array(np.concatenate(out_c)),
+                "query_id": pa.array(ids[rr[sel]]),
+                "vec_id": pa.array(ids_all[cc[sel]]),
+                "cosine": pa.array(vv[sel]),
             }
         )
 
@@ -599,6 +615,8 @@ def knn_graph_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int = 65536,
+    sample: int = 2048,
+    iters: int = 8,
 ) -> ray.data.Dataset:
     """IVF-bucketed kNN graph — the scale path: no full-corpus broadcast,
     no O(N²) scan. Every vector posts ONCE as data (its nearest coarse
@@ -608,10 +626,16 @@ def knn_graph_ivf(
     (cosine desc, id asc) and cuts k. Shuffle volume: (1+nprobe)·N vector
     rows. With ``nprobe == n_centroids`` every cell is probed, candidates
     cover the corpus, and the result is EXACT (= :func:`knn_graph`) — the
-    oracle mode. Cells larger than ``max_cell`` raise (re-run with more
-    centroids) rather than silently quadratic-exploding."""
+    oracle mode. ``max_cell`` bounds the DATA rows per cell (the quadratic
+    side) and raises rather than silently exploding; a cell hot on the
+    QUERY side (a centroid near the data mean lands in many probe lists)
+    costs query×data — linear, not quadratic — and the kernel tiles the
+    query dimension so scratch stays bounded regardless. At real scale a
+    pathologically query-hot cell shards by query hash (the standard salt;
+    results merge identically because the per-cell top-k is per-query)."""
     cent = kmeans_centroids(
-        embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
+        embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col,
+        sample=sample, iters=iters,
     )
     cent_ref = ray.put(cent)
 
@@ -656,37 +680,38 @@ def knn_graph_ivf(
         )
         if len(t) == 0:
             return empty
-        if len(t) > max_cell:
-            raise ValueError(
-                f"IVF cell of {len(t)} rows exceeds max_cell={max_cell}; "
-                "increase n_centroids"
-            )
         side = t["__side"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _to_matrix(t[vec_col])
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        # data rows serve both their own cell's queries and themselves
         di = np.flatnonzero(side == 0)
-        qi = np.arange(len(ids))
         if not len(di):
             return empty
-        cos = mn[qi] @ mn[di].T
-        q_ids, d_ids = ids[qi], ids[di]
-        cos[q_ids[:, None] == d_ids[None, :]] = -np.inf
-        take = min(k, len(di))
+        if len(di) > max_cell:
+            raise ValueError(
+                f"IVF cell holds {len(di)} data rows > max_cell="
+                f"{max_cell}; increase n_centroids"
+            )
+        m = _to_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        q_ids, d_ids = ids, ids[di]
+        dn = mn[di]
+        D = len(di)
+        take = min(k, D)
         out_q, out_v, out_c = [], [], []
-        for i in range(len(qi)):
-            c = cos[i]
-            t_i = min(take, len(c))
-            # tie-complete: include every candidate >= the worst kept value
-            kth = np.partition(c, len(c) - t_i)[len(c) - t_i]
-            cand = np.flatnonzero(c >= kth)
-            order = np.lexsort([d_ids[cand], -c[cand]])[:t_i]
-            sel = cand[order]
-            fin = np.isfinite(c[sel])
-            out_q.append(np.full(fin.sum(), q_ids[i]))
-            out_v.append(d_ids[sel[fin]])
-            out_c.append(c[sel[fin]])
+        tile = max(1, (8 << 20) // max(D, 1))  # ~64MB f64 scratch
+        for t0 in range(0, len(ids), tile):
+            t1 = min(t0 + tile, len(ids))
+            cos = mn[t0:t1] @ dn.T
+            cos[q_ids[t0:t1, None] == d_ids[None, :]] = -np.inf
+            # tie-complete SET per row, fully vectorized: the final merge
+            # re-sorts and cuts k, so per-cell output needs no ordering —
+            # emit everything >= each row's take-th value (a superset on
+            # exact ties, which the merge resolves deterministically)
+            kth = np.partition(cos, D - take, axis=1)[:, D - take]
+            mask = (cos >= kth[:, None]) & np.isfinite(cos)
+            ri, ci = np.nonzero(mask)
+            out_q.append(q_ids[t0 + ri])
+            out_v.append(d_ids[ci])
+            out_c.append(cos[ri, ci])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
