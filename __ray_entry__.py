@@ -1757,6 +1757,17 @@ def _q_dedup_segments(sf_dir: str):
     )
 
 
+def _q_chunk_documents(sf_dir: str):
+    """RAG-style overlapping chunking: 32-word chunks at stride 24 —
+    one vectorized streaming pass, chunk text compared bit-for-bit."""
+    from linref_ray.text import chunk_documents
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, chunk_words=32, stride=24)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """END-TO-END curation composition — normalize → exact-P25 length
     filter → segment-level dedup → sequence packing — four engine stages
@@ -2051,6 +2062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_segments": _q_dedup_segments,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
+        "chunk_documents": _q_chunk_documents,
         "curation_pipeline": _q_curation_pipeline,
         "distinct_exact": _q_distinct_exact,
         "heavy_hitters": _q_heavy_hitters,
@@ -3161,6 +3173,13 @@ sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
         from keep group by doc_id)
 select w.doc_id, coalesce(sel.t2, '') as text
 from w left join sel on w.doc_id = sel.doc_id
+"""
+    oracles["chunk_documents"] = """
+with w as (select doc_id, string_split(text, ' ') as ws from documents)
+select doc_id, j as chunk_idx, j * 24 as word_start,
+       array_to_string(ws[(j*24+1):(j*24+32)], ' ') as text
+from w, unnest(generate_series(0,
+         cast(ceil(len(ws) * 1.0 / 24) as bigint) - 1)) t(j)
 """
     oracles["curation_pipeline"] = r"""
 with n as (

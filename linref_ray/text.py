@@ -1263,3 +1263,76 @@ def heavy_hitters(
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Overlapping fixed-size chunking (the RAG / long-context windowing
+    op): chunk ``j`` of a doc covers words ``[j*stride, j*stride +
+    chunk_words)``; chunks are emitted while ``j*stride < n_words``, so
+    every word is covered and consecutive chunks overlap by
+    ``chunk_words - stride`` words. Output: ``(id, chunk_idx, word_start,
+    text)``.
+
+    One streaming ``flat_map``-shaped ``map_batches`` pass, fully
+    vectorized (CSR word gather + ``binary_join``); no shuffle. The
+    single-space split is lossless, so a chunk's text is exactly the
+    words it covers re-joined (identical to the SQL oracle's
+    ``array_to_string(ws[a:b], ' ')``)."""
+    C = int(chunk_words)
+    S = int(stride)
+    if not 1 <= S <= C:
+        raise ValueError("need 1 <= stride <= chunk_words")
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "word_start": pa.array([], pa.int64()),
+                text_col: pa.array([], pa.string()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        wl = pc.split_pattern(t[text_col], " ")
+        lens = pc.list_value_length(wl).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        word_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nchunk = -(-lens // S)  # lens >= 1 always (split('') == [''])
+        total_c = int(nchunk.sum())
+        cdoc = np.repeat(np.arange(len(ids)), nchunk)
+        coff = np.concatenate(([0], np.cumsum(nchunk)[:-1]))
+        cidx = np.arange(total_c) - coff[cdoc]
+        wstart = cidx * S
+        csize = np.minimum(C, lens[cdoc] - wstart)
+        # flat gather indices: for chunk r, words word_off[doc]+wstart ..
+        rows = np.repeat(np.arange(total_c), csize)
+        woff2 = np.concatenate(([0], np.cumsum(csize)[:-1]))
+        within = np.arange(int(csize.sum())) - woff2[rows]
+        gather = word_off[cdoc[rows]] + wstart[rows] + within
+        flat = pc.list_flatten(wl)
+        words = flat.take(pa.array(gather))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(csize))), pa.int32()),
+            words,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[cdoc]),
+                "chunk_idx": pa.array(cidx),
+                "word_start": pa.array(wstart),
+                text_col: pc.binary_join(la, " "),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)

@@ -286,3 +286,29 @@ def test_remove_spans_sampled_catches_long_spans(ray_session):
     assert "UNIQ" in got[1] and "TAIL" in got[1]  # unique flanks survive
     assert len(got[1]) < len(texts[1]) - 150      # bulk of the copy removed
     assert len(exact[1]) <= len(got[1])           # sampling only under-cuts
+
+
+def test_chunk_documents_coverage_and_overlap(ray_session):
+    from linref_ray.text import chunk_documents
+
+    texts = {0: " ".join(f"w{i}" for i in range(100)), 1: "a b", 2: ""}
+    df = pd.DataFrame(
+        {"doc_id": sorted(texts), "text": [texts[d] for d in sorted(texts)]}
+    )
+    out = chunk_documents(
+        rd.from_pandas(df), chunk_words=16, stride=12
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    for d, t in texts.items():
+        ws = t.split(" ")
+        ch = out[out.doc_id == d]
+        # chunk count, starts, and exact text
+        import math
+        assert len(ch) == math.ceil(len(ws) / 12)
+        for _, r in ch.iterrows():
+            assert r.word_start == r.chunk_idx * 12
+            assert r.text == " ".join(ws[r.word_start : r.word_start + 16])
+        # every word covered
+        covered = set()
+        for _, r in ch.iterrows():
+            covered |= set(range(r.word_start, min(r.word_start + 16, len(ws))))
+        assert covered == set(range(len(ws)))
