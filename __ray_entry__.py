@@ -1757,6 +1757,27 @@ def _q_dedup_segments(sf_dir: str):
     )
 
 
+def _q_knn_join(sf_dir: str):
+    """Cross-table retrieval: embeddings with vec_id % 10 == 0 act as the
+    query table, the rest as the corpus; top-3 per query, corpus broadcast
+    once, no shuffle."""
+    from linref_ray.similarity import knn_join
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def split(want_queries: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = pa.array(ids % 10 == 0)
+            return t.filter(m if want_queries else pc.invert(m))
+
+        return fn
+
+    queries = emb.map_batches(split(True), batch_format="pyarrow")
+    corpus = emb.map_batches(split(False), batch_format="pyarrow")
+    return _round_cols(knn_join(queries, corpus, k=3), {"cosine": 6})
+
+
 def _q_chunk_documents(sf_dir: str):
     """RAG-style overlapping chunking: 32-word chunks at stride 24 —
     one vectorized streaming pass, chunk text compared bit-for-bit."""
@@ -2063,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "chunk_documents": _q_chunk_documents,
+        "knn_join": _q_knn_join,
         "curation_pipeline": _q_curation_pipeline,
         "distinct_exact": _q_distinct_exact,
         "heavy_hitters": _q_heavy_hitters,
@@ -3173,6 +3195,19 @@ sel as (select doc_id, string_agg(seg, ' ' order by seg_idx) as t2
         from keep group by doc_id)
 select w.doc_id, coalesce(sel.t2, '') as text
 from w left join sel on w.doc_id = sel.doc_id
+"""
+    oracles["knn_join"] = """
+with q as (select vec_id as query_id, embedding as qe from embeddings
+           where vec_id % 10 = 0),
+c as (select vec_id, embedding from embeddings where vec_id % 10 <> 0),
+d as (select q.query_id, c.vec_id,
+             list_cosine_similarity(cast(q.qe as double[]),
+                                    cast(c.embedding as double[])) as cosine
+      from q, c)
+select query_id, vec_id, round(round(cosine, 9), 6) as cosine
+from (select d.*, row_number() over (
+        partition by query_id order by cosine desc, vec_id asc) as rk from d)
+where rk <= 3
 """
     oracles["chunk_documents"] = """
 with w as (select doc_id, string_split(text, ' ') as ws from documents)

@@ -754,3 +754,85 @@ def knn_graph_ivf(
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+
+def knn_join(
+    queries: ray.data.Dataset,
+    corpus: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_same_id: bool = False,
+) -> ray.data.Dataset:
+    """Cross-table kNN join: for every QUERY row its ``k`` nearest CORPUS
+    rows by cosine (ties id-ascending) — the retrieval shape
+    (new queries × indexed corpus), vs :func:`knn_graph`'s self-join.
+
+    Same scale shape as the graph kernel: the corpus broadcasts once via
+    ``ray.put`` and the query side streams through corpus-TILED matmuls,
+    no shuffle. ``exclude_same_id`` drops corpus rows sharing the query's
+    id (for overlapping tables)."""
+    qid = query_id_col or id_col
+    tbl = pa.concat_tables(
+        ray.get(
+            corpus.select_columns([id_col, vec_col]).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    c_ids = np.asarray(tbl[id_col].to_pylist(), dtype=np.int64)
+    cm = _to_matrix(tbl[vec_col])
+    cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((c_ids, cn))
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ids_all, cn_all = ray.get(ref)
+        ids = t[qid].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        B, N = len(ids), len(ids_all)
+        take = min(k, N - 1 if exclude_same_id else N)
+        if take <= 0:
+            return empty
+        ctile = max(take + 1, (8 << 20) // max(B, 1))
+        cand_r, cand_c, cand_v = [], [], []
+        for c0 in range(0, N, ctile):
+            c1 = min(c0 + ctile, N)
+            cos = mn @ cn_all[c0:c1].T
+            if exclude_same_id:
+                cos[ids[:, None] == ids_all[None, c0:c1]] = -np.inf
+            W = c1 - c0
+            tt = min(take, W)
+            kth = np.partition(cos, W - tt, axis=1)[:, W - tt]
+            mask = (cos >= kth[:, None]) & np.isfinite(cos)
+            ri, ci = np.nonzero(mask)
+            cand_r.append(ri)
+            cand_c.append(ci + c0)
+            cand_v.append(cos[ri, ci])
+        rr = np.concatenate(cand_r)
+        cc = np.concatenate(cand_c)
+        vv = np.concatenate(cand_v)
+        order = np.lexsort([ids_all[cc], -vv, rr])
+        r_s = rr[order]
+        first = np.concatenate(([True], r_s[1:] != r_s[:-1]))
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(r_s)) - starts[np.cumsum(first) - 1]
+        sel = order[pos < take]
+        return pa.table(
+            {
+                "query_id": pa.array(ids[rr[sel]]),
+                "vec_id": pa.array(ids_all[cc[sel]]),
+                "cosine": pa.array(vv[sel]),
+            }
+        )
+
+    return queries.map_batches(fn, batch_format="pyarrow", batch_size=1024)

@@ -312,3 +312,38 @@ def test_chunk_documents_coverage_and_overlap(ray_session):
         for _, r in ch.iterrows():
             covered |= set(range(r.word_start, min(r.word_start + 16, len(ws))))
         assert covered == set(range(len(ws)))
+
+
+def test_knn_join_cross_table(ray_session):
+    from linref_ray.similarity import knn_join
+
+    rng = np.random.default_rng(6)
+    qm = rng.normal(size=(10, 8)).astype(np.float32)
+    cm = rng.normal(size=(50, 8)).astype(np.float32)
+
+    def mk(ids, m):
+        return rd.from_arrow(pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            }
+        ))
+
+    got = knn_join(
+        mk(np.arange(10), qm), mk(np.arange(100, 150), cm), k=4
+    ).to_pandas()
+    qn = qm.astype(np.float64)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    cn = cm.astype(np.float64)
+    cn /= np.linalg.norm(cn, axis=1, keepdims=True)
+    cos = qn @ cn.T
+    for q in range(10):
+        exp = sorted(
+            ((-cos[q, j], 100 + j) for j in range(50))
+        )[:4]
+        sub = got[got.query_id == q].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True])
+        assert list(sub.vec_id) == [v for _, v in exp]
+        assert np.allclose(sorted(sub.cosine), sorted(-c for c, _ in exp),
+                           atol=1e-12)
+    assert len(got) == 40
