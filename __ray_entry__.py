@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from linref_ray import synth
+from linref_ray.io import read_parquet_clean as _rp
 from linref_ray.lrs import LRS
 
 NPARTS = int(os.environ.get("LINREF_RAY_PARTITIONS", "16"))
@@ -44,7 +45,7 @@ PT = LRS(key_col=("route_id",), beg_col=None, end_col=None, loc_col="loc",
 
 
 def _events_linear(sf_dir: str, parity: int | None = None) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "value", "event_type"],
     )
@@ -71,7 +72,7 @@ def _events_linear(sf_dir: str, parity: int | None = None) -> rd.Dataset:
 
 
 def _events_points(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -320,7 +321,7 @@ def _q_integrate(sf_dir: str):
 def _q_tpch_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -348,7 +349,7 @@ def _q_tile_histogram(sf_dir: str):
     """Points from the events table binned into grid cells (res 10)."""
     from linref_ray.spatial import tile_histogram
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -367,7 +368,7 @@ def _q_tile_pyramid(sf_dir: str):
     levels — one point scan, parents aggregated from child cells."""
     from linref_ray.spatial import tile_pyramid
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -384,7 +385,7 @@ def _q_tile_pyramid(sf_dir: str):
 def _q_knn(sf_dir: str):
     from linref_ray.similarity import knn_brute_force
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(f"{sf_dir}/embeddings.parquet")
     return _round_cols(knn_brute_force(emb, query_ids=(0, 1, 2), k=5), {"cosine": 6})
 
 
@@ -394,7 +395,7 @@ def _q_knn_ivf_full(sf_dir: str):
     coarse-quantizer prefilter machinery end to end."""
     from linref_ray.similarity import knn_ivf
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(f"{sf_dir}/embeddings.parquet")
     return _round_cols(
         knn_ivf(emb, query_ids=(0, 1, 2), k=5, n_centroids=8, nprobe=8),
         {"cosine": 6},
@@ -411,7 +412,7 @@ def _q_knn_lsh(sf_dir: str):
     scale path beside IVF."""
     from linref_ray.similarity import knn_lsh
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(f"{sf_dir}/embeddings.parquet")
     return _round_cols(
         knn_lsh(emb, query_ids=(0, 1, 2), k=5, n_bits=5, n_tables=24),
         {"cosine": 6},
@@ -432,7 +433,7 @@ def _q_interpolate(sf_dir: str):
     the lerp closed-form in SQL."""
     from linref_ray.geometry import interpolate_points
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
     names = pa.array(["H0", "H1", "V2"])
@@ -461,7 +462,7 @@ def _q_bpe_tokens(sf_dir: str):
     interpreted identically by Python re and DuckDB's RE2."""
     from linref_ray.text import bpe_token_counts
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return bpe_token_counts(docs)
@@ -470,7 +471,7 @@ def _q_bpe_tokens(sf_dir: str):
 def _q_dedup_exact(sf_dir: str):
     from linref_ray.dedup import exact_dedup
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return exact_dedup(docs, text_col="text", id_col="doc_id")
@@ -479,7 +480,7 @@ def _q_dedup_exact(sf_dir: str):
 def _q_token_stats(sf_dir: str):
     from linref_ray.text import token_stats
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return token_stats(docs)
@@ -488,7 +489,7 @@ def _q_token_stats(sf_dir: str):
 def _q_langid(sf_dir: str):
     from linref_ray.text import language_id
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return language_id(docs)
@@ -497,7 +498,7 @@ def _q_langid(sf_dir: str):
 def _q_minhash_dedup(sf_dir: str):
     from linref_ray.dedup import minhash_near_duplicates
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return minhash_near_duplicates(docs, threshold=0.6)
@@ -508,7 +509,7 @@ def _q_ngram_jaccard(sf_dir: str):
     — no LSH recall loss), so it oracles on ORGANIC data."""
     from linref_ray.dedup import ngram_jaccard_pairs
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ngram_jaccard_pairs(docs, threshold=0.5)
@@ -519,7 +520,7 @@ def _q_dedup_corpus(sf_dir: str):
     components → keep the min-id canonical doc per component."""
     from linref_ray.dedup import dedup_corpus, ngram_jaccard_pairs
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup_corpus(docs, ngram_jaccard_pairs(docs, threshold=0.5))
@@ -528,7 +529,7 @@ def _q_dedup_corpus(sf_dir: str):
 def _q_simhash(sf_dir: str):
     from linref_ray.dedup import simhash_signatures
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return simhash_signatures(docs)
@@ -570,7 +571,7 @@ def _q_project(sf_dir: str):
     oracle (projection onto horizontal/vertical segments is clamp + abs)."""
     from linref_ray.spatial import build_route_index, snap_points
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -593,7 +594,7 @@ def _q_project(sf_dir: str):
 def _segments_from_events(sf_dir: str) -> rd.Dataset:
     """Deterministic segment table derived from events — shared input of the
     raster↔vector queries; the SQL oracles derive the identical doubles."""
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -645,7 +646,7 @@ def _q_knn_routes(sf_dir: str):
     axis-aligned route set — closed-form SQL oracle (clamp + abs + rank)."""
     from linref_ray.spatial import build_route_index, knn_routes
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -689,7 +690,7 @@ def _q_overlay_profile(sf_dir: str):
 def _q_quality(sf_dir: str):
     from linref_ray.text import quality_scores
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     out = quality_scores(docs)
@@ -706,7 +707,7 @@ def _q_vocab_topk(sf_dir: str):
     deterministic at the rank boundary (driver compare sorts rows)."""
     from linref_ray.text import vocab_topk
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["text"])
     return vocab_topk(docs, n=50)
 
 
@@ -716,7 +717,7 @@ def _q_hash_sample(sf_dir: str):
     in the SQL oracle (sampling.sql_bucket_expr is the shared source)."""
     from linref_ray.sampling import hash_sample
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     out = hash_sample(docs, 0.25, "doc_id", salt=7)
@@ -739,7 +740,7 @@ def _q_hash_split(sf_dir: str):
     integer edges the engine computes."""
     from linref_ray.sampling import hash_split
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
     return hash_split(docs)
@@ -754,7 +755,7 @@ def _q_weighted_sample(sf_dir: str):
     from linref_ray.sampling import weighted_hash_sample
     from linref_ray.text import quality_scores
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -780,7 +781,7 @@ def _q_stratified_sample(sf_dir: str):
     with the SQL case expression."""
     from linref_ray.sampling import stratified_sample
 
-    emb = rd.read_parquet(
+    emb = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     )
     return stratified_sample(
@@ -795,7 +796,7 @@ def _q_tfidf(sf_dir: str):
     DuckDB is absorbed by the 6-decimal round."""
     from linref_ray.text import tfidf_topk
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return _round_cols(tfidf_topk(docs, m=5), {"tfidf": 6})
@@ -807,7 +808,7 @@ def _q_quantiles(sf_dir: str):
     triples, never lineitem rows."""
     from linref_ray.stats import exact_quantiles
 
-    li = rd.read_parquet(
+    li = _rp(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
     )
     out = exact_quantiles(
@@ -822,7 +823,7 @@ def _q_group_topk(sf_dir: str):
     partition (stats.top_k_per_group)."""
     from linref_ray.stats import top_k_per_group
 
-    li = rd.read_parquet(
+    li = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
     )
@@ -836,7 +837,7 @@ _SEMI_PRICE = 400000.0
 
 
 def _high_value_orders(sf_dir: str):
-    orders = rd.read_parquet(
+    orders = _rp(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     return orders.map_batches(
@@ -852,7 +853,7 @@ def _q_semi_join(sf_dir: str):
     set ships once via ray.put; lineitem never shuffles."""
     from linref_ray.joins import broadcast_semi_join
 
-    li = rd.read_parquet(
+    li = _rp(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
     return broadcast_semi_join(
@@ -866,7 +867,7 @@ def _q_anti_join(sf_dir: str):
     set — together they partition lineitem exactly."""
     from linref_ray.joins import broadcast_semi_join
 
-    li = rd.read_parquet(
+    li = _rp(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
     return broadcast_semi_join(
@@ -882,7 +883,7 @@ def _q_asof_join(sf_dir: str):
     in a single lexsort + forward-fill sweep (joins.asof_join)."""
     from linref_ray.joins import asof_join
 
-    ev = rd.read_parquet(
+    ev = _rp(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -907,7 +908,7 @@ def _q_normalize(sf_dir: str):
     kernels, bit-identical to the SQL regexp formula."""
     from linref_ray.text import normalize_text
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return normalize_text(docs)
@@ -918,7 +919,7 @@ def _q_repetition(sf_dir: str):
     bullet/ellipsis shares, top word-2-gram share), SQL-oracled."""
     from linref_ray.text import repetition_signals
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     out = repetition_signals(docs)
@@ -937,7 +938,7 @@ def _q_repetition(sf_dir: str):
 def _q_fingerprints(sf_dir: str):
     from linref_ray.text import fingerprints
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return fingerprints(docs)
@@ -951,7 +952,7 @@ def _q_embedding_neardup(sf_dir: str):
     Recall figures are recorded in BASELINE.md."""
     from linref_ray.similarity import embedding_near_duplicates
 
-    emb = rd.read_parquet(
+    emb = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     out = embedding_near_duplicates(
@@ -969,7 +970,7 @@ def _q_embedding_neardup_exact(sf_dir: str):
     compute in double, but last-bit round differs)."""
     from linref_ray.similarity import embedding_near_duplicates
 
-    emb = rd.read_parquet(
+    emb = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     out = embedding_near_duplicates(
@@ -988,7 +989,7 @@ def _q_semantic_neardup(sf_dir: str):
     sampled quantizer, which SQL can't replay."""
     from linref_ray.similarity import semantic_near_duplicates
 
-    emb = rd.read_parquet(
+    emb = _rp(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     out = semantic_near_duplicates(
@@ -1006,7 +1007,7 @@ def _q_semantic_dedup(sf_dir: str):
     variant of the prefilter is `semantic_neardup` above."""
     from linref_ray.similarity import semantic_dedup
 
-    emb = rd.read_parquet(
+    emb = _rp(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding", "label"],
     )
@@ -1516,7 +1517,7 @@ def _q_constrain(sf_dir: str):
 def _q_window_tumbling(sf_dir: str):
     from linref_ray.windows import tumbling_window
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     out = tumbling_window(ds, "user_id", "ts", "value", 3600, NPARTS)
@@ -1526,7 +1527,7 @@ def _q_window_tumbling(sf_dir: str):
 def _q_window_sliding(sf_dir: str):
     from linref_ray.windows import sliding_window
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     out = sliding_window(ds, "user_id", "ts", "value", 3600, 900, NPARTS)
@@ -1536,7 +1537,7 @@ def _q_window_sliding(sf_dir: str):
 def _q_window_session(sf_dir: str):
     from linref_ray.windows import session_window
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return session_window(ds, "user_id", "ts", 1800, NPARTS)
 
 
@@ -1619,7 +1620,7 @@ def _q_decontam(sf_dir: str):
     3-gram with that suite."""
     from linref_ray.text import decontaminate
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     ev = docs.filter(lambda r: r["doc_id"] % 41 == 0)
@@ -1630,7 +1631,7 @@ def _q_decontam(sf_dir: str):
 def _q_lm_rarity(sf_dir: str):
     from linref_ray.text import lm_rarity
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return lm_rarity(docs, rare_max=500)
@@ -1639,7 +1640,7 @@ def _q_lm_rarity(sf_dir: str):
 def _pii_augmented_docs(sf_dir: str) -> rd.Dataset:
     """Deterministically inject emails / long numbers (the corpus has none
     organically) — the SQL oracle rebuilds the identical augmented text."""
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1670,7 +1671,7 @@ def _q_source_cap(sf_dir: str):
     the 5 longest docs of every source, doc_id-ascending tie-break."""
     from linref_ray.stats import top_k_per_group
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "n_chars"],
     )
@@ -1685,7 +1686,7 @@ def _q_within_distance(sf_dir: str):
     closed-form axis-aligned oracle as project/knn_routes, no rank cutoff."""
     from linref_ray.spatial import build_route_index, routes_within_distance
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -1712,7 +1713,7 @@ def _q_knn_graph(sf_dir: str):
     corpus matrix broadcast once, one matmul per batch, no shuffle."""
     from linref_ray.similarity import knn_graph
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(f"{sf_dir}/embeddings.parquet")
     return _round_cols(knn_graph(emb, k=5), {"cosine": 6})
 
 
@@ -1722,7 +1723,7 @@ def _q_knn_graph_ivf(sf_dir: str):
     the cell-postings shuffle path end to end."""
     from linref_ray.similarity import knn_graph_ivf
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(f"{sf_dir}/embeddings.parquet")
     return _round_cols(
         knn_graph_ivf(emb, k=5, n_centroids=8, nprobe=8), {"cosine": 6}
     )
@@ -1734,7 +1735,7 @@ def _q_bm25(sf_dir: str):
     rounding absorbs ln() drift between numpy and DuckDB."""
     from linref_ray.text import bm25_scores
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return _int_micro_cols(
@@ -1749,7 +1750,7 @@ def _q_dedup_segments(sf_dir: str):
     rebuilt text compared bit-for-bit."""
     from linref_ray.dedup import dedup_segments
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup_segments(docs, words_per_seg=10).select_columns(
@@ -1763,7 +1764,7 @@ def _q_knn_join(sf_dir: str):
     once, no shuffle."""
     from linref_ray.similarity import knn_join
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(f"{sf_dir}/embeddings.parquet")
 
     def split(want_queries: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -1783,7 +1784,7 @@ def _q_chunk_documents(sf_dir: str):
     one vectorized streaming pass, chunk text compared bit-for-bit."""
     from linref_ray.text import chunk_documents
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return chunk_documents(docs, chunk_words=32, stride=24)
@@ -1800,7 +1801,7 @@ def _q_curation_pipeline(sf_dir: str):
     from linref_ray.stats import filter_by_quantile
     from linref_ray.text import normalize_text
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     norm = normalize_text(docs).select_columns(["doc_id", "norm_text"])
@@ -1828,7 +1829,7 @@ def _q_approx_quantiles(sf_dir: str):
     twin and tests assert the rank-error bound)."""
     from linref_ray.stats import approx_quantiles
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["value"])
     return approx_quantiles(
         ev, "value", qs=(0.25, 0.5, 0.75, 0.95), points_per_batch=512
     )
@@ -1841,7 +1842,7 @@ def _q_heavy_hitters(sf_dir: str):
     oracle passing proves the sketch guarantee held on this corpus."""
     from linref_ray.text import heavy_hitters
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return heavy_hitters(docs, k=20, capacity=64)
@@ -1855,7 +1856,7 @@ def _q_approx_distinct(sf_dir: str):
 
     from linref_ray.stats import approx_distinct
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
     est = approx_distinct(docs, "text", precision=14)
@@ -1869,7 +1870,7 @@ def _q_distinct_exact(sf_dir: str):
 
     from linref_ray.dedup import exact_dedup
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return pd.DataFrame(
@@ -1882,7 +1883,7 @@ def _q_pack_sequences(sf_dir: str):
     scan (bucket token sums → driver cumsum → broadcast bases)."""
     from linref_ray.sampling import pack_sequences
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return pack_sequences(docs, seq_len=256, bucket_size=64)
@@ -1894,7 +1895,7 @@ def _q_quantile_filter(sf_dir: str):
     filter pass with a closure-scalar threshold."""
     from linref_ray.stats import filter_by_quantile
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     return filter_by_quantile(docs, "n_chars", q=0.9, keep="above")
@@ -1907,7 +1908,7 @@ def _q_remove_spans(sf_dir: str):
     full rewritten corpus compared bit-for-bit."""
     from linref_ray.dedup import remove_duplicate_spans
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return remove_duplicate_spans(docs, window=16).select_columns(
@@ -1922,7 +1923,7 @@ def _q_shared_spans(sf_dir: str):
     substrings) is bit-identical; the corpus is organically ASCII."""
     from linref_ray.dedup import shared_span_pairs
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1943,7 +1944,7 @@ def _q_connected_components(sf_dir: str):
     from linref_ray.dedup import ngram_jaccard_pairs
     from linref_ray.graph import connected_components
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     comps = connected_components(ngram_jaccard_pairs(docs, threshold=0.5))
@@ -1955,7 +1956,7 @@ def _q_dedup_corpus_dist(sf_dir: str):
     union-find) — must keep exactly the same survivors as `dedup_corpus`."""
     from linref_ray.dedup import dedup_corpus, ngram_jaccard_pairs
 
-    docs = rd.read_parquet(
+    docs = _rp(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup_corpus(

@@ -12,6 +12,8 @@ blocks with the schema below.
 
 from __future__ import annotations
 
+import logging
+
 import pyarrow as pa
 import ray.data
 
@@ -27,6 +29,46 @@ IMAGE_CORPUS_SCHEMA = pa.schema(
         ("phash", pa.int64()),
     ]
 )
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    # Metadata-only rewrite: shares every column buffer with the input.
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(*args, **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` that drops parquet-born schema metadata.
+
+    pandas-written parquet carries a ``b'pandas'`` schema-metadata key; any
+    schema WITH metadata is unhashable in pyarrow (``Schema.__hash__`` hashes
+    the metadata dict and raises), which defeats Ray Data's block-schema
+    dedup in every reduce task and floods logs with "Failed to hash the
+    schemas (for deduplication)" warnings. The strip runs inside the read
+    task itself (``_block_udf``) — zero extra stages, and it also covers the
+    ``ReadParquet->SplitBlocks`` shape where a downstream map would not fuse.
+    """
+    kwargs.setdefault("_block_udf", _strip_schema_metadata)
+    return ray.data.read_parquet(*args, **kwargs)
+
+
+class _SchemaHashNoiseFilter(logging.Filter):
+    """Drop the one residual "Failed to hash the schemas" warning.
+
+    With ``read_parquet_clean`` every block on the data path has a
+    metadata-free (hashable) schema, so schema dedup works in all reduce
+    tasks. The only remaining emitter is driver-side PLAN-TIME inference,
+    which unifies schemas read straight from parquet footers we cannot
+    rewrite (read-only test data carries a ``b'pandas'`` key). That path is
+    advisory metadata aggregation, not block handling — filter the noise.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoiseFilter())
 
 
 def validate_corpus_schema(ds: ray.data.Dataset) -> None:
@@ -67,7 +109,7 @@ def read_image_corpus(
             ) from exc
         ds = ray.data.read_lance(path, columns=columns, **kwargs)
     elif format == "parquet":
-        ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+        ds = read_parquet_clean(path, columns=columns, **kwargs)
     else:
         raise ValueError(f"unknown corpus format {format!r}")
     if columns is None:
