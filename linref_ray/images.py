@@ -43,13 +43,46 @@ class VerifyInvariants:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        seeds = codec.id_seeds_arrow(batch["image_id"])
+        try:
+            # Uniform-record fast path: pixels_2d is a zero-copy strided
+            # view into the Arrow data buffer — no per-row Python at all.
+            # (Both the reference pixel stream and flat-buffer PSNR depend
+            # only on the pixel COUNT, which the uniform record length
+            # pins, so one (w, h) serves the whole batch.)
+            pixels_2d, _fmt_codes, w, h = codec.decode_batch_arrow(
+                batch["bytes"]
+            )
+            refs = codec.reference_pixels_batch(seeds, w, h).reshape(n, -1)
+            sizes = np.full(n, h * w * 3, dtype=np.int64)
+            psnr = codec.psnr_batch(pixels_2d, refs, sizes)
+        except ValueError:
+            psnr = self._psnr_rowwise(batch, seeds)
+        # Caption check stays in Arrow C++: the expected caption is the
+        # same string :func:`linref_ray.synth.caption_for` builds
+        # (parity-tested in tests/test_images.py).
+        expected = pc.binary_join_element_wise(
+            "capture ", batch["image_id"], " near route", ""
+        )
+        cap_ok = pc.equal(batch["caption"], expected).to_numpy(
+            zero_copy_only=False
+        )
+        ok = (psnr >= self.psnr_min) & cap_ok
+        if self.strict and not ok.all():
+            bad = batch["image_id"].take(
+                pa.array(np.flatnonzero(~ok)[:5])
+            ).to_pylist()
+            raise ValueError(f"invariant violated for images {bad}")
+        out = batch.append_column("psnr_db", pa.array(psnr))
+        return out.append_column("invariant_ok", pa.array(ok))
+
+    def _psnr_rowwise(self, batch: pa.Table, seeds: np.ndarray) -> np.ndarray:
+        # Fallback for non-uniform record sizes: per-row decode.
         blobs = batch["bytes"].to_pylist()
-        caps = batch["caption"].to_pylist()
-        n = len(ids)
-        # Vectorized path: decode every blob to a flat pixel buffer, then one
-        # batched reference regeneration + one reduceat PSNR over the
-        # concatenation. Falls back to nothing — decode is just frombuffer.
+        n = len(blobs)
         flat_px = []
         sizes = np.empty(n, dtype=np.int64)
         whs: list[tuple[int, int]] = []
@@ -58,14 +91,12 @@ class VerifyInvariants:
             flat_px.append(px.ravel())
             sizes[i] = px.size
             whs.append((px.shape[1], px.shape[0]))
-        seeds = codec.id_seeds(ids)
-        if len(set(whs)) == 1:
+        if n and len(set(whs)) == 1:
             w, h = whs[0]
-            refs = codec.reference_pixels_batch(seeds, w, h).reshape(n, -1)
-            flat_ref = refs.ravel()
+            flat_ref = codec.reference_pixels_batch(seeds, w, h).reshape(
+                n, -1
+            ).ravel()
         else:
-            # .copy(): reference_pixels_batch may return a scratch-buffer
-            # view that the next loop iteration overwrites.
             flat_ref = np.concatenate(
                 [
                     codec.reference_pixels_batch(seeds[i : i + 1], w, h)
@@ -73,17 +104,11 @@ class VerifyInvariants:
                     .copy()
                     for i, (w, h) in enumerate(whs)
                 ]
-            )
-        psnr = codec.psnr_batch(np.concatenate(flat_px), flat_ref, sizes)
-        cap_ok = np.fromiter(
-            (caps[i] == caption_for(ids[i]) for i in range(n)), bool, n
+            ) if n else np.empty(0, dtype=np.uint8)
+        return codec.psnr_batch(
+            np.concatenate(flat_px) if flat_px else np.empty(0, np.uint8),
+            flat_ref, sizes,
         )
-        ok = (psnr >= self.psnr_min) & cap_ok
-        if self.strict and not ok.all():
-            bad = [ids[i] for i in np.flatnonzero(~ok)[:5]]
-            raise ValueError(f"invariant violated for images {bad}")
-        out = batch.append_column("psnr_db", pa.array(psnr))
-        return out.append_column("invariant_ok", pa.array(ok))
 
 
 def verify_invariants(
@@ -144,6 +169,7 @@ def fused_sidecar_stage(
     check_invariants: bool = True,
     cell_res: int | None = None,
     psnr_min: float = 40.0,
+    emit_code: bool = False,
 ):
     """Per-batch callable composing verify → filter → geotag → snap
     (→ cell assignment): the manually-fused image stage. One map operator
@@ -157,7 +183,7 @@ def fused_sidecar_stage(
     verify = VerifyInvariants(psnr_min=psnr_min) if check_invariants else None
     snapper = SnapPoints(
         index_ref=index_ref, buffer=buffer, x_col="x", y_col="y",
-        keep_unmatched=False,
+        keep_unmatched=False, emit_code=emit_code,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -189,6 +215,7 @@ def image_pipeline(
     snap_concurrency: int = 4,
     check_invariants: bool = True,
     materialize_sidecar: bool = False,
+    events_broadcast_budget: int = 1 << 30,
 ):
     """Full flagship pipeline; returns (per_event_counts, tile_histogram,
     snapped) datasets.
@@ -225,17 +252,40 @@ def image_pipeline(
     from linref_ray.kernels.cells import cell_size
     from linref_ray.spatial import EventRangeIndex
 
+    # Broadcast guard: the single-pass design assumes events ≪ images. If
+    # the event table exceeds the object-store budget, fall back to the
+    # co-partitioned relation join (events shuffle WITH the sidecar instead
+    # of being pulled to the driver) — parity-tested against this path.
+    ev_bytes = events.size_bytes() or 0
+    if ev_bytes > events_broadcast_budget:
+        return _image_pipeline_shuffled_events(
+            images, routes, events, buffer=buffer, cell_res=cell_res,
+            num_partitions=num_partitions, check_invariants=check_invariants,
+            materialize_sidecar=materialize_sidecar,
+        )
     ev_tbl = pa.concat_tables(
         _ray.get(events.to_arrow_refs()), promote_options="default"
     )
-    ev_index_ref = _ray.put(EventRangeIndex(ev_tbl, closed="left_mod"))
+    # route_order mirrors RouteIndex.route_ids (routes-table order), so the
+    # int32 codes SnapPoints emits index straight into the event index —
+    # route keys stay integers through the whole fused hot path.
+    ev_index_ref = _ray.put(
+        EventRangeIndex(
+            ev_tbl, closed="left_mod",
+            route_order=np.asarray(routes["route_id"].to_pylist()),
+        )
+    )
     g = cell_size(cell_res)
 
     def combined_partials(batch: pa.Table) -> pa.Table:
         idx: EventRangeIndex = _ray.get(ev_index_ref)
-        rids = np.asarray(batch["route_id"].to_pylist())
         locs = batch["loc"].to_numpy(zero_copy_only=False).astype(np.float64)
-        _, eids = idx.match(rids, locs)
+        if "route_code" in batch.column_names:
+            codes = batch["route_code"].to_numpy(zero_copy_only=False)
+            _, eids = idx.match_codes(codes, locs)
+        else:
+            rids = np.asarray(batch["route_id"].to_pylist())
+            _, eids = idx.match(rids, locs)
         ev, ev_n = np.unique(eids, return_counts=True)
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
@@ -284,7 +334,7 @@ def image_pipeline(
         # column never crosses an operator boundary.
         sidecar_fn = fused_sidecar_stage(
             routes, index_ref, buffer=buffer,
-            check_invariants=check_invariants,
+            check_invariants=check_invariants, emit_code=True,
         )
 
         def fused(batch: pa.Table) -> pa.Table:
@@ -311,6 +361,90 @@ def image_pipeline(
     tiles = combined.filter(expr="kind == 1").select_columns(
         ["ka", "kb", "n"]
     ).rename_columns({"ka": "ix", "kb": "iy"})
+    return per_event, tiles, snapped
+
+
+def _image_pipeline_shuffled_events(
+    images: ray.data.Dataset,
+    routes: pa.Table,
+    events: ray.data.Dataset,
+    buffer: float = 5.0,
+    cell_res: int = 8,
+    num_partitions: int = 64,
+    check_invariants: bool = True,
+    materialize_sidecar: bool = False,
+):
+    """Flagship fallback when the event table exceeds the broadcast budget:
+    events co-shuffle with the snapped sidecar through the relation join
+    (``relate.Relation``) instead of being pulled to the driver.
+
+    Two streaming passes over the sidecar (tiles, then the event join) —
+    at a scale where events don't broadcast, the sidecar doesn't pin in the
+    object store either; callers that want single-decode semantics should
+    checkpoint the sidecar (:func:`image_pipeline_checkpointed`) and feed
+    the checkpoint back in.
+    """
+    from ray.data.aggregate import Sum
+
+    from linref_ray.kernels.cells import cell_size
+    from linref_ray.lrs import LRS
+    from linref_ray.relate import Relation
+    from linref_ray.spatial import build_route_index
+
+    index_ref = build_route_index(routes, res=cell_res, pad=buffer)
+    sidecar_fn = fused_sidecar_stage(
+        routes, index_ref, buffer=buffer, check_invariants=check_invariants,
+    )
+    snapped = images.map_batches(
+        sidecar_fn, batch_format="pyarrow", batch_size=8192
+    )
+    if materialize_sidecar:
+        snapped = snapped.materialize()
+    g = cell_size(cell_res)
+
+    def tile_partials(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        ix = np.floor(x / g).astype(np.int64)
+        iy = np.floor(y / g).astype(np.int64)
+        packed = (ix << np.int64(32)) | (iy & np.int64(0xFFFFFFFF))
+        _, tfirst, tn = np.unique(packed, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "ix": pa.array(ix[tfirst]),
+                "iy": pa.array(iy[tfirst]),
+                "__n": pa.array(tn.astype(np.int64)),
+            }
+        )
+
+    tiles = (
+        snapped.map_batches(
+            tile_partials, batch_format="pyarrow", batch_size=16384
+        )
+        .groupby(["ix", "iy"])
+        .aggregate(Sum("__n", alias_name="n"))
+    )
+
+    def with_pt_id(batch: pa.Table) -> pa.Table:
+        # The relation kernel packs int64 ids; point identity is unused for
+        # counting, so a constant placeholder keeps the sidecar slim.
+        return batch.append_column(
+            "__pt", pa.array(np.zeros(len(batch), np.int64))
+        )
+
+    pts = snapped.map_batches(with_pt_id, batch_format="pyarrow")
+    rel = Relation(
+        pts,
+        events,
+        LRS(key_col=("route_id",), beg_col=None, end_col=None,
+            loc_col="loc", closed="left_mod"),
+        LRS(key_col=("route_id",), beg_col="beg", end_col="end",
+            closed="left_mod"),
+        id_col="__pt",
+        right_id_col="event_id",
+        num_partitions=num_partitions,
+    )
+    per_event = rel.count(target="right", out_col="n_images")
     return per_event, tiles, snapped
 
 

@@ -149,12 +149,19 @@ class SnapPoints:
         x_col: str = "x",
         y_col: str = "y",
         keep_unmatched: bool = False,
+        emit_code: bool = False,
     ):
         self.idx: RouteIndex = ray.get(index_ref)
         self.buffer = buffer
         self.x_col = x_col
         self.y_col = y_col
         self.keep_unmatched = keep_unmatched
+        # emit_code=True appends ``route_code`` (int32 position in the
+        # broadcast index's route order) INSTEAD of the ``route_id`` string
+        # — downstream stages that consume the snap inside the same fused
+        # pipeline (flagship) stay integer-keyed end to end; the string id
+        # only materializes at external boundaries (checkpoints, results).
+        self.emit_code = emit_code
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx = self.idx
@@ -181,8 +188,13 @@ class SnapPoints:
             best_m[qi[pick]] = m[pick]
             best_r[qi[pick]] = idx.ridx[si[pick]]
         matched = best_r >= 0
-        rid = np.where(matched, idx.route_ids[np.maximum(best_r, 0)], None)
-        out = batch.append_column("route_id", pa.array(rid, pa.string()))
+        if self.emit_code:
+            out = batch.append_column(
+                "route_code", pa.array(best_r.astype(np.int32))
+            )
+        else:
+            rid = np.where(matched, idx.route_ids[np.maximum(best_r, 0)], None)
+            out = batch.append_column("route_id", pa.array(rid, pa.string()))
         out = out.append_column(
             "loc", pa.array(np.where(matched, best_m, np.nan))
         )
@@ -372,7 +384,8 @@ class EventRangeIndex:
 
     def __init__(self, events: pa.Table, closed: str = "left_mod",
                  key_col: str = "route_id", beg_col: str = "beg",
-                 end_col: str = "end", id_col: str = "event_id"):
+                 end_col: str = "end", id_col: str = "event_id",
+                 route_order: np.ndarray | None = None):
         import pandas as pd
 
         from linref_ray.kernels.intervals import modified_edges_sorted
@@ -390,12 +403,22 @@ class EventRangeIndex:
                 g[id_col].to_numpy(dtype=np.int64),
                 modified_edges_sorted(begs, ends, closed),
             )
+        # Optional integer-code view: position i in ``route_order`` (the
+        # RouteIndex's route array) → that route's interval arrays. Lets
+        # :meth:`match_codes` sort int32 codes instead of strings — the
+        # string sort was the hottest line of the flagship partial stage.
+        self._by_code: list | None = None
+        if route_order is not None:
+            self._by_code = [self.routes.get(r) for r in route_order]
 
     def match(self, route_ids: np.ndarray, locs: np.ndarray,
               enforce_edges: bool = True):
         """(point_pos, event_id) matches for a batch of snapped points."""
         from linref_ray.kernels.intervals import intersect_point_linear_pairs
 
+        if len(route_ids) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy()
         out_p, out_e = [], []
         order = np.argsort(route_ids, kind="stable")
         rids_s = route_ids[order]
@@ -405,6 +428,50 @@ class EventRangeIndex:
             np.concatenate([breaks, [len(rids_s)]]),
         ):
             entry = self.routes.get(rids_s[a])
+            if entry is None:
+                continue
+            begs, ends, ids, mod = entry
+            seg = order[a:z]
+            pi, ii = intersect_point_linear_pairs(
+                locs[seg], begs, ends, self.closed, enforce_edges, mod
+            )
+            out_p.append(seg[pi])
+            out_e.append(ids[ii])
+        if not out_p:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy()
+        return np.concatenate(out_p), np.concatenate(out_e)
+
+    def match_codes(self, route_codes: np.ndarray, locs: np.ndarray,
+                    enforce_edges: bool = True):
+        """(point_pos, event_id) matches keyed by int route codes.
+
+        Same sweep as :meth:`match` but the per-batch group sort runs on
+        int32 codes (built with ``route_order=`` at construction).
+        """
+        from linref_ray.kernels.intervals import intersect_point_linear_pairs
+
+        if self._by_code is None:
+            raise ValueError(
+                "EventRangeIndex built without route_order — no code view"
+            )
+        if len(route_codes) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy()
+        out_p, out_e = [], []
+        order = np.argsort(route_codes, kind="stable")
+        codes_s = route_codes[order]
+        breaks = np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1
+        for a, z in zip(
+            np.concatenate([[0], breaks]),
+            np.concatenate([breaks, [len(codes_s)]]),
+        ):
+            code = int(codes_s[a])
+            entry = (
+                self._by_code[code]
+                if 0 <= code < len(self._by_code)
+                else None
+            )
             if entry is None:
                 continue
             begs, ends, ids, mod = entry

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pandas.testing as pdt
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -234,6 +235,70 @@ class TestImagePipeline:
         assert te.n.sum() == len(sn)
         pe = per_event.to_pandas()
         assert pe.n_images.sum() > 0
+
+    def test_shuffled_events_fallback_parity(self, ray_session):
+        # events_broadcast_budget=0 forces the co-partitioned relation-join
+        # fallback; outputs must match the broadcast path exactly.
+        routes = synth.make_routes(8, seed=42)
+        events = rd.from_arrow(synth.make_events(routes, density=0.08))
+        images = rd.from_arrow(synth.make_images(200))
+        pe_b, ti_b, _ = image_pipeline(
+            images, routes, events, buffer=6.0, cell_res=6, num_partitions=8,
+        )
+        pe_s, ti_s, _ = image_pipeline(
+            images, routes, events, buffer=6.0, cell_res=6, num_partitions=8,
+            events_broadcast_budget=0,
+        )
+        a = pe_b.to_pandas().sort_values("event_id").reset_index(drop=True)
+        b = pe_s.to_pandas().sort_values("event_id").reset_index(drop=True)
+        pdt.assert_frame_equal(a, b[a.columns], check_dtype=False)
+        ta = ti_b.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        tb = ti_s.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        pdt.assert_frame_equal(ta, tb[ta.columns], check_dtype=False)
+
+    def test_id_seeds_arrow_parity(self):
+        from linref_ray.kernels import codec
+
+        ids = ["img-%08d" % i for i in range(50)] + ["x", "", "abcdef" * 3]
+        arr = pa.array(ids, pa.string())
+        assert (codec.id_seeds_arrow(arr) == codec.id_seeds(ids)).all()
+        # Sliced (non-zero offset) and chunked arrays hit the buffer-offset
+        # arithmetic.
+        assert (
+            codec.id_seeds_arrow(arr.slice(3, 20)) == codec.id_seeds(ids[3:23])
+        ).all()
+        chunked = pa.chunked_array([ids[:10], ids[10:]], pa.string())
+        assert (codec.id_seeds_arrow(chunked) == codec.id_seeds(ids)).all()
+
+    def test_caption_fastpath_matches_caption_for(self, ray_session):
+        # VerifyInvariants builds the expected caption in Arrow C++; it must
+        # stay bit-equal to synth.caption_for.
+        imgs = synth.make_images(10)
+        expected = [synth.caption_for(i) for i in imgs["image_id"].to_pylist()]
+        assert imgs["caption"].to_pylist() == expected
+        out = verify_invariants(rd.from_arrow(imgs)).to_pandas()
+        assert out.invariant_ok.all()
+
+    def test_event_index_match_codes_parity(self):
+        from linref_ray.spatial import EventRangeIndex
+
+        routes = synth.make_routes(6, seed=7)
+        events = synth.make_events(routes, density=0.2)
+        order = np.asarray(routes["route_id"].to_pylist())
+        idx = EventRangeIndex(events, closed="left_mod", route_order=order)
+        rng = np.random.default_rng(3)
+        n = 500
+        codes = rng.integers(0, len(order), n).astype(np.int32)
+        locs = rng.uniform(-5, 60, n)
+        p1, e1 = idx.match(order[codes], locs)
+        p2, e2 = idx.match_codes(codes, locs)
+        k1 = np.lexsort([e1, p1])
+        k2 = np.lexsort([e2, p2])
+        assert (p1[k1] == p2[k2]).all() and (e1[k1] == e2[k2]).all()
+        # Out-of-range and unmatched codes are silently skipped.
+        p3, e3 = idx.match_codes(np.array([-1, len(order) + 5], np.int64),
+                                 np.array([1.0, 1.0]))
+        assert len(p3) == 0 and len(e3) == 0
 
 
 class TestCheckpointedPipeline:
