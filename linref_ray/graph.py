@@ -41,6 +41,13 @@ def _split_edges(tbl: pa.Table, a_col: str, b_col: str, p: int):
     """Symmetrize one input block and bucket directed edges by h(u)."""
     import pyarrow.compute as pc
 
+    if a_col not in tbl.column_names:
+        # Ray 2.49 groupby().map_groups emits ZERO-COLUMN empty blocks for
+        # empty partitions (see joins.hash_join) — treat as no edges.
+        if len(tbl) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return tuple((e, e) for _ in range(p))
+        raise KeyError(f"edge table missing column {a_col!r}")
     a = pc.cast(tbl[a_col], pa.int64()).to_numpy(zero_copy_only=False)
     b = pc.cast(tbl[b_col], pa.int64()).to_numpy(zero_copy_only=False)
     keep = a != b
@@ -189,7 +196,10 @@ def connected_components(
     O(log diameter) rounds. Labels only ever decrease; a round with zero
     changes in both phases is the exact fixpoint test.
     """
-    p = int(num_partitions)
+    # num_returns=1 would deliver each producer's whole result tuple as a
+    # single object (breaking every consumer's unpacking) — two partitions
+    # is the working minimum.
+    p = max(2, int(num_partitions))
     block_refs = edges.to_arrow_refs()
     # everything below moves by OBJECT REF between tasks — the driver
     # only ever fetches per-round scalar changed-counts
@@ -197,8 +207,6 @@ def connected_components(
         _split_edges.options(num_returns=p).remote(ref, a_col, b_col, p)
         for ref in block_refs
     ]
-    if p == 1:
-        split = [[s] for s in split]
     built = [
         _build_part.options(num_returns=2).remote(
             *[sp[q] for sp in split]
@@ -225,8 +233,6 @@ def connected_components(
             )
             for q in range(p)
         ]
-        if p == 1:
-            msgs = [[m] for m in msgs]
         red = [
             _reduce_min.options(num_returns=2).remote(
                 label_refs[q], *[m[q] for m in msgs]
@@ -241,8 +247,6 @@ def connected_components(
             )
             for q in range(p)
         ]
-        if p == 1:
-            reqs = [[r] for r in reqs]
         res = [
             _resolve_labels.remote(
                 new_labels[r], *[rq[r] for rq in reqs]

@@ -911,12 +911,182 @@ def intersection_pairs(
     )
 
 
+def _cluster_label_distributed(
+    ds: ray.data.Dataset,
+    local: ray.data.Dataset,
+    distinct: ray.data.Dataset,
+    link_col: str | None,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Scale path for :func:`cluster_events` label assignment: dense ranks
+    via :func:`dense_rank_labels` and link edges via
+    :func:`linref_ray.graph.connected_components` — the driver never holds
+    a per-component structure. Label values are identical to the driver
+    path (min-member canonical representative, then dense rank)."""
+    from linref_ray.joins import hash_join
+    from linref_ray.partition import KEYCOL, PID, add_partition_cols, grouped_distinct
+
+    labels = dense_rank_labels(
+        distinct, ("__ckey", "__cpos"), out_col="cluster"
+    )
+
+    def key_of(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["__ckey"], pc.cast(t["__cpos"], pa.string()), "#"
+        )
+        return t.append_column("__ck2", k).drop_columns(["__ckey", "__cpos"])
+
+    lab2 = labels.map_batches(key_of, batch_format="pyarrow")
+    loc2 = local.map_batches(key_of, batch_format="pyarrow")
+    out = hash_join(
+        loc2, lab2, on="__ck2", how="left", num_partitions=num_partitions
+    ).drop_columns(["__ck2"])
+    if link_col is None:
+        return out
+
+    links = hash_join(
+        out.select_columns(["event_id", "cluster"]),
+        ds.select_columns(["event_id", link_col]),
+        on="event_id", how="left", num_partitions=num_partitions,
+    )
+    links = links.map_batches(
+        lambda t: t.filter(pc.is_valid(t[link_col])), batch_format="pyarrow"
+    )
+    pairs = grouped_distinct(
+        links.select_columns([link_col, "cluster"]), (link_col, "cluster"),
+        num_partitions=num_partitions,
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        return add_partition_cols(t, (link_col,), num_partitions)
+
+    def star(t: pa.Table) -> pa.Table:
+        # One kernel per hash partition: link groups co-locate, so emitting
+        # (min cid, cid) star edges per link run is globally complete.
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+        lk = t[KEYCOL].to_numpy(zero_copy_only=False)
+        cid = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort([cid, lk])
+        lks, cids = lk[order], cid[order]
+        starts = np.concatenate([[True], lks[1:] != lks[:-1]])
+        run_of = np.cumsum(starts) - 1
+        mins = cids[np.flatnonzero(starts)]
+        return pa.table(
+            {
+                "id_a": pa.array(mins[run_of]),
+                "id_b": pa.array(cids),
+            }
+        )
+
+    edges = (
+        pairs.map_batches(part, batch_format="pyarrow")
+        .groupby(PID)
+        .map_groups(star, batch_format="pyarrow")
+    )
+    from linref_ray.graph import connected_components
+
+    cc = connected_components(
+        edges, "id_a", "id_b",
+        num_partitions=max(num_partitions // 8, 1),
+    ).map_batches(
+        lambda t: pa.table({"cluster": t["node"], "__rep": t["label"]}),
+        batch_format="pyarrow",
+    )
+    out2 = hash_join(
+        out, cc, on="cluster", how="left", num_partitions=num_partitions
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(
+            pc.cast(t["__rep"], pa.int64()), pc.cast(t["cluster"], pa.int64())
+        )
+        return t.drop_columns(["__rep", "cluster"]).append_column("__rep", rep)
+
+    out2 = out2.map_batches(fill, batch_format="pyarrow")
+    reps = grouped_distinct(
+        out2.select_columns(["__rep"]), ("__rep",),
+        num_partitions=num_partitions,
+    )
+    relabel = dense_rank_labels(reps, ("__rep",), out_col="cluster")
+    return hash_join(
+        out2, relabel, on="__rep", how="left", num_partitions=num_partitions
+    ).drop_columns(["__rep"])
+
+
+@ray.remote
+def _block_first_key(tbl: pa.Table, cols: tuple) -> tuple:
+    if len(tbl) == 0:
+        return None
+    return tuple(tbl[c][0].as_py() for c in cols)
+
+
+@ray.remote
+def _block_label(tbl: pa.Table, offset: int, out_col: str) -> pa.Table:
+    return tbl.append_column(
+        out_col, pa.array(offset + np.arange(len(tbl), dtype=np.int64))
+    )
+
+
+def dense_rank_labels(
+    distinct: ray.data.Dataset, cols: tuple[str, ...], out_col: str = "cluster"
+) -> ray.data.Dataset:
+    """Distributed dense rank 0..k-1 over a DISTINCT-rows dataset ordered by
+    ``cols`` ascending — the scale path for global label assignment.
+
+    Range-partitioned ``sort`` (blocks hold disjoint key ranges), then ONE
+    tiny driver fetch of per-block (first key, row count) to compute each
+    block's exclusive offset; labels are written per block by raw tasks.
+    Nothing larger than O(#blocks) touches the driver.
+    """
+    s = distinct.sort(list(cols)).materialize()
+    refs = s.to_arrow_refs()
+    firsts = ray.get([_block_first_key.remote(r, tuple(cols)) for r in refs])
+    sizes = ray.get([_n_rows.remote(r) for r in refs])
+    order = sorted(
+        (i for i in range(len(refs)) if firsts[i] is not None),
+        key=lambda i: firsts[i],
+    )
+    out_refs = []
+    off = 0
+    for i in order:
+        out_refs.append(_block_label.remote(refs[i], off, out_col))
+        off += sizes[i]
+    if not out_refs:
+        from linref_ray.joins import _pa_type
+
+        sch = distinct.schema()
+        empty = pa.table(
+            {
+                **{
+                    c: pa.array([], _pa_type(sch.types[sch.names.index(c)]))
+                    for c in cols
+                },
+                out_col: pa.array([], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(out_refs)
+
+
+@ray.remote
+def _n_rows(tbl: pa.Table) -> int:
+    return len(tbl)
+
+
 def cluster_events(
     ds: ray.data.Dataset,
     lrs,
     max_gap: float = 0.0,
     link_col: str | None = None,
     num_partitions: int = 64,
+    label_mode: str = "auto",
+    driver_label_budget: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Connected components of the extend-by-gap self-overlap graph
     (reference ``ext/base.py:2846-2970``).
@@ -982,14 +1152,31 @@ def cluster_events(
         .map_groups(kernel, batch_format="pyarrow")
     )
 
-    # Assign global ids: (route, local component) → dense int. The distinct
-    # (route, comp) list is small (≤ events); aggregate it, label on driver.
+    # Assign global ids: (route, local component) → dense int, ordered by
+    # (route, comp) — the reference's label convention and the oracle's
+    # dense_rank. Two modes, parity-tested:
+    #  - 'driver': collect the distinct (route, comp) list and label it in
+    #    one pandas pass — right when components ≪ rows (typical).
+    #  - 'distributed': dense_rank_labels (range sort + per-block offsets)
+    #    + graph.connected_components for link edges — nothing larger than
+    #    O(#blocks) reaches the driver. 'auto' gates on the distinct count.
     from linref_ray.partition import grouped_distinct
 
+    if label_mode not in ("auto", "driver", "distributed"):
+        raise ValueError("label_mode must be auto|driver|distributed")
     distinct = grouped_distinct(
         local.select_columns(["__ckey", "__cpos"]), ("__ckey", "__cpos"),
         num_partitions=num_partitions,
-    )
+    ).materialize()  # small (≤ one row per input event); consumed 1-2x
+    if label_mode == "auto":
+        label_mode = (
+            "driver" if distinct.count() <= driver_label_budget
+            else "distributed"
+        )
+    if label_mode == "distributed":
+        return _cluster_label_distributed(
+            ds, local, distinct, link_col, num_partitions
+        )
     ddf = distinct.to_pandas()
     ddf = ddf.sort_values(["__ckey", "__cpos"]).reset_index(drop=True)
     ddf["cluster"] = np.arange(len(ddf), dtype=np.int64)
@@ -1039,7 +1226,12 @@ def cluster_events(
             for c in comps[1:]:
                 parent[find(c)] = root
         roots = np.array([find(i) for i in range(len(ddf))])
-        _, dense = np.unique(roots, return_inverse=True)
+        # Canonicalize each component to its MINIMUM member id — the same
+        # convention as graph.connected_components, so the 'distributed'
+        # label mode produces identical values (parity-tested).
+        mins = np.full(len(ddf), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, roots, np.arange(len(ddf), dtype=np.int64))
+        _, dense = np.unique(mins[roots], return_inverse=True)
         ddf["cluster"] = dense.astype(np.int64)
 
     labels = ray.data.from_pandas(ddf)

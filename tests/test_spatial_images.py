@@ -203,6 +203,38 @@ class TestCluster:
         near = cluster_events(ds, L, 2.0, num_partitions=4).to_pandas().set_index("event_id")
         assert near.loc[0, "cluster"] == near.loc[1, "cluster"]
 
+    def test_label_modes_identical(self, ray_session):
+        # driver vs distributed labeling must agree in VALUES, with and
+        # without cross-route links (mirror of dedup_corpus(method=...)).
+        L = LRS(key_col=("route",), beg_col="beg", end_col="end")
+        rng = np.random.default_rng(11)
+        n = 400
+        beg = rng.uniform(0, 100, n).round(2)
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": np.arange(n, dtype=np.int64),
+                    "route": rng.choice(list("ABCDEFG"), n),
+                    "beg": beg,
+                    "end": beg + rng.uniform(0.1, 6, n).round(2),
+                    "link": rng.integers(0, 40, n),
+                }
+            )
+        )
+        for link in (None, "link"):
+            a = (
+                cluster_events(ds, L, 1.0, link_col=link, num_partitions=4,
+                               label_mode="driver")
+                .to_pandas().sort_values("event_id").reset_index(drop=True)
+            )
+            b = (
+                cluster_events(ds, L, 1.0, link_col=link, num_partitions=4,
+                               label_mode="distributed")
+                .to_pandas().sort_values("event_id").reset_index(drop=True)
+            )
+            cols = sorted(set(a.columns) & set(b.columns))
+            pdt.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+
 
 class TestImagePipeline:
     def test_invariants_pass_and_detect_corruption(self, ray_session):
