@@ -27,7 +27,7 @@ _FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
 
 
 def encode_image(pixels: np.ndarray, fmt: str = "raw") -> bytes:
-    """Encode an (h, w, 3) uint8 array into our container format."""
+    """Encode an (h, w, 3) uint8 array: our container, or a real PNG."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("pixels must be (h, w, 3) uint8")
     h, w = pixels.shape[:2]
@@ -35,10 +35,12 @@ def encode_image(pixels: np.ndarray, fmt: str = "raw") -> bytes:
         payload = pixels.tobytes()
     elif fmt == "qz":
         payload = (((pixels >> 2) << 2) + 2).astype(np.uint8).tobytes()
-    elif fmt in ("jpeg", "png"):
+    elif fmt == "png":
+        return png_encode(pixels)
+    elif fmt == "jpeg":
         raise NotImplementedError(
-            f"real {fmt} codecs are unavailable in this environment; "
-            "use 'raw' or 'qz'"
+            "no JPEG codec library in this environment; use 'png', 'raw' "
+            "or 'qz'"
         )
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
@@ -46,13 +48,147 @@ def encode_image(pixels: np.ndarray, fmt: str = "raw") -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """Decode container bytes → ((h, w, 3) uint8, fmt name)."""
+    """Decode image bytes → ((h, w, 3) uint8, fmt name).
+
+    Dispatches on magic: our deterministic container ('raw'/'qz') or a
+    real PNG (pure-stdlib zlib decoder, :func:`png_decode`). JPEG stays
+    stubbed (no codec library in this container).
+    """
+    if data[:8] == _PNG_MAGIC:
+        return png_decode(data), "png"
+    if data[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode needs a codec library unavailable in this "
+            "environment"
+        )
     magic, w, h, code, _ = _HEADER.unpack_from(data, 0)
     if magic != MAGIC:
-        raise ValueError("bad image magic; real-format decode is stubbed here")
+        raise ValueError("bad image magic")
     fmt = _FMT_NAMES[code]
     pixels = np.frombuffer(data, dtype=np.uint8, offset=_HEADER.size)
     return pixels.reshape(h, w, 3).copy(), fmt
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec — pure stdlib (zlib) + numpy, no image libraries.
+# Decoder: 8-bit greyscale/RGB/RGBA (color types 0/2/6), non-interlaced,
+# all five scanline filters. Encoder: filter-0 RGB (valid baseline PNG any
+# reader accepts). Enough for the input_hint's fmt='png' rows to run the
+# decoded-pixel PSNR invariant for real.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(pixels: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 → baseline truecolor PNG bytes (filter 0 rows)."""
+    import zlib
+
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), level)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 (alpha dropped, grey broadcast to RGB).
+
+    Supports the baseline-corpus shapes: bit depth 8, color types 0/2/6,
+    no interlacing. Filters None/Sub/Up are vectorized per row; Average
+    and Paeth reconstruct left-to-right (inherently sequential) — our own
+    encoder emits filter 0, so the slow path only runs on foreign files.
+    """
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if ctype not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG color type {ctype} (only grey/RGB/RGBA)"
+                )
+            if comp != 0 or filt != 0 or inter != 0:
+                raise NotImplementedError("PNG interlace/nonzero methods")
+            nch = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * nch
+    raw = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        line = raw[r, 1:].astype(np.int32)
+        ft = int(filters[r])
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: cumulative sum with lag nch, mod 256
+            rec = np.cumsum(line.reshape(w, nch), axis=0).reshape(stride) & 255
+        elif ft == 2:  # Up
+            rec = (line + prev) & 255
+        elif ft == 3:  # Average — left-dependent, sequential
+            rec = line.copy()
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth — left-dependent, sequential
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pp = a + b - c
+                pa, pb, pc2 = abs(pp - a), abs(pp - b), abs(pp - c)
+                if pa <= pb and pa <= pc2:
+                    pred = a
+                elif pb <= pc2:
+                    pred = b
+                else:
+                    pred = c
+                rec[i] = (rec[i] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec
+        prev = rec.astype(np.int32)
+    px = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -466,3 +466,114 @@ class TestFnvVectorized:
         ]
         np.testing.assert_array_equal(_hash_tokens_u64(toks), scalar(toks))
         assert len(_hash_tokens_u64([])) == 0
+
+
+class TestPngCodec:
+    def test_roundtrip_rgb(self):
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+        data = codec.png_encode(px)
+        assert data[:8] == codec._PNG_MAGIC
+        out, fmt = codec.decode_image(data)
+        assert fmt == "png"
+        np.testing.assert_array_equal(out, px)
+
+    def test_all_filter_types_against_reference(self):
+        # Hand-build a PNG whose rows use every filter type and check the
+        # decoder against a straight-line pure-python reconstruction.
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(9)
+        h, w, nch = 5, 7, 3
+        px = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+        flat = px.reshape(h, w * nch).astype(np.int64)
+        stride = w * nch
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int64)
+        for r, ft in enumerate([0, 1, 2, 3, 4]):
+            cur = flat[r]
+            if ft == 0:
+                enc = cur.copy()
+            elif ft == 1:
+                enc = cur - np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            elif ft == 2:
+                enc = cur - prev
+            elif ft == 3:
+                enc = np.array([
+                    cur[i] - (((cur[i - nch] if i >= nch else 0) + prev[i]) >> 1)
+                    for i in range(stride)
+                ])
+            else:
+                def paeth(a, b, c):
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        return a
+                    if pb <= pc:
+                        return b
+                    return c
+                enc = np.array([
+                    cur[i] - paeth(
+                        cur[i - nch] if i >= nch else 0,
+                        prev[i],
+                        prev[i - nch] if i >= nch else 0,
+                    )
+                    for i in range(stride)
+                ])
+            raw.append(ft)
+            raw.extend((enc & 255).astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        data = (codec._PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        out = codec.png_decode(data)
+        np.testing.assert_array_equal(out, px)
+
+    def test_rgba_and_grey(self):
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        rng = np.random.default_rng(2)
+        # RGBA: alpha dropped
+        px4 = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+        raw = bytearray()
+        for r in range(4):
+            raw.append(0)
+            raw.extend(px4[r].tobytes())
+        data = (codec._PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 6, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        np.testing.assert_array_equal(codec.png_decode(data), px4[:, :, :3])
+        # greyscale: broadcast to RGB
+        g = rng.integers(0, 256, (3, 5, 1), dtype=np.uint8)
+        raw = bytearray()
+        for r in range(3):
+            raw.append(0)
+            raw.extend(g[r].tobytes())
+        data = (codec._PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        np.testing.assert_array_equal(
+            codec.png_decode(data), np.repeat(g, 3, axis=2)
+        )
+
+    def test_unsupported_shapes_raise(self):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            codec.decode_image(b"\xff\xd8rest-of-jpeg")
+        with _pytest.raises(ValueError):
+            codec.png_decode(b"not a png at all")

@@ -436,3 +436,41 @@ class TestImageNearDup:
         # kernel-level: affine map leaves pHash bits unchanged
         g = px.astype(np.float32).mean(axis=2)
         assert phash64(g) == phash64(g * 1.3 + 10.0)
+
+
+class TestRealPngInvariants:
+    def test_invariants_on_real_png_corpus(self, ray_session):
+        # input_hint fmt='png' rows: pixels stored as REAL PNG bytes (pure
+        # stdlib codec), decoded by the invariant stage and PSNR-checked
+        # against the deterministic reference — lossless, so psnr = inf.
+        from linref_ray.kernels import codec
+
+        ids = [f"img-{i:08d}" for i in range(40)]
+        blobs, caps = [], []
+        for i, iid in enumerate(ids):
+            px = codec.reference_pixels(iid, 12, 9)
+            blobs.append(codec.png_encode(px))
+            caps.append(synth.caption_for(iid))
+        tbl = pa.table(
+            {
+                "image_id": pa.array(ids),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array([12] * len(ids), pa.int32()),
+                "h": pa.array([9] * len(ids), pa.int32()),
+                "fmt": pa.array(["png"] * len(ids)),
+                "caption": pa.array(caps),
+                "phash": pa.array([0] * len(ids), pa.int64()),
+            }
+        )
+        out = verify_invariants(rd.from_arrow(tbl)).to_pandas()
+        assert out.invariant_ok.all()
+        assert np.isinf(out.psnr_db).all()
+        # A corrupted PNG payload is flagged, not crashed.
+        bad_px = 255 - codec.reference_pixels(ids[0], 12, 9)
+        blobs[0] = codec.png_encode(bad_px)
+        tbl2 = tbl.set_column(
+            tbl.schema.get_field_index("bytes"), "bytes",
+            pa.array(blobs, pa.binary()),
+        )
+        out2 = verify_invariants(rd.from_arrow(tbl2)).to_pandas()
+        assert int((~out2.invariant_ok).sum()) == 1
