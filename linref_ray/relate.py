@@ -1288,16 +1288,19 @@ class Relation:
             gm = tbl[ms_col].to_pylist()
             order = np.lexsort([ids, end, beg, side, key])
             key_s, side_s = key[order], side[order]
-            out_ids: list[int] = []
-            out_idx: list[int] = []
-            out_x: list[float] = []
-            out_y: list[float] = []
+            # Group-level array appends (one concatenate at the end) — no
+            # per-row Python in the emit path.
+            out_ids: list[np.ndarray] = []
+            out_idx: list[np.ndarray] = []
+            out_x: list[np.ndarray] = []
+            out_y: list[np.ndarray] = []
 
-            def emit(row_id: int, idx: int, x: float, y: float) -> None:
-                out_ids.append(row_id)
-                out_idx.append(idx)
-                out_x.append(x)
-                out_y.append(y)
+            def emit_nan(rows: np.ndarray) -> None:
+                n = len(rows)
+                out_ids.append(ids[rows])
+                out_idx.append(np.zeros(n, np.int64))
+                out_x.append(np.full(n, np.nan))
+                out_y.append(np.full(n, np.nan))
 
             for a, z in iter_group_segments(key_s):
                 split = a + int(np.searchsorted(side_s[a:z], 1))
@@ -1307,8 +1310,7 @@ class Relation:
                 if nt == 0:
                     continue
                 if ns == 0:
-                    for row in tseg:
-                        emit(int(ids[row]), 0, np.nan, np.nan)
+                    emit_nan(tseg)
                     continue
                 s_closed = r_closed if tgt_left else l_closed
                 pi, ii = intersect_point_linear_pairs(
@@ -1357,21 +1359,21 @@ class Relation:
                     )
                     res_x[rows] = px
                     res_y[rows] = py
-                for j in range(len(keep_t)):
-                    emit(
-                        int(ids[tseg[keep_t[j]]]), int(keep_idx[j]),
-                        float(res_x[j]), float(res_y[j]),
-                    )
-                for tloc in np.flatnonzero(counts == 0):
-                    emit(int(ids[tseg[tloc]]), 0, np.nan, np.nan)
+                out_ids.append(ids[tseg[keep_t]])
+                out_idx.append(keep_idx.astype(np.int64))
+                out_x.append(res_x)
+                out_y.append(res_y)
+                emit_nan(tseg[counts == 0])
             if not out_ids:
                 return _empty()
             return pa.table(
                 {
-                    id_col: pa.array(out_ids, pa.int64()),
-                    "interp_idx": pa.array(out_idx, pa.int64()),
-                    "x": pa.array(out_x, pa.float64()),
-                    "y": pa.array(out_y, pa.float64()),
+                    id_col: pa.array(
+                        np.concatenate(out_ids).astype(np.int64)
+                    ),
+                    "interp_idx": pa.array(np.concatenate(out_idx)),
+                    "x": pa.array(np.concatenate(out_x).astype(np.float64)),
+                    "y": pa.array(np.concatenate(out_y).astype(np.float64)),
                 }
             )
 
