@@ -305,7 +305,9 @@ def kmeans_centroids(
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
     for _ in range(iters):
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # rank-equivalent to |m-c|^2 without the (B,k,d) temporary:
+        # |x|^2 is constant per row, so |c|^2 - 2 x.c orders identically
+        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
         assign = d.argmin(axis=1)
         for j in range(len(cent)):
             sel = m[assign == j]
@@ -427,7 +429,7 @@ def knn_ivf(
         promote_options="default",
     )
     qm = _to_matrix(q_tbl[vec_col])
-    qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    qd = (cent * cent).sum(axis=1)[None, :] - 2.0 * (qm @ cent.T)
     probe_cells = np.unique(
         np.argsort(qd, axis=1)[:, :nprobe].ravel()
     )
@@ -435,7 +437,9 @@ def knn_ivf(
 
     def in_probed_cells(t: pa.Table) -> pa.Table:
         m = _to_matrix(t[vec_col])
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # rank-equivalent to |m-c|^2 without the (B,k,d) temporary:
+        # |x|^2 is constant per row, so |c|^2 - 2 x.c orders identically
+        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
         cell = d.argmin(axis=1).astype(np.int64)
         return t.filter(
             pa.compute.is_in(pa.array(cell), value_set=probe_set)
@@ -643,7 +647,8 @@ def knn_graph_ivf(
         cents = ray.get(cent_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _to_matrix(t[vec_col])
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # rank-equivalent distance (see kmeans assign): no 3D temp
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
         near = np.argsort(d, axis=1, kind="stable")
         np_ = min(nprobe, d.shape[1])
         vecs = t[vec_col]

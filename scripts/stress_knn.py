@@ -43,9 +43,11 @@ def main() -> None:
         )
     ).repartition(64).materialize()
 
+    n_centroids = int(os.environ.get("KNN_CENTROIDS", "256"))
+    nprobe = int(os.environ.get("KNN_NPROBE", "12"))
     t0 = time.time()
     ivf = knn_graph_ivf(
-        ds, k=5, n_centroids=256, nprobe=12, max_cell=65536,
+        ds, k=5, n_centroids=n_centroids, nprobe=nprobe, max_cell=65536,
         sample=16384,
     ).to_pandas()
     ivf_wall = time.time() - t0
