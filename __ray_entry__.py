@@ -687,6 +687,17 @@ def _q_overlay_profile(sf_dir: str):
     return _int_micro_cols(out, {"psum": 6})
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) — integer /
+    boolean verdicts per document, bit-exact against the SQL oracle."""
+    from linref_ray.text import gopher_rules
+
+    docs = _rp(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return gopher_rules(docs)
+
+
 def _q_quality(sf_dir: str):
     from linref_ray.text import quality_scores
 
@@ -2043,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "window_sliding": _q_window_sliding,
         "frame_sample": _q_frame_sample,
+        "gopher_quality": _q_gopher_quality,
         "audio_features": _q_audio_features,
         "overlay_raw": _q_overlay_raw,
         "overlay_norm_sum": _q_overlay_norm_sum,
@@ -3334,5 +3346,47 @@ pairs as (select a.doc_id as id_a, b.doc_id as id_b,
           from wins a join wins b on a.w = b.w and a.doc_id < b.doc_id
           group by 1, 2)
 select * from pairs where n_shared >= 5
+"""
+    # Gopher quality rules (linref_ray.text.gopher_rules): definitions kept
+    # verbatim in both implementations; every output column is int/bool so
+    # the comparison is bit-exact. … = '…', • = '•'.
+    oracles["gopher_quality"] = """
+with f as (
+  select doc_id,
+    cast(len(regexp_extract_all(text, '[A-Za-z]+')) as bigint) as n_words,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as alpha_chars,
+    length(text) - length(replace(text, '#', '')) as n_hash,
+    length(text) - length(replace(text, '…', '')) as n_uell,
+    (length(text) - length(replace(text, '...', ''))) // 3 as n_dell,
+    greatest(len(string_split(text, chr(10))), 1) as n_lines,
+    len(list_filter(string_split(text, chr(10)),
+        x -> starts_with(x, '-') or starts_with(x, '*')
+             or starts_with(x, '•'))) as n_bullet,
+    len(list_filter(string_split(text, chr(10)),
+        x -> ends_with(x, '...') or ends_with(x, '…'))) as n_ell,
+    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        x -> x <> '')) as n_tok,
+    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        x -> x <> '' and regexp_matches(x, '[A-Za-z]'))) as n_alpha_tok,
+    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        x -> lower(x) in ('the','be','to','of','and','that','have','with')
+        )) as n_stop
+  from documents
+), r as (
+  select doc_id, n_words,
+    (n_words >= 50 and n_words <= 100000) as r_words,
+    (alpha_chars * 1.0 / greatest(n_words, 1) >= 3.0
+     and alpha_chars * 1.0 / greatest(n_words, 1) <= 10.0) as r_mean_len,
+    ((n_hash + n_uell + n_dell) * 1.0 / greatest(n_words, 1) <= 0.1)
+      as r_symbols,
+    (n_bullet * 1.0 / n_lines <= 0.9) as r_bullets,
+    (n_ell * 1.0 / n_lines <= 0.3) as r_ellipsis,
+    (n_alpha_tok >= 0.8 * greatest(n_tok, 1)) as r_alpha,
+    (n_stop >= 2) as r_stop
+  from f
+)
+select r.*, (r_words and r_mean_len and r_symbols and r_bullets
+             and r_ellipsis and r_alpha and r_stop) as keep
+from r
 """
     return oracles

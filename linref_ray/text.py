@@ -1336,3 +1336,131 @@ def chunk_documents(
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+def gopher_rules(
+    docs: ray.data.Dataset,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition/format heuristics —
+    public method; thresholds are theirs by default).
+
+    Every feature is an Arrow C++ kernel over the batch (count_substring /
+    split / regex match on flattened list elements) — no per-row Python.
+    Output is one row per document with each rule's boolean verdict and the
+    conjunction ``keep``: integer/boolean only, so the DuckDB oracle
+    compares bit-exactly with no float hashing concerns.
+
+    Rule definitions (shared verbatim with the SQL oracle):
+      r_words       min_words <= #([A-Za-z]+ runs) <= max_words
+      r_mean_len    min <= (alpha chars / words) <= max
+      r_symbols     (#'#' + #'…' + non-overlapping '...') / words <= 0.1
+      r_bullets     lines starting with -, *, or • <= 90%
+      r_ellipsis    lines ending with '...' or '…' <= 30%
+      r_alpha       >= 80% of whitespace tokens contain an [A-Za-z]
+      r_stop        >= 2 occurrences of {the,be,to,of,and,that,have,with}
+    """
+    STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_set = pa.array(STOPS, pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_words = pc.count_substring_regex(text, "[A-Za-z]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        alpha_chars = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^A-Za-z]", "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        denom_w = np.maximum(n_words, 1).astype(np.float64)
+        mean_len = alpha_chars / denom_w
+        n_hash = pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+        n_uell = pc.count_substring(text, "…").to_numpy(
+            zero_copy_only=False
+        )
+        # non-overlapping '...' count, replace-based (== the SQL formula)
+        n_dell = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False)
+            - pc.utf8_length(
+                pc.replace_substring(text, "...", "")
+            ).to_numpy(zero_copy_only=False)
+        ) // 3
+        sym_ratio = (n_hash + n_uell + n_dell) / denom_w
+
+        lines = pc.split_pattern(text, "\n")
+        flat_l = pc.list_flatten(lines)
+        par_l = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = np.maximum(
+            pc.list_value_length(lines).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        bullet = pc.or_(
+            pc.or_(
+                pc.starts_with(flat_l, "-"), pc.starts_with(flat_l, "*")
+            ),
+            pc.starts_with(flat_l, "•"),
+        ).to_numpy(zero_copy_only=False)
+        ell = pc.or_(
+            pc.ends_with(flat_l, "..."), pc.ends_with(flat_l, "…")
+        ).to_numpy(zero_copy_only=False)
+        n_bullet = np.bincount(par_l, weights=bullet, minlength=n)
+        n_ell = np.bincount(par_l, weights=ell, minlength=n)
+
+        toks = pc.utf8_split_whitespace(text)
+        flat_t = pc.list_flatten(toks)
+        par_t = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.utf8_length(flat_t).to_numpy(
+            zero_copy_only=False
+        ) > 0
+        has_alpha = pc.match_substring_regex(
+            flat_t, "[A-Za-z]"
+        ).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(par_t, weights=nonempty, minlength=n)
+        n_alpha_tok = np.bincount(
+            par_t, weights=has_alpha & nonempty, minlength=n
+        )
+        stop_hit = pc.is_in(
+            pc.utf8_lower(flat_t), value_set=stop_set
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(par_t, weights=stop_hit, minlength=n).astype(
+            np.int64
+        )
+
+        r_words = (n_words >= min_words) & (n_words <= max_words)
+        r_mean = (mean_len >= min_mean_word_len) & (
+            mean_len <= max_mean_word_len
+        )
+        r_sym = sym_ratio <= max_symbol_word_ratio
+        r_bul = n_bullet / n_lines <= max_bullet_line_ratio
+        r_ell = n_ell / n_lines <= max_ellipsis_line_ratio
+        r_alpha = n_alpha_tok >= min_alpha_word_ratio * np.maximum(n_tok, 1)
+        r_stop = n_stop >= min_stop_hits
+        keep = r_words & r_mean & r_sym & r_bul & r_ell & r_alpha & r_stop
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(n_words),
+                "r_words": pa.array(r_words),
+                "r_mean_len": pa.array(r_mean),
+                "r_symbols": pa.array(r_sym),
+                "r_bullets": pa.array(r_bul),
+                "r_ellipsis": pa.array(r_ell),
+                "r_alpha": pa.array(r_alpha),
+                "r_stop": pa.array(r_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=2048)

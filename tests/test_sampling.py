@@ -178,3 +178,58 @@ def test_pack_sequences_prefix_scan(ray_session):
     assert list(out.last_seq) == list(
         (exp_off + np.maximum(ref.n_tokens, 1) - 1) // 64
     )
+
+
+class TestGopherRules:
+    def test_rules_fire_individually(self, ray_session):
+        import ray.data as rd
+
+        from linref_ray.text import gopher_rules
+
+        good = "the quick brown fox and that dog have fun with all of " * 20
+        docs = [
+            good,                                   # passes everything
+            "too short of the and",                 # r_words fails
+            good + " ###" * 60,                     # r_symbols fails
+            "\n".join(["- bullet the of and that have with to be"] * 9)
+            + "\n" + good,                          # exactly 0.9 → passes
+            "\n".join([good[:40] + "..."] * 9 + [good]),  # r_ellipsis fails
+            good + " 123 456 789 " * 80,            # r_alpha fails
+            " ".join(["zz yy xx ww vv"] * 40),      # r_stop fails
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs),
+                }
+            )
+        )
+        out = gopher_rules(ds).to_pandas().set_index("doc_id").sort_index()
+        assert bool(out.loc[0, "keep"])
+        assert not out.loc[1, "r_words"]
+        assert not out.loc[2, "r_symbols"]
+        assert bool(out.loc[3, "r_bullets"])  # 9/10 lines == 0.9 boundary
+        assert not out.loc[4, "r_ellipsis"]
+        assert not out.loc[5, "r_alpha"]
+        assert not out.loc[6, "r_stop"]
+
+    def test_bullet_threshold_boundary(self, ray_session):
+        import ray.data as rd
+
+        from linref_ray.text import gopher_rules
+
+        base = "the of and that have with to be words " * 10
+        mostly_bullets = "\n".join(["- x"] * 95 + [base] * 5)
+        all_bullets = "\n".join(["- " + base] * 10)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array([mostly_bullets, all_bullets]),
+                }
+            )
+        )
+        out = gopher_rules(ds).to_pandas().set_index("doc_id")
+        assert not out.loc[0, "r_bullets"]  # 95% > 90%
+        assert not out.loc[1, "r_bullets"]  # 100%
