@@ -138,9 +138,16 @@ def verify_invariants(
     )
 
 
-def _geotag_table(t: pa.Table, routes: pa.Table, jitter: float = 2.0) -> pa.Table:
-    ids = np.asarray(t["image_id"].to_pylist())
-    px, py = geocode_for(ids, routes, jitter=jitter)
+def _geotag_table(
+    t: pa.Table, routes: pa.Table | None, jitter: float = 2.0,
+    geocoder=None,
+) -> pa.Table:
+    if geocoder is None:
+        from linref_ray.synth import Geocoder
+
+        geocoder = Geocoder(routes, jitter=jitter)
+    ids = t["image_id"].to_numpy(zero_copy_only=False)
+    px, py = geocoder(ids)
     keep = [c for c in t.column_names if c != "bytes"]
     out = t.select(keep)
     out = out.append_column("x", pa.array(px))
@@ -154,10 +161,15 @@ def geotag(
 
     Drops the wide ``bytes`` column first — only the slim sidecar
     (image_id, x, y) continues into shuffled stages (SURVEY §7.5 item 8).
+    The Geocoder's per-route arrays build once on the driver and ship with
+    the task closure — never rebuilt per batch.
     """
+    from linref_ray.synth import Geocoder
+
+    geocoder = Geocoder(routes, jitter=jitter)
 
     def fn(t: pa.Table) -> pa.Table:
-        return _geotag_table(t, routes, jitter=jitter)
+        return _geotag_table(t, None, geocoder=geocoder)
 
     return images.map_batches(fn, batch_format="pyarrow")
 
@@ -180,7 +192,10 @@ def fused_sidecar_stage(
     from linref_ray.kernels.cells import cell_of_points, cell_size
     from linref_ray.spatial import SnapPoints
 
+    from linref_ray.synth import Geocoder
+
     verify = VerifyInvariants(psnr_min=psnr_min) if check_invariants else None
+    geocoder = Geocoder(routes)
     snapper = SnapPoints(
         index_ref=index_ref, buffer=buffer, x_col="x", y_col="y",
         keep_unmatched=False, emit_code=emit_code,
@@ -191,7 +206,7 @@ def fused_sidecar_stage(
         if verify is not None:
             t = verify(t)
             t = t.filter(t["invariant_ok"])
-        t = _geotag_table(t, routes)
+        t = _geotag_table(t, None, geocoder=geocoder)
         t = snapper(t)
         if cell_res is not None:
             x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)

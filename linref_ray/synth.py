@@ -110,43 +110,63 @@ def caption_for(image_id: str) -> str:
     return f"capture {image_id} near route"
 
 
+class Geocoder:
+    """Precomputed deterministic geocoder: per-route polyline arrays and
+    cumulative distances are built ONCE (driver or per-task deserialize)
+    instead of per batch — the per-batch cumdist rebuild was the largest
+    single cost of the flagship geotag stage. Output is bit-identical to
+    the original :func:`geocode_for` (same hash, same interpolation)."""
+
+    def __init__(self, routes: pa.Table, jitter: float = 2.0):
+        from linref_ray.kernels.geometry import cumdist
+
+        self.jitter = jitter
+        self.n_routes = len(routes)
+        xs_l = routes["xs"].combine_chunks().to_pylist()
+        ys_l = routes["ys"].combine_chunks().to_pylist()
+        self.xs = [np.asarray(x, dtype=np.float64) for x in xs_l]
+        self.ys = [np.asarray(y, dtype=np.float64) for y in ys_l]
+        self.cd = [cumdist(x, y) for x, y in zip(self.xs, self.ys)]
+
+    def __call__(
+        self, image_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        import pandas as pd
+
+        h = pd.util.hash_array(image_ids.astype(str))
+        n_routes = self.n_routes
+        ridx = (h % np.uint64(n_routes)).astype(np.int64)
+        frac = ((h // np.uint64(n_routes)) % np.uint64(10_000)).astype(
+            np.float64
+        ) / 10_000.0
+        ang = (
+            (h // np.uint64(7)) % np.uint64(6283)
+        ).astype(np.float64) / 1000.0
+        off = (
+            (h // np.uint64(13)) % np.uint64(1000)
+        ).astype(np.float64) / 1000.0
+        px = np.empty(len(image_ids))
+        py = np.empty(len(image_ids))
+        for r in np.unique(ridx):
+            m = ridx == r
+            x, y, cd = self.xs[r], self.ys[r], self.cd[r]
+            d = frac[m] * cd[-1]
+            idx = np.clip(np.searchsorted(cd, d), 1, len(cd) - 1)
+            t = (d - cd[idx - 1]) / np.maximum(cd[idx] - cd[idx - 1], 1e-12)
+            bx = x[idx - 1] + t * (x[idx] - x[idx - 1])
+            by = y[idx - 1] + t * (y[idx] - y[idx - 1])
+            px[m] = bx + np.cos(ang[m]) * off[m] * self.jitter
+            py[m] = by + np.sin(ang[m]) * off[m] * self.jitter
+        return px, py
+
+
 def geocode_for(
     image_ids: np.ndarray, routes: pa.Table, jitter: float = 2.0
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic capture point per image id: a position along a route
     plus perpendicular jitter. Pure function of (id, routes) so any stage can
-    recompute it."""
-    import pandas as pd
-
-    h = pd.util.hash_array(image_ids.astype(str))
-    n_routes = len(routes)
-    ridx = (h % np.uint64(n_routes)).astype(np.int64)
-    frac = ((h // np.uint64(n_routes)) % np.uint64(10_000)).astype(
-        np.float64
-    ) / 10_000.0
-    ang = ((h // np.uint64(7)) % np.uint64(6283)).astype(np.float64) / 1000.0
-    off = ((h // np.uint64(13)) % np.uint64(1000)).astype(np.float64) / 1000.0
-    xs_off = routes["xs"].combine_chunks()
-    ys_off = routes["ys"].combine_chunks()
-    px = np.empty(len(image_ids))
-    py = np.empty(len(image_ids))
-    from linref_ray.kernels.geometry import cumdist
-
-    xs_l = xs_off.to_pylist()
-    ys_l = ys_off.to_pylist()
-    for r in np.unique(ridx):
-        m = ridx == r
-        x = np.asarray(xs_l[r])
-        y = np.asarray(ys_l[r])
-        cd = cumdist(x, y)
-        d = frac[m] * cd[-1]
-        idx = np.clip(np.searchsorted(cd, d), 1, len(cd) - 1)
-        t = (d - cd[idx - 1]) / np.maximum(cd[idx] - cd[idx - 1], 1e-12)
-        bx = x[idx - 1] + t * (x[idx] - x[idx - 1])
-        by = y[idx - 1] + t * (y[idx] - y[idx - 1])
-        px[m] = bx + np.cos(ang[m]) * off[m] * jitter
-        py[m] = by + np.sin(ang[m]) * off[m] * jitter
-    return px, py
+    recompute it. (One-shot convenience over :class:`Geocoder`.)"""
+    return Geocoder(routes, jitter=jitter)(image_ids)
 
 
 def images_dataset(
