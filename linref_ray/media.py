@@ -80,14 +80,81 @@ def encode_audio(samples: np.ndarray, sample_rate: int, acodec: str = "pcm16") -
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """Fake-container bytes → (int16 samples, sample_rate)."""
+    """Audio bytes → (mono int16 samples, sample_rate).
+
+    Dispatches on magic: real RIFF/WAVE PCM (pure-stdlib parser,
+    :func:`wav_decode`) or the deterministic ``LRAU`` container.
+    Compressed formats (mp3/flac) remain stubbed — no codec library here.
+    """
+    if data[:4] == b"RIFF":
+        return wav_decode(data)
+    if len(data) < _AUD_HEADER.size or data[:4] != AUD_MAGIC:
+        raise NotImplementedError(
+            "compressed audio decode (mp3/flac via soundfile) is stubbed "
+            "in this container; WAV PCM and the LRAU container decode"
+        )
     magic, sr, n, code, _ = _AUD_HEADER.unpack_from(data, 0)
     if magic != AUD_MAGIC:
         raise NotImplementedError(
-            "real audio decode (mp3/flac via soundfile) is stubbed in this "
-            "container; only the deterministic LRAU container decodes"
+            "compressed audio decode (mp3/flac via soundfile) is stubbed "
+            "in this container; WAV PCM and the LRAU container decode"
         )
     s = np.frombuffer(data, dtype=np.int16, offset=_AUD_HEADER.size)[:n]
+    return s.copy(), sr
+
+
+# -- real WAV codec (pure stdlib; RIFF/WAVE PCM16) ---------------------------
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono int16 PCM → canonical 44-byte-header WAV bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    payload = s.tobytes()
+    n = len(payload)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", n) + payload
+    )
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono int16 samples, sample_rate).
+
+    PCM (format 1) 16-bit only; multi-channel input downmixes to mono by
+    integer-mean across channels. Walks RIFF chunks, so extra chunks
+    (LIST/INFO, fact) are skipped correctly.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    sr = nch = bits = fmt_code = None
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, nch, sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+        elif tag == b"data":
+            payload = body
+    if fmt_code is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format {fmt_code}/{bits}-bit: only PCM16 decodes here"
+        )
+    s = np.frombuffer(
+        payload[: (len(payload) // (2 * nch)) * 2 * nch], dtype=np.int16
+    )
+    if nch > 1:
+        s = (
+            s.reshape(-1, nch).astype(np.int32).mean(axis=1)
+        ).astype(np.int16)
     return s.copy(), sr
 
 

@@ -161,3 +161,78 @@ class TestAudioNearDup:
         assert any("#half" in b for b in out.id_b)
         row = out[out.id_b.str.contains("#half")].iloc[0]
         assert row.hamming == 0
+
+
+class TestWavCodec:
+    def test_roundtrip_mono(self):
+        from linref_ray.media import wav_decode, wav_encode
+
+        rng = np.random.default_rng(4)
+        s = rng.integers(-32768, 32767, 4410, dtype=np.int16)
+        data = wav_encode(s, 44100)
+        out, sr = wav_decode(data)
+        assert sr == 44100
+        np.testing.assert_array_equal(out, s)
+
+    def test_stereo_downmix_and_extra_chunks(self):
+        import struct
+
+        from linref_ray.media import wav_decode
+
+        rng = np.random.default_rng(7)
+        st = rng.integers(-1000, 1000, (500, 2)).astype(np.int16)
+        payload = st.tobytes()
+        data = (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"  # skipped chunk
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000,
+                                    16000 * 4, 4, 16)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        out, sr = wav_decode(data)
+        assert sr == 16000
+        exp = st.astype(np.int32).mean(axis=1).astype(np.int16)
+        np.testing.assert_array_equal(out, exp)
+
+    def test_features_on_real_wav_corpus(self, ray_session):
+        from linref_ray.media import (
+            extract_audio_features,
+            wav_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(20):
+            t = np.arange(8000)
+            tone = (3000 * np.sin(2 * np.pi * (100 + 50 * i) * t / 8000))
+            rows.append(wav_encode(tone.astype(np.int16), 8000))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "audio_id": pa.array(
+                        [f"a-{i}" for i in range(20)], pa.string()
+                    ),
+                    "bytes": pa.array(rows, pa.binary()),
+                }
+            )
+        )
+        out = (
+            extract_audio_features(ds, concurrency=1)
+            .to_pandas()
+            .sort_values("audio_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 20
+        assert (out.rms > 0).all()
+        # pure tones: spectral centroid tracks the tone frequency
+        f0 = out.loc[out.audio_id == "a-0", "spectral_centroid"].iloc[0]
+        f19 = out.loc[out.audio_id == "a-19", "spectral_centroid"].iloc[0]
+        assert f19 > f0
+
+    def test_compressed_still_stubbed(self):
+        import pytest as _pytest
+
+        from linref_ray.media import decode_audio
+
+        with _pytest.raises(NotImplementedError):
+            decode_audio(b"\xff\xfbMP3FRAMEDATA")
