@@ -687,6 +687,53 @@ def _q_overlay_profile(sf_dir: str):
     return _int_micro_cols(out, {"psum": 6})
 
 
+def _q_point_in_polygon(sf_dir: str):
+    """Point-in-polygon spatial join (north-star spatial layer): event
+    points against 25 overlapping rectangles derived from the nation
+    table. Rectangles keep the SQL oracle exact (half-open ray-cast
+    containment == ``x >= x0 and x < x1``); concave-polygon correctness is
+    covered by brute-parity unit tests."""
+    import pyarrow.parquet as pq
+
+    from linref_ray.spatial import build_polygon_index, points_in_polygons
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    )
+    keys = np.asarray(nat["n_nationkey"].to_pylist(), dtype=np.int64)
+    x0 = (keys % 5) * 600 + 0.25
+    x1 = x0 + 800.0
+    y0 = (keys // 5) * 80 + 0.25
+    y1 = y0 + 120.0
+    polys = pa.table(
+        {
+            "polygon_id": pa.array(keys, pa.int64()),
+            "xs": pa.array(
+                [[a, b, b, a] for a, b in zip(x0, x1)],
+                pa.list_(pa.float64()),
+            ),
+            "ys": pa.array(
+                [[a, a, b, b] for a, b in zip(y0, y1)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    index_ref = build_polygon_index(polys, res=4)
+    ev = _rp(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def xy(t: pa.Table) -> pa.Table:
+        x = pc.multiply(t["value"], 7.0)
+        y = pc.cast(pc.multiply(t["user_id"], 3), pa.float64())
+        return t.append_column("x", x).append_column("y", y)
+
+    out = points_in_polygons(
+        ev.map_batches(xy, batch_format="pyarrow"), index_ref
+    )
+    return out.select_columns(["event_id", "polygon_id"])
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher document-quality rules (Rae et al. 2021 §A1.1) — integer /
     boolean verdicts per document, bit-exact against the SQL oracle."""
@@ -2053,8 +2100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "window_sliding": _q_window_sliding,
-        "frame_sample": _q_frame_sample,
+        "point_in_polygon": _q_point_in_polygon,
         "gopher_quality": _q_gopher_quality,
+        "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "overlay_raw": _q_overlay_raw,
         "overlay_norm_sum": _q_overlay_norm_sum,
@@ -3388,5 +3436,21 @@ with f as (
 select r.*, (r_words and r_mean_len and r_symbols and r_bullets
              and r_ellipsis and r_alpha and r_stop) as keep
 from r
+"""
+    oracles["point_in_polygon"] = """
+with p as (
+  select event_id, value * 7 as x, cast(user_id * 3 as double) as y
+  from events
+), r as (
+  select cast(n_nationkey as bigint) as polygon_id,
+         (n_nationkey % 5) * 600 + 0.25 as x0,
+         (n_nationkey % 5) * 600 + 0.25 + 800.0 as x1,
+         (n_nationkey // 5) * 80 + 0.25 as y0,
+         (n_nationkey // 5) * 80 + 0.25 + 120.0 as y1
+  from nation
+)
+select p.event_id, r.polygon_id
+from p join r
+  on p.x >= r.x0 and p.x < r.x1 and p.y >= r.y0 and p.y < r.y1
 """
     return oracles

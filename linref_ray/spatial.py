@@ -1475,6 +1475,120 @@ def _polygon_crossings(xs, ys, ms, poly_x, poly_y):
     return np.unique(mm)
 
 
+class PolygonIndex:
+    """Cell-bucketed broadcast index over MANY polygons — the
+    point-in-polygon side of the north star's spatial layer, same design
+    as :class:`RouteIndex`: polygons are the small side, so their bbox
+    cell covers build once on the driver, ship via ``ray.put``, and every
+    point batch probes cells → bbox filter → exact ray-cast. No shuffle
+    touches the point stream."""
+
+    def __init__(self, polygons: pa.Table, res: int = 8,
+                 id_col: str = "polygon_id", xs_col: str = "xs",
+                 ys_col: str = "ys"):
+        self.res = res
+        self.ids = np.asarray(polygons[id_col].to_pylist())
+        # typed Arrow id array: .take keeps the output schema stable even
+        # for empty batches (a numpy object-array round-trip would not)
+        self.ids_arrow = polygons[id_col].combine_chunks() if isinstance(
+            polygons[id_col], pa.ChunkedArray
+        ) else polygons[id_col]
+        xs_l = polygons[xs_col].to_pylist()
+        ys_l = polygons[ys_col].to_pylist()
+        self.px = [np.asarray(x, dtype=np.float64) for x in xs_l]
+        self.py = [np.asarray(y, dtype=np.float64) for y in ys_l]
+        self.x0 = np.array([x.min() for x in self.px])
+        self.x1 = np.array([x.max() for x in self.px])
+        self.y0 = np.array([y.min() for y in self.py])
+        self.y1 = np.array([y.max() for y in self.py])
+        rows, cells = cover_bbox(self.x0, self.y0, self.x1, self.y1, res)
+        order = np.argsort(cells, kind="stable")
+        cells_s = cells[order]
+        self._cell_keys, starts = np.unique(cells_s, return_index=True)
+        self._cell_offsets = np.concatenate([starts, [len(cells_s)]])
+        self._cell_polys = rows[order]
+
+    def candidates(self, cell_ids: np.ndarray):
+        """(query_row, polygon_pos) candidate pairs for an array of cells."""
+        pos = np.searchsorted(self._cell_keys, cell_ids)
+        pos = np.clip(pos, 0, max(len(self._cell_keys) - 1, 0))
+        if len(self._cell_keys) == 0:
+            e = np.empty(0, np.int64)
+            return e, e.copy()
+        hit = self._cell_keys[pos] == cell_ids
+        lo = np.where(hit, self._cell_offsets[pos], 0)
+        hi = np.where(hit, self._cell_offsets[pos + 1], 0)
+        counts = hi - lo
+        qi = np.repeat(np.arange(len(cell_ids), dtype=np.int64), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        si = (
+            np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(offs[:-1], counts)
+            + np.repeat(lo, counts)
+        )
+        return qi, self._cell_polys[si]
+
+
+def build_polygon_index(
+    polygons: pa.Table | ray.data.Dataset, res: int = 8,
+    id_col: str = "polygon_id", xs_col: str = "xs", ys_col: str = "ys",
+):
+    """Build + broadcast the polygon index; returns an ObjectRef."""
+    if isinstance(polygons, ray.data.Dataset):
+        polygons = pa.concat_tables(
+            ray.get(polygons.to_arrow_refs()), promote_options="default"
+        )
+    return ray.put(
+        PolygonIndex(polygons, res=res, id_col=id_col,
+                     xs_col=xs_col, ys_col=ys_col)
+    )
+
+
+def points_in_polygons(
+    points: ray.data.Dataset,
+    index_ref,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "polygon_id",
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Tag each point with every polygon containing it (one output row per
+    (point, containing polygon); points in no polygon drop — semi-join
+    semantics, mirroring ``snap_points(keep_unmatched=False)``).
+
+    Boundary semantics are the ray-cast half-open rule: an edge's lower-y
+    endpoint is inside, its upper-y endpoint is not (equivalently, an
+    axis-aligned rectangle contains ``[x0, x1) × [y0, y1)``) — the
+    standard even-odd convention, deterministic for points on edges.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx: PolygonIndex = ray.get(index_ref)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cells = cell_of_points(x, y, idx.res)
+        qi, pi = idx.candidates(cells)
+        if len(qi):
+            keep = (
+                (x[qi] >= idx.x0[pi]) & (x[qi] <= idx.x1[pi])
+                & (y[qi] >= idx.y0[pi]) & (y[qi] <= idx.y1[pi])
+            )
+            qi, pi = qi[keep], pi[keep]
+        ins = np.zeros(len(qi), dtype=bool)
+        for p in np.unique(pi):
+            m = pi == p
+            ins[m] = _point_in_polygon(x[qi[m]], y[qi[m]], idx.px[p], idx.py[p])
+        qi, pi = qi[ins], pi[ins]
+        out = batch.take(pa.array(qi))
+        return out.append_column(
+            out_col, idx.ids_arrow.take(pa.array(pi))
+        )
+
+    return points.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def _point_in_polygon(px, py, poly_x, poly_y):
     """Vectorized ray-casting point-in-polygon."""
     inside = np.zeros(len(px), dtype=bool)

@@ -474,3 +474,100 @@ class TestRealPngInvariants:
         )
         out2 = verify_invariants(rd.from_arrow(tbl2)).to_pandas()
         assert int((~out2.invariant_ok).sum()) == 1
+
+
+class TestPointInPolygon:
+    def test_concave_parity_with_brute(self, ray_session):
+        from linref_ray.spatial import (
+            build_polygon_index,
+            points_in_polygons,
+        )
+
+        # L-shape (concave) + a triangle + a far-away square.
+        polys = pa.table(
+            {
+                "polygon_id": pa.array([0, 1, 2], pa.int64()),
+                "xs": pa.array(
+                    [[0.0, 4.0, 4.0, 2.0, 2.0, 0.0],
+                     [10.0, 14.0, 12.0],
+                     [100.0, 104.0, 104.0, 100.0]],
+                    pa.list_(pa.float64()),
+                ),
+                "ys": pa.array(
+                    [[0.0, 0.0, 2.0, 2.0, 4.0, 4.0],
+                     [10.0, 10.0, 14.0],
+                     [100.0, 100.0, 104.0, 104.0]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        rng = np.random.default_rng(13)
+        n = 2000
+        px = rng.uniform(-2, 16, n)
+        py = rng.uniform(-2, 16, n)
+        pts = rd.from_arrow(
+            pa.table(
+                {
+                    "pid": pa.array(np.arange(n), pa.int64()),
+                    "x": pa.array(px),
+                    "y": pa.array(py),
+                }
+            )
+        )
+        ref = build_polygon_index(polys, res=6)
+        out = points_in_polygons(pts, ref).to_pandas()
+
+        def brute(px1, py1, xs, ys):
+            inside = False
+            m = len(xs)
+            for i in range(m):
+                x0, y0 = xs[i], ys[i]
+                x1, y1 = xs[(i + 1) % m], ys[(i + 1) % m]
+                if (y0 > py1) != (y1 > py1) and px1 < (x1 - x0) * (
+                    py1 - y0
+                ) / (y1 - y0) + x0:
+                    inside = not inside
+            return inside
+
+        expected = set()
+        for i in range(n):
+            for pid_, xs, ys in zip(
+                polys["polygon_id"].to_pylist(),
+                polys["xs"].to_pylist(),
+                polys["ys"].to_pylist(),
+            ):
+                if brute(px[i], py[i], xs, ys):
+                    expected.add((i, pid_))
+        got = set(zip(out.pid, out.polygon_id))
+        assert got == expected
+        assert len(got) > 50  # sanity: the scatter actually hits shapes
+
+    def test_overlapping_polygons_emit_both(self, ray_session):
+        from linref_ray.spatial import (
+            build_polygon_index,
+            points_in_polygons,
+        )
+
+        polys = pa.table(
+            {
+                "polygon_id": pa.array(["a", "b"], pa.string()),
+                "xs": pa.array(
+                    [[0.0, 10.0, 10.0, 0.0], [5.0, 15.0, 15.0, 5.0]],
+                    pa.list_(pa.float64()),
+                ),
+                "ys": pa.array(
+                    [[0.0, 0.0, 10.0, 10.0], [0.0, 0.0, 10.0, 10.0]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        pts = rd.from_arrow(
+            pa.table({"x": pa.array([7.0, 2.0, 20.0]),
+                      "y": pa.array([5.0, 5.0, 5.0])})
+        )
+        ref = build_polygon_index(polys, res=6)
+        out = points_in_polygons(pts, ref).to_pandas()
+        both = out[out.x == 7.0].polygon_id.tolist()
+        assert sorted(both) == ["a", "b"]
+        assert out[out.x == 2.0].polygon_id.tolist() == ["a"]
+        assert (out.x != 20.0).all()
