@@ -244,11 +244,19 @@ def _verified_pairs(
     num_partitions: int,
     text_col: str,
     id_col: str,
+    text_broadcast_budget: int = 1 << 30,
 ) -> ray.data.Dataset:
     """Shared tail of every near-dup cascade: dedup raw (id_a, id_b)
-    candidates, attach both texts with partitioned hash joins, and verify
-    exact shingle-Jaccard per batch. Fully distributed — nothing collects
-    to the driver."""
+    candidates, attach both texts, and verify exact shingle-Jaccard per
+    batch. Two regimes, same results:
+
+    - corpus fits ``text_broadcast_budget``: texts ship ONCE via
+      ``ray.put`` and candidates verify with a per-batch searchsorted
+      lookup — one exchange total (the pair distinct) and text never
+      enters a shuffle.
+    - larger corpus: partitioned hash joins attach both texts — fully
+      distributed, nothing on the driver (the 100-TB regime).
+    """
     from linref_ray.joins import hash_join
 
     # Anchor the schema: with zero candidates the lazy dataset has no
@@ -258,6 +266,13 @@ def _verified_pairs(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
     ).union(candidates)
+
+    docs_bytes = docs.size_bytes() or 0
+    if 0 < docs_bytes <= text_broadcast_budget:
+        return _verified_pairs_broadcast(
+            docs, candidates, threshold=threshold, shingle_k=shingle_k,
+            num_partitions=num_partitions, text_col=text_col, id_col=id_col,
+        )
 
     # Distributed exact verification: dedup candidate pairs inside the
     # first join's shuffle (``distinct_left`` — same pair always lands in
@@ -311,6 +326,82 @@ def _verified_pairs(
     )
     # Anchor the output schema too: a run with zero verified pairs must
     # still yield a typed (id_a, id_b, jaccard) dataset downstream.
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    ).union(verified)
+
+
+def _verified_pairs_broadcast(
+    docs: ray.data.Dataset,
+    candidates: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_k: int,
+    num_partitions: int,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Broadcast-corpus verify: pair distinct (one exchange), then each
+    batch resolves both texts from the object-store copy and verifies."""
+    import ray as _ray
+
+    from linref_ray.partition import grouped_distinct
+
+    tbl = pa.concat_tables(
+        _ray.get(docs.select_columns([id_col, text_col]).to_arrow_refs()),
+        promote_options="default",
+    )
+    ids = pc.cast(tbl[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    texts = tbl[text_col].combine_chunks().take(pa.array(order))
+    texts_ref = _ray.put((ids[order], texts))
+
+    cand = grouped_distinct(
+        candidates, ("id_a", "id_b"), num_partitions=num_partitions
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0 or "id_a" not in t.column_names:
+            return empty
+        ids_s, texts_s = _ray.get(texts_ref)
+        ia = pc.cast(t["id_a"], pa.int64()).to_numpy(zero_copy_only=False)
+        ib = pc.cast(t["id_b"], pa.int64()).to_numpy(zero_copy_only=False)
+        pa_pos = np.clip(np.searchsorted(ids_s, ia), 0, len(ids_s) - 1)
+        pb_pos = np.clip(np.searchsorted(ids_s, ib), 0, len(ids_s) - 1)
+        hit = (ids_s[pa_pos] == ia) & (ids_s[pb_pos] == ib)
+        if not hit.all():
+            ia, ib = ia[hit], ib[hit]
+            pa_pos, pb_pos = pa_pos[hit], pb_pos[hit]
+        if not len(ia):
+            return empty
+        ta = texts_s.take(pa.array(pa_pos)).to_pylist()
+        tb = texts_s.take(pa.array(pb_pos)).to_pylist()
+        jac = pair_jaccard(ia, ib, ta, tb, shingle_k)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep]),
+                "id_b": pa.array(ib[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    verified = cand.map_batches(
+        verify, batch_format="pyarrow", batch_size=4096
+    )
     return ray.data.from_arrow(
         pa.table(
             {
