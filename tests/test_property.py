@@ -275,3 +275,21 @@ class TestPrefixFilterCompleteness:
                 j = len(sets[a] & sets[b]) / len(u) if u else 0.0
                 if j >= thr:
                     assert (a, b) in got, (seed, thr, a, b, j)
+
+
+class TestPngRoundtripProperty:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_png_roundtrip(self, w, h, seed):
+        from linref_ray.kernels import codec
+
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        out, fmt = codec.decode_image(codec.png_encode(px))
+        assert fmt == "png"
+        np.testing.assert_array_equal(out, px)
