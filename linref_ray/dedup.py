@@ -424,6 +424,7 @@ def minhash_near_duplicates(
     num_partitions: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    text_broadcast_budget: int = 1 << 30,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -504,8 +505,11 @@ def minhash_near_duplicates(
         bucket_pairs, batch_format="pyarrow"
     )
     return _verified_pairs(
-        docs, candidates, threshold=threshold, shingle_k=shingle_k,
+        docs,
+        candidates,
+        threshold=threshold, shingle_k=shingle_k,
         num_partitions=num_partitions, text_col=text_col, id_col=id_col,
+        text_broadcast_budget=text_broadcast_budget,
     )
 
 
@@ -755,6 +759,7 @@ def ngram_jaccard_pairs(
     num_partitions: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    text_broadcast_budget: int = 1 << 30,
 ) -> ray.data.Dataset:
     """EXACT n-gram (word k-shingle) Jaccard similarity self-join:
     all pairs (id_a < id_b) with shingle-set Jaccard >= ``threshold``.
@@ -793,8 +798,11 @@ def ngram_jaccard_pairs(
         token_pairs, batch_format="pyarrow"
     )
     return _verified_pairs(
-        docs, candidates, threshold=threshold, shingle_k=shingle_k,
+        docs,
+        candidates,
+        threshold=threshold, shingle_k=shingle_k,
         num_partitions=num_partitions, text_col=text_col, id_col=id_col,
+        text_broadcast_budget=text_broadcast_budget,
     )
 
 

@@ -1523,7 +1523,7 @@ class PolygonIndex:
 
     def __init__(self, polygons: pa.Table, res: int = 8,
                  id_col: str = "polygon_id", xs_col: str = "xs",
-                 ys_col: str = "ys"):
+                 ys_col: str = "ys", max_cells: int = 5_000_000):
         self.res = res
         self.ids = np.asarray(polygons[id_col].to_pylist())
         # typed Arrow id array: .take keeps the output schema stable even
@@ -1539,6 +1539,20 @@ class PolygonIndex:
         self.x1 = np.array([x.max() for x in self.px])
         self.y0 = np.array([y.min() for y in self.py])
         self.y1 = np.array([y.max() for y in self.py])
+        # Guard the cover size BEFORE materializing it: a polygon spanning
+        # many grid cells at this res explodes the index (choose a coarser
+        # res — candidates are bbox-filtered again before the exact test,
+        # so a coarse res costs extra candidates, never correctness).
+        g = cell_size(res)
+        est = (
+            (np.floor(self.x1 / g) - np.floor(self.x0 / g) + 1)
+            * (np.floor(self.y1 / g) - np.floor(self.y0 / g) + 1)
+        ).sum()
+        if est > max_cells:
+            raise ValueError(
+                f"polygon cell cover would hold ~{int(est)} entries at "
+                f"res={res} (> max_cells={max_cells}); use a coarser res"
+            )
         rows, cells = cover_bbox(self.x0, self.y0, self.x1, self.y1, res)
         order = np.argsort(cells, kind="stable")
         cells_s = cells[order]
