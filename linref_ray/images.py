@@ -589,18 +589,35 @@ def image_signatures(
     ``method``: 'ahash' (8×8 mean threshold) or 'phash' (32×32 DCT
     median threshold — robust to brightness/contrast edits). Decode and
     hashing run in one pre-shuffle batch stage; bytes never leave it."""
-    from linref_ray.kernels.phash import ahash64, phash64
+    from linref_ray.kernels.phash import (
+        ahash64,
+        ahash64_batch,
+        phash64,
+        phash64_batch,
+    )
 
     if method not in ("ahash", "phash"):
         raise ValueError(f"unknown signature method: {method!r}")
     hash_fn = ahash64 if method == "ahash" else phash64
+    batch_fn = ahash64_batch if method == "ahash" else phash64_batch
 
     def fn(t: pa.Table) -> pa.Table:
-        sigs = np.empty(len(t), dtype=np.int64)
-        for i, blob in enumerate(t["bytes"].to_pylist()):
-            px, _ = codec.decode_image(blob)
-            gray = px.astype(np.float32).mean(axis=2)
-            sigs[i] = np.int64(np.uint64(hash_fn(gray)).astype(np.int64))
+        n = len(t)
+        try:
+            # Uniform-record fast path: one zero-copy batch decode, one
+            # batched gray conversion, one batched hash — bit-identical
+            # to the scalar loop (kernel parity tests).
+            pixels_2d, _fmt, w, h = codec.decode_batch_arrow(t["bytes"])
+            gray = pixels_2d.reshape(n, h, w, 3).astype(np.float32).mean(
+                axis=3
+            )
+            sigs = batch_fn(gray).astype(np.int64)
+        except ValueError:
+            sigs = np.empty(n, dtype=np.int64)
+            for i, blob in enumerate(t["bytes"].to_pylist()):
+                px, _ = codec.decode_image(blob)
+                gray = px.astype(np.float32).mean(axis=2)
+                sigs[i] = np.int64(np.uint64(hash_fn(gray)).astype(np.int64))
         return pa.table({"image_id": t["image_id"], "sig": pa.array(sigs)})
 
     return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

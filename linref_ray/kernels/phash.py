@@ -54,3 +54,36 @@ def phash64(gray: np.ndarray) -> int:
     for b in np.flatnonzero(bits):
         val |= np.uint64(1) << np.uint64(int(b))
     return int(val)
+
+
+def _pack_bits_batch(bits: np.ndarray) -> np.ndarray:
+    """(n, k<=64) bool → uint64 rows, bit i = column i (the scalar
+    functions' packing order)."""
+    k = bits.shape[1]
+    weights = (np.uint64(1) << np.arange(k, dtype=np.uint64))[None, :]
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
+def ahash64_batch(gray: np.ndarray) -> np.ndarray:
+    """Batched :func:`ahash64` over a uniform-shape (n, h, w) stack —
+    bit-identical to the scalar loop (parity-tested): same strided
+    downsample, same dtype path for the mean, same packing."""
+    n, h, w = gray.shape
+    small = gray[:, :: max(h // 8, 1), :: max(w // 8, 1)][:, :8, :8]
+    flat = small.reshape(n, -1)
+    bits = flat > flat.mean(axis=1)[:, None]
+    return _pack_bits_batch(bits)
+
+
+def phash64_batch(gray: np.ndarray) -> np.ndarray:
+    """Batched :func:`phash64` over a uniform-shape (n, h, w) stack —
+    bit-identical (same float64 resample, batched DCT matmuls hit the
+    same BLAS kernel per slice, same median threshold and packing)."""
+    n, h, w = gray.shape
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    g = gray[:, yi][:, :, xi].astype(np.float64)
+    t = np.matmul(np.matmul(_DCT32, g), _DCT32.T)
+    block = t[:, :8, :8].reshape(n, 64)[:, 1:]
+    bits = block > np.median(block, axis=1)[:, None]
+    return _pack_bits_batch(bits)

@@ -577,3 +577,22 @@ class TestPngCodec:
             codec.decode_image(b"\xff\xd8rest-of-jpeg")
         with _pytest.raises(ValueError):
             codec.png_decode(b"not a png at all")
+
+
+class TestBatchedPerceptualHashes:
+    def test_bit_parity_with_scalar(self):
+        from linref_ray.kernels.phash import (
+            ahash64, ahash64_batch, phash64, phash64_batch,
+        )
+
+        rng = np.random.default_rng(21)
+        for h, w in ((16, 16), (9, 13), (40, 24), (7, 5)):
+            g = rng.uniform(0, 255, (40, h, w)).astype(np.float32)
+            assert (
+                ahash64_batch(g)
+                == np.array([ahash64(x) for x in g], np.uint64)
+            ).all()
+            assert (
+                phash64_batch(g)
+                == np.array([phash64(x) for x in g], np.uint64)
+            ).all()
