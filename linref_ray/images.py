@@ -526,17 +526,30 @@ def resize_images(
     heavier resampler (bilinear/Lanczos would drop into the same stage)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        out_blobs = []
-        for blob in t["bytes"].to_pylist():
-            px, fmt = codec.decode_image(blob)
-            h, w = px.shape[:2]
-            yi = (np.arange(out_h) * h // out_h).astype(np.int64)
-            xi = (np.arange(out_w) * w // out_w).astype(np.int64)
-            small = np.ascontiguousarray(px[yi][:, xi])
-            out_blobs.append(codec.encode_image(small, fmt))
+        n = len(t)
+        try:
+            # Uniform-record fast path: one zero-copy decode, ONE strided
+            # gather for the whole batch, one Arrow-native batch encode.
+            pixels_2d, fmt_codes, w0, h0 = codec.decode_batch_arrow(
+                t["bytes"]
+            )
+            px = pixels_2d.reshape(n, h0, w0, 3)
+            yi = (np.arange(out_h) * h0 // out_h).astype(np.int64)
+            xi = (np.arange(out_w) * w0 // out_w).astype(np.int64)
+            small = np.ascontiguousarray(px[:, yi][:, :, xi])
+            blobs = codec.encode_batch_arrow(small, fmt_codes)
+        except ValueError:
+            out_blobs = []
+            for blob in t["bytes"].to_pylist():
+                px1, fmt = codec.decode_image(blob)
+                h, w = px1.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                small1 = np.ascontiguousarray(px1[yi][:, xi])
+                out_blobs.append(codec.encode_image(small1, fmt))
+            blobs = pa.array(out_blobs, pa.binary())
         out = t.set_column(
-            t.schema.get_field_index("bytes"), "bytes",
-            pa.array(out_blobs, pa.binary()),
+            t.schema.get_field_index("bytes"), "bytes", blobs
         )
         out = out.set_column(
             out.schema.get_field_index("w"), "w",
@@ -561,14 +574,24 @@ def extract_features(
         means = np.empty((n, 3))
         stds = np.empty(n)
         hashes = np.empty(n, dtype=np.int64)
-        from linref_ray.kernels.phash import ahash64
+        from linref_ray.kernels.phash import ahash64, ahash64_batch
 
-        for i, blob in enumerate(t["bytes"].to_pylist()):
-            px, _ = codec.decode_image(blob)
-            means[i] = px.reshape(-1, 3).mean(axis=0)
-            gray = px.astype(np.float32).mean(axis=2)
-            stds[i] = gray.std()
-            hashes[i] = np.int64(np.uint64(ahash64(gray)).astype(np.int64))
+        try:
+            pixels_2d, _fmt, w0, h0 = codec.decode_batch_arrow(t["bytes"])
+            px = pixels_2d.reshape(n, h0, w0, 3)
+            means[:] = px.reshape(n, -1, 3).mean(axis=1)
+            gray = px.astype(np.float32).mean(axis=3)
+            stds[:] = gray.reshape(n, -1).std(axis=1)
+            hashes[:] = ahash64_batch(gray).astype(np.int64)
+        except ValueError:
+            for i, blob in enumerate(t["bytes"].to_pylist()):
+                px1, _ = codec.decode_image(blob)
+                means[i] = px1.reshape(-1, 3).mean(axis=0)
+                gray = px1.astype(np.float32).mean(axis=2)
+                stds[i] = gray.std()
+                hashes[i] = np.int64(
+                    np.uint64(ahash64(gray)).astype(np.int64)
+                )
         out = t.drop_columns(["bytes"])
         out = out.append_column("mean_r", pa.array(means[:, 0]))
         out = out.append_column("mean_g", pa.array(means[:, 1]))
