@@ -305,35 +305,63 @@ class VideoSignatures:
     No frame re-encode, no second decode; only (video_id, sig) leaves."""
 
     def __init__(self, k: int = 4, method: str = "phash"):
-        from linref_ray.kernels.phash import ahash64, phash64
+        from linref_ray.kernels.phash import (
+            ahash64_batch,
+            phash64_batch,
+        )
 
         if method not in ("ahash", "phash"):
             raise ValueError(f"unknown signature method: {method!r}")
         self.k = k
-        self.hash_fn = ahash64 if method == "ahash" else phash64
+        self.batch_fn = ahash64_batch if method == "ahash" else phash64_batch
 
     def __call__(self, t: pa.Table) -> pa.Table:
         vids = t["video_id"].to_pylist()
-        sigs = np.empty(len(t), dtype=np.int64)
+        n_vid = len(t)
+        # One decode pass collecting every sampled gray frame, then ONE
+        # batched hash over the whole (video, frame) stack — the per-frame
+        # Python hash loop was the stage wall. Frames stack per uniform
+        # shape group (mixed shapes hash per group, still batched).
+        grays: list[np.ndarray] = []
+        owner: list[int] = []
+        n_take = np.empty(n_vid, dtype=np.int64)
         for i, blob in enumerate(t["bytes"].to_pylist()):
             frames = decode_video(blob)
             n = len(frames)
             take = np.unique(
                 np.linspace(0, n - 1, num=min(self.k, n)).round().astype(int)
             )
-            fh = np.array(
-                [self.hash_fn(frames[j].astype(np.float32).mean(axis=2))
-                 for j in take],
-                dtype=np.uint64,
+            n_take[i] = len(take)
+            for j in take:
+                grays.append(frames[j].astype(np.float32).mean(axis=2))
+                owner.append(i)
+        if not grays:
+            return pa.table(
+                {
+                    "video_id": pa.array(vids, pa.string()),
+                    "sig": pa.array(
+                        np.zeros(n_vid, np.int64)
+                    ),
+                }
             )
-            bits = (
-                fh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
-            ) & np.uint64(1)
-            maj = bits.sum(axis=0) * 2 > len(take)
-            val = np.uint64(0)
-            for b in np.flatnonzero(maj):
-                val |= np.uint64(1) << np.uint64(int(b))
-            sigs[i] = np.int64(val.astype(np.int64))
+        own = np.asarray(owner)
+        fh = np.empty(len(grays), dtype=np.uint64)
+        shapes = np.array([g.shape for g in grays])
+        for hw in np.unique(shapes, axis=0):
+            m = (shapes == hw).all(axis=1)
+            stack = np.stack([g for g, keep in zip(grays, m) if keep])
+            fh[m] = self.batch_fn(stack)
+        bits = (
+            fh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+        ) & np.uint64(1)
+        # per-video strict bit majority, vectorized over videos
+        sums = np.zeros((n_vid, 64), dtype=np.int64)
+        np.add.at(sums, own, bits.astype(np.int64))
+        maj = sums * 2 > n_take[:, None]
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        sigs = (
+            (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        ).astype(np.int64)
         return pa.table(
             {"video_id": pa.array(vids), "sig": pa.array(sigs)}
         )
