@@ -250,26 +250,38 @@ class AudioFeatures:
         zcr = np.empty(n)
         centroid = np.empty(n)
         rolloff = np.empty(n)
+        # Decode + time-domain stats per row (variable track lengths), but
+        # run ONE batched rFFT over the stacked fixed-length segments — the
+        # per-row FFT was the stage wall. Same values: numpy's FFT applies
+        # the identical per-row transform along axis=-1.
+        segs = np.zeros((n, self.n_fft), dtype=np.float64)
+        srs = np.empty(n, dtype=np.float64)
         for i, blob in enumerate(blobs):
             s, sr = decode_audio(blob)
+            srs[i] = sr
             x = s.astype(np.float64) / 32768.0
             if len(x) == 0:
-                rms[i] = zcr[i] = centroid[i] = rolloff[i] = 0.0
+                rms[i] = zcr[i] = 0.0
                 continue
             rms[i] = float(np.sqrt(np.mean(x * x)))
-            zcr[i] = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))) if len(x) > 1 else 0.0
-            seg = x[: self.n_fft] if len(x) >= self.n_fft else np.pad(
-                x, (0, self.n_fft - len(x))
-            )
-            mag = np.abs(np.fft.rfft(seg * self.window))
-            freqs = np.fft.rfftfreq(self.n_fft, d=1.0 / sr)
-            tot = mag.sum()
-            if tot <= 0:
-                centroid[i] = rolloff[i] = 0.0
-                continue
-            centroid[i] = float((freqs * mag).sum() / tot)
-            cum = np.cumsum(mag)
-            rolloff[i] = float(freqs[np.searchsorted(cum, 0.85 * tot)])
+            zcr[i] = float(
+                np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))
+            ) if len(x) > 1 else 0.0
+            m = min(len(x), self.n_fft)
+            segs[i, :m] = x[:m]
+        mags = np.abs(np.fft.rfft(segs * self.window[None, :], axis=1))
+        base = np.fft.rfftfreq(self.n_fft, d=1.0)  # × sr per row below
+        tots = mags.sum(axis=1)
+        safe = np.maximum(tots, 1e-300)
+        centroid = (mags @ base) / safe * srs
+        cums = np.cumsum(mags, axis=1)
+        idx = np.minimum(
+            (cums < (0.85 * tots)[:, None]).sum(axis=1), mags.shape[1] - 1
+        )
+        rolloff = base[idx] * srs
+        dead = tots <= 0
+        centroid[dead] = 0.0
+        rolloff[dead] = 0.0
         keep = [c for c in t.column_names if c != "bytes"]
         out = t.select(keep)
         for name, arr in (
