@@ -180,8 +180,9 @@ class SampleFrames:
             if "fps" in t.column_names
             else np.full(len(t), 30.0)
         )
-        out_id, out_vid, out_idx, out_ts, out_bytes = [], [], [], [], []
+        out_id, out_vid, out_idx, out_ts = [], [], [], []
         out_w, out_h = [], []
+        sampled: list[np.ndarray] = []
         for i, blob in enumerate(blobs):
             frames = decode_video(blob)
             n = len(frames)
@@ -193,20 +194,52 @@ class SampleFrames:
                 out_vid.append(vids[i])
                 out_idx.append(int(j))
                 out_ts.append(float(j) / float(fps[i] or 30.0))
-                out_bytes.append(codec.encode_image(frames[j], self.fmt))
+                sampled.append(frames[j])
                 out_h.append(frames.shape[1])
                 out_w.append(frames.shape[2])
+        out_bytes = self._encode_frames(sampled)
         return pa.table(
             {
                 "image_id": pa.array(out_id),
                 "video_id": pa.array(out_vid),
                 "frame_idx": pa.array(out_idx, pa.int32()),
                 "ts_sec": pa.array(out_ts, pa.float64()),
-                "bytes": pa.array(out_bytes, pa.binary()),
+                "bytes": out_bytes,
                 "w": pa.array(out_w, pa.int32()),
                 "h": pa.array(out_h, pa.int32()),
                 "fmt": pa.array([self.fmt] * len(out_id)),
             }
+        )
+
+    def _encode_frames(self, sampled: list[np.ndarray]) -> pa.Array:
+        """Arrow-native batch encode per uniform-shape group (container
+        formats only); per-frame encode otherwise (png etc.)."""
+        if not sampled:
+            return pa.array([], pa.binary())
+        from linref_ray.kernels.codec import _FMT_CODES
+
+        if self.fmt in _FMT_CODES:
+            shapes = np.array([f.shape[:2] for f in sampled])
+            code = _FMT_CODES[self.fmt]
+            parts: list[pa.Array] = []
+            pos: list[np.ndarray] = []
+            for hw in np.unique(shapes, axis=0):
+                m = (shapes == hw).all(axis=1)
+                stack = np.stack(
+                    [f for f, keep in zip(sampled, m) if keep]
+                )
+                parts.append(
+                    codec.encode_batch_arrow(
+                        stack, np.full(len(stack), code, np.uint8)
+                    )
+                )
+                pos.append(np.flatnonzero(m))
+            combined = pa.concat_arrays(parts)
+            inv = np.empty(len(sampled), dtype=np.int64)
+            inv[np.concatenate(pos)] = np.arange(len(sampled))
+            return combined.take(pa.array(inv))
+        return pa.array(
+            [codec.encode_image(f, self.fmt) for f in sampled], pa.binary()
         )
 
 
