@@ -734,6 +734,16 @@ def _q_point_in_polygon(sf_dir: str):
     return out.select_columns(["event_id", "polygon_id"])
 
 
+def _q_knn_graph_pq(sf_dir: str):
+    """Approximate kNN graph over a PQ-COMPRESSED broadcast corpus
+    (8 uint8 codes per vector instead of d float64s — the beyond-broadcast
+    compression path; recall measured in tests, rows-only here)."""
+    from linref_ray.similarity import knn_graph_pq
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet")
+    return knn_graph_pq(emb, k=5, m=8, n_codes=64, sample=4096)
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher document-quality rules (Rae et al. 2021 §A1.1) — integer /
     boolean verdicts per document, bit-exact against the SQL oracle."""
@@ -2157,6 +2167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "window_tumbling": _q_window_tumbling,
         "window_session": _q_window_session,
+        "knn_graph_pq": _q_knn_graph_pq,
     }
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -841,3 +842,186 @@ def knn_join(
         )
 
     return queries.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+# -- Product quantization (Jégou et al. 2011, public method) -----------------
+# The beyond-broadcast compression path for the kNN family: raw 64-d float64
+# vectors cost 512 B each in the object store; 8-subspace PQ codes cost 8 B —
+# a 64x larger corpus fits the same broadcast budget, at approximate
+# (asymmetric-distance) ranking quality measured by the recall tests/stress.
+
+
+def pq_train(
+    embeddings: ray.data.Dataset,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 16384,
+    iters: int = 8,
+    seed: int = 5,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Train PQ codebooks on a driver-side sample: split the dimension into
+    ``m`` subspaces and k-means each independently. Returns (m, k, d/m).
+    ``normalize=True`` trains on unit vectors so asymmetric L2 distance
+    ranks by cosine (||a-b||^2 = 2 - 2 cos for unit vectors)."""
+    tbl = pa.concat_tables(
+        ray.get(embeddings.limit(sample).to_arrow_refs()),
+        promote_options="default",
+    )
+    x = _to_matrix(tbl[vec_col]).astype(np.float64)
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.empty((m, min(k, n), dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=min(k, n), replace=False)].copy()
+        for _ in range(iters):
+            dist = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = dist.argmin(axis=1)
+            for c in range(len(cent)):
+                sel = sub[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_encode_matrix(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float → (n, m) uint8/uint16 codes (argmin per subspace)."""
+    m, k, dsub = books.shape
+    n = len(x)
+    codes = np.empty((n, m), dtype=np.uint8 if k <= 256 else np.uint16)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        dist = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+        codes[:, j] = dist.argmin(axis=1)
+    return codes
+
+
+def knn_graph_pq(
+    embeddings: ray.data.Dataset,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 256,
+    sample: int = 16384,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate cosine kNN graph with a PQ-COMPRESSED broadcast corpus.
+
+    Same shape as :func:`knn_graph` (each batch scores against a
+    broadcast corpus, no shuffle, top-k complete within the batch) but the
+    broadcast holds (ids, uint8 codes): N·(8+m) bytes instead of N·d·8 —
+    the documented brute broadcast bound extends ~(d·8/m)×. Scoring is
+    standard asymmetric distance: per query, an (m, n_codes) lookup table
+    of exact subspace distances to every codeword; a corpus vector's
+    approximate distance is the sum of its codes' table entries.
+    Deterministic ties (distance asc, id asc). Output
+    ``(query_id, vec_id, cosine)`` with cosine = 1 - adc/2 (unit-vector
+    identity), approximate by construction — recall is measured in
+    tests/stress, not assumed."""
+    books = pq_train(
+        embeddings, m=m, k=n_codes, sample=sample, iters=iters,
+        vec_col=vec_col, normalize=True,
+    )
+    books_ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        x = _to_matrix(t[vec_col]).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        codes = _pq_encode_matrix(x, bk)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "__code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    code_tbl = pa.concat_tables(
+        ray.get(
+            embeddings.map_batches(
+                encode, batch_format="pyarrow", batch_size=4096
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    c_ids = code_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_codes = np.asarray(code_tbl["__code"].to_pylist(), dtype=np.uint8)
+    corpus_ref = ray.put((c_ids, c_codes))
+    dsub = books.shape[2]
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ids_all, codes_all = ray.get(corpus_ref)
+        bk = ray.get(books_ref)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        q = _to_matrix(t[vec_col]).astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        B, N = len(ids), len(ids_all)
+        take = min(k, N - 1)
+        if take <= 0:
+            return empty
+        mm = bk.shape[0]
+        # per-query subspace LUTs: (B, m, n_codes) exact distances to
+        # every codeword — O(B·m·n_codes·dsub) flops, independent of N
+        luts = np.empty((B, mm, bk.shape[1]))
+        for j in range(mm):
+            sub = q[:, j * dsub : (j + 1) * dsub]
+            cent = bk[j]
+            luts[:, j, :] = (
+                (cent * cent).sum(axis=1)[None, :]
+                + (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cent.T)
+            )
+        ctile = max(take + 1, (8 << 20) // max(B, 1))
+        cand_r, cand_c, cand_v = [], [], []
+        for c0 in range(0, N, ctile):
+            c1 = min(c0 + ctile, N)
+            tile_codes = codes_all[c0:c1]
+            adc = np.zeros((B, c1 - c0))
+            for j in range(mm):
+                adc += luts[:, j, :][:, tile_codes[:, j]]
+            adc[ids[:, None] == ids_all[None, c0:c1]] = np.inf
+            W = c1 - c0
+            tt = min(take, W)
+            kth = np.partition(adc, tt - 1, axis=1)[:, tt - 1]
+            mask = (adc <= kth[:, None]) & np.isfinite(adc)
+            ri, ci = np.nonzero(mask)
+            cand_r.append(ri)
+            cand_c.append(ci + c0)
+            cand_v.append(adc[ri, ci])
+        rr = np.concatenate(cand_r)
+        cc = np.concatenate(cand_c)
+        vv = np.concatenate(cand_v)
+        order = np.lexsort([ids_all[cc], vv, rr])
+        r_s = rr[order]
+        first = np.concatenate(([True], r_s[1:] != r_s[:-1]))
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(r_s)) - starts[np.cumsum(first) - 1]
+        sel = order[pos < take]
+        return pa.table(
+            {
+                "query_id": pa.array(ids[rr[sel]]),
+                "vec_id": pa.array(ids_all[cc[sel]]),
+                "cosine": pa.array(1.0 - vv[sel] / 2.0),
+            }
+        )
+
+    return embeddings.map_batches(fn, batch_format="pyarrow", batch_size=512)

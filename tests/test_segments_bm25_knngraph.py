@@ -347,3 +347,70 @@ def test_knn_join_cross_table(ray_session):
         assert np.allclose(sorted(sub.cosine), sorted(-c for c, _ in exp),
                            atol=1e-12)
     assert len(got) == 40
+
+
+class TestKnnGraphPQ:
+    def test_recall_at_5_of_true_nn(self, ray_session):
+        # Standard PQ evaluation (Recall@R): does the TRUE nearest
+        # neighbor appear in the PQ top-5? Planted twin pairs make the
+        # true NN unambiguous (twin = base + tiny noise).
+        import ray.data as rd
+
+        from linref_ray.similarity import knn_graph, knn_graph_pq
+
+        rng = np.random.default_rng(9)
+        nb, d = 1200, 64
+        base = rng.normal(size=(nb, d))
+        twin = base + rng.normal(size=(nb, d)) * 0.01
+        mzt = np.concatenate([base, twin])
+        n = len(mzt)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(
+                        list(mzt.astype(np.float32)), pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(8).materialize()
+        brute = knn_graph(ds, k=1).to_pandas()
+        top1 = dict(zip(brute.query_id, brute.vec_id))
+        # sanity: the planted twin IS the exact top-1 almost always
+        twin_of = {i: i + nb for i in range(nb)}
+        twin_of.update({i + nb: i for i in range(nb)})
+        exact_ok = sum(top1[q] == twin_of[q] for q in top1) / n
+        assert exact_ok > 0.99
+        pq = knn_graph_pq(
+            ds, k=5, m=8, n_codes=256, sample=2048
+        ).to_pandas()
+        hit = (
+            pq.assign(truth=pq.query_id.map(top1))
+            .query("vec_id == truth")
+            .query_id.nunique()
+        )
+        recall_at_5 = hit / n
+        assert recall_at_5 >= 0.9, recall_at_5
+
+    def test_codes_are_small(self, ray_session):
+        import ray.data as rd
+
+        from linref_ray.similarity import _pq_encode_matrix, pq_train
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(500, 64))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(500), pa.int64()),
+                    "embedding": pa.array(
+                        list(m.astype(np.float32)), pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        books = pq_train(ds, m=8, k=256, sample=500)
+        codes = _pq_encode_matrix(m, books)
+        assert codes.shape == (500, 8) and codes.dtype == np.uint8
+        # 8 bytes/vector vs 512 for float64 raw — the 64x broadcast win
+        assert codes.nbytes * 64 == m.astype(np.float64).nbytes
