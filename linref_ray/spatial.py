@@ -1603,10 +1603,12 @@ def points_in_polygons(
     y_col: str = "y",
     out_col: str = "polygon_id",
     batch_size: int = 8192,
+    keep_unmatched: bool = False,
 ) -> ray.data.Dataset:
     """Tag each point with every polygon containing it (one output row per
     (point, containing polygon); points in no polygon drop — semi-join
-    semantics, mirroring ``snap_points(keep_unmatched=False)``).
+    semantics, mirroring ``snap_points``. ``keep_unmatched=True`` emits
+    uncontained points once with a null ``out_col``).
 
     Boundary semantics are the ray-cast half-open rule: an edge's lower-y
     endpoint is inside, its upper-y endpoint is not (equivalently, an
@@ -1632,9 +1634,19 @@ def points_in_polygons(
             ins[m] = _point_in_polygon(x[qi[m]], y[qi[m]], idx.px[p], idx.py[p])
         qi, pi = qi[ins], pi[ins]
         out = batch.take(pa.array(qi))
-        return out.append_column(
+        out = out.append_column(
             out_col, idx.ids_arrow.take(pa.array(pi))
         )
+        if keep_unmatched:
+            miss = np.setdiff1d(
+                np.arange(len(batch), dtype=np.int64), qi
+            )
+            rest = batch.take(pa.array(miss))
+            rest = rest.append_column(
+                out_col, pa.nulls(len(miss), idx.ids_arrow.type)
+            )
+            out = pa.concat_tables([out, rest])
+        return out
 
     return points.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size

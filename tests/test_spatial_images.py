@@ -571,3 +571,59 @@ class TestPointInPolygon:
         assert sorted(both) == ["a", "b"]
         assert out[out.x == 2.0].polygon_id.tolist() == ["a"]
         assert (out.x != 20.0).all()
+
+
+class TestDenseRankAndIO:
+    def test_dense_rank_labels_direct(self, ray_session):
+        from linref_ray.spatial import dense_rank_labels
+
+        df = pd.DataFrame(
+            {
+                "__ckey": ["b", "a", "c", "a", "b"],
+                "__cpos": [0, 1, 0, 0, 1],
+            }
+        ).drop_duplicates()
+        out = (
+            dense_rank_labels(rd.from_pandas(df), ("__ckey", "__cpos"))
+            .to_pandas()
+            .sort_values(["__ckey", "__cpos"])
+            .reset_index(drop=True)
+        )
+        # dense rank in (__ckey, __cpos) order: a0,a1,b0,b1,c0 → 0..4
+        assert out.cluster.tolist() == [0, 1, 2, 3, 4]
+
+    def test_read_parquet_clean_strips_metadata(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from linref_ray.io import read_parquet_clean
+
+        p = str(tmp_path / "t.parquet")
+        pd.DataFrame({"a": [1, 2, 3]}).to_parquet(p)  # writes b'pandas' meta
+        assert pq.read_schema(p).metadata is not None
+        batch = read_parquet_clean(p).take_batch(3, batch_format="pyarrow")
+        assert batch.schema.metadata is None
+        assert isinstance(hash(batch.schema), int)  # dedup-able again
+
+    def test_points_in_polygons_keep_unmatched(self, ray_session):
+        from linref_ray.spatial import build_polygon_index, points_in_polygons
+
+        polys = pa.table(
+            {
+                "polygon_id": pa.array([7], pa.int64()),
+                "xs": pa.array([[0.0, 10.0, 10.0, 0.0]], pa.list_(pa.float64())),
+                "ys": pa.array([[0.0, 0.0, 10.0, 10.0]], pa.list_(pa.float64())),
+            }
+        )
+        pts = rd.from_arrow(
+            pa.table({"x": pa.array([5.0, 50.0]), "y": pa.array([5.0, 5.0])})
+        )
+        ref = build_polygon_index(polys, res=6)
+        out = (
+            points_in_polygons(pts, ref, keep_unmatched=True)
+            .to_pandas()
+            .sort_values("x")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 2
+        assert out.loc[0, "polygon_id"] == 7
+        assert pd.isna(out.loc[1, "polygon_id"])
