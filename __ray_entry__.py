@@ -2674,7 +2674,7 @@ where {_sbe('vec_id', salt=5)} <
              when 2 then {_thr[2]} else {int(0.1 * 2**32)} end
 """
     oracles["quantiles"] = " union all ".join(
-        f"select l_returnflag, round({q}, 6) as q,"
+        f"select l_returnflag, round({q}, 6)::double as q,"
         f" round(round(percentile_cont({q}) within group"
         f" (order by l_quantity), 9), 6) as value"
         f" from lineitem group by l_returnflag"
@@ -2857,7 +2857,7 @@ g as (
 gc as (select doc_id, g, count(*) as c from g group by 1, 2),
 gt as (select doc_id, max(c) as top_c, sum(c) as n2 from gc group by 1)
 select d.doc_id,
-       coalesce(la.n_lines, 0) as n_lines,
+       coalesce(la.n_lines, 0)::bigint as n_lines,
        round(round(coalesce(la.dup_lines, 0) * 1.0
              / greatest(coalesce(la.n_lines, 0), 1), 9), 6) as frac_dup_lines,
        round(round(coalesce(la.dup_chars, 0) * 1.0
@@ -3323,11 +3323,12 @@ tok as (select doc_id,
         from dd),
 o as (select doc_id, n_tokens,
         coalesce(sum(n_tokens) over (order by doc_id
-          rows between unbounded preceding and 1 preceding), 0) as tok_offset
+          rows between unbounded preceding and 1 preceding), 0)::bigint
+          as tok_offset
       from tok)
 select doc_id, n_tokens, tok_offset,
-       tok_offset // 256 as first_seq,
-       (tok_offset + greatest(n_tokens, 1) - 1) // 256 as last_seq
+       (tok_offset // 256)::bigint as first_seq,
+       ((tok_offset + greatest(n_tokens, 1) - 1) // 256)::bigint as last_seq
 from o
 """
     oracles["heavy_hitters"] = """
@@ -3348,11 +3349,12 @@ with w as (select doc_id,
   from documents),
 o as (select doc_id, n_tokens,
     coalesce(sum(n_tokens) over (order by doc_id
-      rows between unbounded preceding and 1 preceding), 0) as tok_offset
+      rows between unbounded preceding and 1 preceding), 0)::bigint
+      as tok_offset
   from w)
 select doc_id, n_tokens, tok_offset,
-       tok_offset // 256 as first_seq,
-       (tok_offset + greatest(n_tokens, 1) - 1) // 256 as last_seq
+       (tok_offset // 256)::bigint as first_seq,
+       ((tok_offset + greatest(n_tokens, 1) - 1) // 256)::bigint as last_seq
 from o
 """
     oracles["quantile_filter"] = """
