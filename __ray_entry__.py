@@ -1737,15 +1737,15 @@ def _q_redact(sf_dir: str):
 def _q_source_cap(sf_dir: str):
     """Per-source document cap (the per-domain cap of web pipelines): keep
     the 5 longest docs of every source, doc_id-ascending tie-break."""
-    from linref_ray.stats import top_k_per_group
+    from linref_ray.sampling import cap_per_source
 
     docs = _rp(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "n_chars"],
     )
-    return top_k_per_group(
-        docs, group_col="source", order_col="n_chars", k=5,
-        descending=True, tie_col="doc_id",
+    return cap_per_source(
+        docs, source_col="source", order_col="n_chars", cap=5,
+        tie_col="doc_id",
     )
 
 

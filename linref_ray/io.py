@@ -71,6 +71,32 @@ logging.getLogger(
 ).addFilter(_SchemaHashNoiseFilter())
 
 
+class _EmptySplitSchemaNoiseFilter(logging.Filter):
+    """Drop the empty-schema "RefBundle with a different schema" warning.
+
+    Ray 2.49's ``repartition(n)`` emits ZERO-COLUMN empty blocks for splits
+    beyond the available rows (verified directly on
+    ``from_arrow(3 rows).repartition(8)``: 5 of 8 output blocks carry an
+    empty schema). Every engine kernel emits typed empty tables, so the only
+    schema "divergence" on our pipelines is Ray's own schema-less split
+    padding — noise on any small input with ``num_partitions`` headroom.
+    Only the empty-new-schema form is dropped (message ends ``new schema:
+    .``); a genuine drift between two non-empty schemas still warns.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in msg
+            and "new schema: . This may lead" in msg
+        )
+
+
+logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySplitSchemaNoiseFilter())
+
+
 def validate_corpus_schema(ds: ray.data.Dataset) -> None:
     """Check the input_hint columns are present (types are coerced lazily
     by the pipeline stages; missing columns fail fast here instead)."""

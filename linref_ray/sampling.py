@@ -268,3 +268,30 @@ def pack_sequences(
         )
 
     return per_doc.groupby("__bkt").map_groups(place, batch_format="pyarrow")
+
+
+def cap_per_source(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    order_col: str = "n_chars",
+    cap: int = 5,
+    tie_col: str | None = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-source document cap — the per-domain cap of web-crawl curation
+    (keep the ``cap`` "best" docs of every source, best-first by
+    ``order_col`` descending, ``tie_col``-ascending tie-break for a total
+    order).
+
+    Thin named façade over :func:`linref_ray.stats.top_k_per_group`: one
+    hash shuffle on the source key, then a single vectorized
+    factorize→lexsort→run-rank pass per partition — no per-group dispatch,
+    so million-domain corpora cost one exchange of the slim
+    (id, source, order) projection.
+    """
+    from linref_ray.stats import top_k_per_group
+
+    return top_k_per_group(
+        ds, group_col=source_col, order_col=order_col, k=cap,
+        descending=True, tie_col=tie_col, num_partitions=num_partitions,
+    )

@@ -233,3 +233,25 @@ class TestGopherRules:
         out = gopher_rules(ds).to_pandas().set_index("doc_id")
         assert not out.loc[0, "r_bullets"]  # 95% > 90%
         assert not out.loc[1, "r_bullets"]  # 100%
+
+
+def test_cap_per_source_keeps_topk_with_tiebreak(ray_session):
+    import ray.data as rd
+
+    from linref_ray.sampling import cap_per_source
+
+    # two sources; source "b" has ties on the order column, broken by id asc
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "source": pa.array(["a"] * 6 + ["b"] * 4),
+            "n_chars": pa.array([5, 9, 7, 9, 1, 3, 4, 4, 4, 2], pa.int64()),
+        }
+    )
+    out = (
+        cap_per_source(rd.from_arrow(t), cap=2, num_partitions=4)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 3, 6, 7]
