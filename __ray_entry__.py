@@ -1353,6 +1353,43 @@ def _q_image_invariants(sf_dir: str):
     )
 
 
+def _q_image_invariants_jpeg(sf_dir: str):
+    """Invariant stage over REAL baseline-JPEG bytes (pure-spec T.81 codec,
+    oracled): 1000 jpeg images at quality=100 (round-trip error below the
+    40 dB bar even on the noise reference); captions corrupted where
+    i % 100 == 7, pixel corruption planted where i % 100 == 57 by encoding
+    a different seed's pixels (a valid JPEG that decodes to the wrong
+    image — bit-flips would just break the Huffman stream). The verifier
+    must flag exactly those rows; the oracle computes the (fmt, ok) counts
+    in closed form from the same index arithmetic."""
+    from ray.data.aggregate import Count
+
+    from linref_ray import synth
+    from linref_ray.images import verify_invariants
+
+    base = synth.make_images_jpeg(1000, wrong_pixel_mod=100)
+
+    def corrupt_captions(t: pa.Table) -> pa.Table:
+        idxs = [int(s.rsplit("-", 1)[1]) for s in t["image_id"].to_pylist()]
+        caps = t["caption"].to_pylist()
+        for j, i in enumerate(idxs):
+            if i % 100 == 7:
+                caps[j] = "CORRUPTED"
+        return t.set_column(
+            t.schema.get_field_index("caption"), "caption", pa.array(caps)
+        )
+
+    out = verify_invariants(
+        rd.from_arrow(base).map_batches(
+            corrupt_captions, batch_format="pyarrow"
+        )
+    )
+    return (
+        out.groupby(["fmt", "invariant_ok"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def _q_image_neardup_planted(sf_dir: str):
     """Perceptual image near-dup over a planted corpus: 2000 synthetic
     images; every base id with i % 100 == 3 gets three byte-identical
@@ -2062,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 50 entries. Queries without a prior driver receipt (rounds 1-3) come
     # first; previously-green queries rotate to the tail.
     return {
+        "image_invariants_jpeg": _q_image_invariants_jpeg,
         "anti_join": _q_anti_join,
         "repetition": _q_repetition,
         "normalize": _q_normalize,
@@ -2813,6 +2851,15 @@ from (select unnest(generate_series(0, 1999)) as i)
 with idx as (select unnest(generate_series(0, 1999)) as i),
 c as (
   select case when i % 3 = 0 then 'raw' else 'qz' end as fmt,
+         not (i % 100 = 7 or i % 100 = 57) as invariant_ok
+  from idx
+)
+select fmt, invariant_ok, count(*) as n from c group by 1, 2
+"""
+    oracles["image_invariants_jpeg"] = """
+with idx as (select unnest(generate_series(0, 999)) as i),
+c as (
+  select 'jpeg' as fmt,
          not (i % 100 = 7 or i % 100 = 57) as invariant_ok
   from idx
 )

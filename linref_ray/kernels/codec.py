@@ -11,7 +11,9 @@ columns, decode actor stages, PSNR verification) is real:
   BASELINE.json's ``input_hint`` by construction while still exercising a
   real decoded-pixel comparison.
 
-Real-format decode (JPEG/PNG) is stubbed behind ``NotImplementedError``.
+Real-format decode is implemented from the public specs: PNG below
+(stdlib zlib + numpy) and baseline JPEG in :mod:`linref_ray.kernels.jpeg`
+(pure numpy ITU-T T.81 — encoder and decoder, no libjpeg).
 """
 
 from __future__ import annotations
@@ -38,10 +40,12 @@ def encode_image(pixels: np.ndarray, fmt: str = "raw") -> bytes:
     elif fmt == "png":
         return png_encode(pixels)
     elif fmt == "jpeg":
-        raise NotImplementedError(
-            "no JPEG codec library in this environment; use 'png', 'raw' "
-            "or 'qz'"
-        )
+        from linref_ray.kernels.jpeg import jpeg_encode
+
+        # quality=100: quantization step 1 everywhere, so round-trip error
+        # is color-convert + DCT rounding only — stays above the 40 dB
+        # invariant even on the white-noise reference corpus.
+        return jpeg_encode(pixels, quality=100)
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
     return _HEADER.pack(MAGIC, w, h, _FMT_CODES[fmt], b"\x00" * 3) + payload
@@ -57,10 +61,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     if data[:8] == _PNG_MAGIC:
         return png_decode(data), "png"
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode needs a codec library unavailable in this "
-            "environment"
-        )
+        from linref_ray.kernels.jpeg import jpeg_decode
+
+        return jpeg_decode(data), "jpeg"
     magic, w, h, code, _ = _HEADER.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError("bad image magic")

@@ -237,6 +237,62 @@ def make_images(
     return _images_table(ids, w, h)
 
 
+def make_images_jpeg(
+    n: int = 1000,
+    w: int = 16,
+    h: int = 16,
+    seed_prefix: str = "jpg",
+    wrong_pixel_mod: int | None = None,
+) -> pa.Table:
+    """Image corpus whose ``bytes`` are REAL baseline JPEG (input_hint
+    schema, ``fmt='jpeg'``) — the codec is the pure-spec encoder in
+    :mod:`linref_ray.kernels.jpeg` at quality=100, whose round-trip error
+    stays under the 40 dB PSNR invariant even on the noise reference.
+
+    ``wrong_pixel_mod=m`` plants pixel corruption: rows with index
+    ``i % m == 57 % m`` encode the reference pixels of a DIFFERENT seed —
+    a perfectly valid JPEG whose decode mismatches the reference (~8 dB),
+    the JPEG analog of the raw-corpus bit-inversion (entropy-coded bytes
+    cannot be bit-flipped without breaking the Huffman stream)."""
+    from linref_ray.kernels.jpeg import jpeg_encode
+
+    ids = [f"{seed_prefix}-{i:08d}" for i in range(n)]
+    px = codec.reference_pixels_batch(codec.id_seeds(ids), w, h).copy()
+    phashes = _ahash_batch(px)
+    blobs = []
+    for i, pid in enumerate(ids):
+        if wrong_pixel_mod and i % wrong_pixel_mod == 57 % wrong_pixel_mod:
+            wrong = codec.reference_pixels(pid + "~corrupt", w, h)
+            blobs.append(jpeg_encode(wrong, quality=100))
+        else:
+            blobs.append(jpeg_encode(px[i], quality=100))
+    return pa.table(
+        {
+            "image_id": pa.array(ids),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array([w] * n, pa.int32()),
+            "h": pa.array([h] * n, pa.int32()),
+            "fmt": pa.array(["jpeg"] * n),
+            "caption": pa.array([caption_for(i) for i in ids]),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+def _ahash_batch(px: np.ndarray) -> np.ndarray:
+    """aHash (8×8 mean-threshold) — same construction as _images_table."""
+    n, h, w = px.shape[:3]
+    small_px = px[:, :: max(h // 8, 1), :: max(w // 8, 1), :][:, :8, :8, :]
+    small = small_px.astype(np.float32).mean(axis=3)
+    bits = small > small.mean(axis=(1, 2), keepdims=True)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)[
+        : bits.shape[1], : bits.shape[2]
+    ]
+    return (
+        (bits * weights[None]).reshape(n, -1).sum(axis=1, dtype=np.uint64)
+    ).astype(np.int64)
+
+
 def make_videos(
     n: int = 20, frames: int = 12, w: int = 16, h: int = 16, fps: float = 30.0
 ) -> pa.Table:

@@ -1,0 +1,151 @@
+"""Baseline JPEG codec (linref_ray.kernels.jpeg) — pure-spec round trips.
+
+No external decoder exists in this container, so internal consistency is
+validated structurally (marker layout a third-party parser would accept)
+plus round-trip PSNR bounds that only hold if DCT/quant/Huffman agree with
+the T.81 semantics on both sides.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from linref_ray.kernels import codec, jpeg
+
+
+def _noise(h, w, ch=3, seed=7):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    shape = (h, w, ch) if ch else (h, w)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+def _smooth(h, w):
+    gy, gx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [gy * 4 % 256, gx * 3 % 256, (gy + gx) * 2 % 256], -1
+    ).astype(np.uint8)
+
+
+class TestRoundTrip:
+    def test_noise_q100_444_over_40db(self):
+        px = _noise(16, 16)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=100))
+        assert dec.shape == px.shape
+        assert codec.psnr(px, dec) >= 40.0
+
+    def test_smooth_q85(self):
+        px = _smooth(32, 48)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=85))
+        assert codec.psnr(px, dec) >= 30.0
+
+    def test_quality_monotone(self):
+        px = _smooth(24, 24)
+        psnrs = [
+            codec.psnr(px, jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=q)))
+            for q in (50, 85, 100)
+        ]
+        assert psnrs[0] <= psnrs[1] <= psnrs[2]
+
+    def test_subsample_420(self):
+        px = _smooth(32, 32)
+        dec = jpeg.jpeg_decode(
+            jpeg.jpeg_encode(px, quality=95, subsample=True)
+        )
+        assert dec.shape == px.shape
+        assert codec.psnr(px, dec) >= 30.0
+
+    def test_odd_dimensions(self):
+        for shape in ((17, 13), (8, 9), (1, 1), (7, 23)):
+            px = _noise(*shape, seed=shape[0] * 100 + shape[1])
+            for sub in (False, True):
+                dec = jpeg.jpeg_decode(
+                    jpeg.jpeg_encode(px, quality=100, subsample=sub)
+                )
+                assert dec.shape == px.shape, (shape, sub)
+        assert codec.psnr(px, jpeg.jpeg_decode(
+            jpeg.jpeg_encode(px, quality=100))) >= 40.0
+
+    def test_grayscale(self):
+        g = _noise(16, 16, ch=0)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(g, quality=100))
+        assert dec.shape == (16, 16, 3)
+        assert codec.psnr(np.repeat(g[:, :, None], 3, 2), dec) >= 40.0
+
+    def test_restart_interval(self):
+        px = _noise(32, 32, seed=3)
+        blob = jpeg.jpeg_encode(px, quality=100, restart_interval=2)
+        assert b"\xff\xdd" in blob  # DRI marker present
+        assert any(
+            bytes([0xFF, 0xD0 + i]) in blob for i in range(8)
+        )  # at least one RSTn
+        assert codec.psnr(px, jpeg.jpeg_decode(blob)) >= 40.0
+
+
+class TestStructure:
+    def test_marker_layout(self):
+        blob = jpeg.jpeg_encode(_noise(16, 16), quality=90)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        assert blob[2:4] == b"\xff\xe0" and blob[6:11] == b"JFIF\x00"
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in blob
+
+    def test_sof_dimensions(self):
+        blob = jpeg.jpeg_encode(_noise(13, 37), quality=90)
+        i = blob.index(b"\xff\xc0")
+        h = int.from_bytes(blob[i + 5 : i + 7], "big")
+        w = int.from_bytes(blob[i + 7 : i + 9], "big")
+        assert (h, w) == (13, 37)
+
+    def test_byte_stuffing_no_stray_markers(self):
+        # after SOS, only FF00 / RSTn / EOI may follow an FF byte
+        blob = jpeg.jpeg_encode(_noise(32, 32, seed=11), quality=100)
+        sos = blob.index(b"\xff\xda")
+        scan = blob[sos + 2 + int.from_bytes(blob[sos + 2 : sos + 4], "big"):]
+        j = 0
+        while j < len(scan) - 1:
+            if scan[j] == 0xFF:
+                nxt = scan[j + 1]
+                assert nxt == 0x00 or 0xD0 <= nxt <= 0xD9
+                j += 2
+            else:
+                j += 1
+
+    def test_decode_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            jpeg.jpeg_decode(b"\x00\x01\x02\x03")
+        with pytest.raises(ValueError):
+            jpeg.jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+
+    def test_decode_rejects_progressive(self):
+        blob = bytearray(jpeg.jpeg_encode(_noise(8, 8), quality=90))
+        i = blob.index(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2
+        with pytest.raises(NotImplementedError):
+            jpeg.jpeg_decode(bytes(blob))
+
+    def test_truncated_stream_raises(self):
+        blob = jpeg.jpeg_encode(_noise(16, 16), quality=100)
+        with pytest.raises(ValueError):
+            jpeg.jpeg_decode(blob[: len(blob) // 2])
+
+
+class TestDispatch:
+    def test_codec_roundtrip_via_dispatch(self):
+        px = _noise(16, 16, seed=21)
+        blob = codec.encode_image(px, fmt="jpeg")
+        dec, fmt = codec.decode_image(blob)
+        assert fmt == "jpeg"
+        assert codec.psnr(px, dec) >= 40.0
+
+    def test_verify_invariants_jpeg_rows(self, ray_session):
+        import ray.data as rd
+
+        from linref_ray.images import verify_invariants
+        from linref_ray.synth import make_images_jpeg
+
+        images = rd.from_arrow(make_images_jpeg(24))
+        out = verify_invariants(images).to_pandas()
+        assert len(out) == 24
+        assert out["invariant_ok"].all()
+        assert (out["psnr_db"] >= 40.0).all()
+        assert (out["fmt"] == "jpeg").all()
