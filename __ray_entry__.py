@@ -1538,6 +1538,37 @@ def _q_audio_features_planted(sf_dir: str):
     return feats.map_batches(quantize, batch_format="pyarrow")
 
 
+def _q_audio_features_flac(sf_dir: str):
+    """audio_features_planted over REAL FLAC bytes: the pure-spec codec
+    (linref_ray.kernels.flac) is lossless, so the decoded PCM is
+    bit-identical to the LRAU twin and the same closed-form tone oracle
+    applies — this receipts the FLAC decode path end-to-end through the
+    actor-pool feature stage."""
+    from linref_ray.media import extract_audio_features
+
+    auds = rd.from_arrow(
+        synth.make_audio(40, seconds=0.5, sample_rate=8000, acodec="flac")
+    )
+    feats = extract_audio_features(auds, concurrency=2)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        zcr = t["zcr"].to_numpy(zero_copy_only=False)
+        rol = t["spectral_rolloff"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "audio_id": t["audio_id"],
+                "tone_zcr": pa.array(
+                    (np.round(zcr * 8000 / 2 / 50) * 50).astype(np.int64)
+                ),
+                "tone_rolloff": pa.array(
+                    (np.round(rol / 50) * 50).astype(np.int64)
+                ),
+            }
+        )
+
+    return feats.map_batches(quantize, batch_format="pyarrow")
+
+
 def _q_fingerprints_planted(sf_dir: str):
     """Planted-corpus oracle twin for rolling-hash fingerprints: 40
     families × 5 docs share one long per-family block (family-scoped
@@ -2100,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first; previously-green queries rotate to the tail.
     return {
         "image_invariants_jpeg": _q_image_invariants_jpeg,
+        "audio_features_flac": _q_audio_features_flac,
         "anti_join": _q_anti_join,
         "repetition": _q_repetition,
         "normalize": _q_normalize,
@@ -3054,6 +3086,13 @@ from p
 where loc <= 9810  -- the tiled fragment range; beyond it points are unmatched
 """
     oracles["audio_features_planted"] = """
+with i as (select unnest(generate_series(0, 39)) as i)
+select printf('aud-%06d', i) as audio_id,
+       cast(100 + 50 * i as bigint) as tone_zcr,
+       cast(100 + 50 * i as bigint) as tone_rolloff
+from i
+"""
+    oracles["audio_features_flac"] = """
 with i as (select unnest(generate_series(0, 39)) as i)
 select printf('aud-%06d', i) as audio_id,
        cast(100 + 50 * i as bigint) as tone_zcr,

@@ -2,14 +2,17 @@
 multimodal training-pipeline ops from the brief).
 
 Media payloads are opaque ``binary`` columns with typed metadata, exactly
-like the image corpus. Real container decoders (mp4/h264, mp3/flac) are not
-in this container, so the DECODE step is stubbed: a deterministic fake
-container (``LRVD``/``LRAU`` headers + raw payload) carries real per-frame
-pixels / PCM samples, and any other codec raises ``NotImplementedError``
-with the integration point named. Everything Ray-side — schema, batch
-sizing, actor signature, row-expansion output layout — is real and tested,
-and sampled frames re-encode into the IMAGE container so the existing
-image stages (verify / resize / feature-extract) compose downstream.
+like the image corpus. Audio decodes REAL formats from the public specs —
+RIFF/WAVE PCM16 (:func:`wav_decode`) and FLAC
+(:mod:`linref_ray.kernels.flac`, pure numpy) — plus the deterministic
+``LRAU`` container; mp3 is explicitly out of scope (``_MP3_MSG`` names
+the integration point). Video containers (mp4/h264) have no stdlib
+decode path, so the deterministic ``LRVD`` container carries real
+per-frame pixels and other codecs raise ``NotImplementedError``.
+Everything Ray-side — schema, batch sizing, actor signature,
+row-expansion output layout — is real and tested, and sampled frames
+re-encode into the IMAGE container so the existing image stages
+(verify / resize / feature-extract) compose downstream.
 
 Scale notes: frame sampling is a row-expansion ``map_batches`` (small
 batches — each input row fans out to k wide rows); audio features drop the
@@ -32,6 +35,13 @@ VID_MAGIC = b"LRVD"
 AUD_MAGIC = b"LRAU"
 _VCODEC = {"rawv": 0}
 _ACODEC = {"pcm16": 0}
+_MP3_MSG = (
+    "mp3 decode is out of scope: a conformant layer-III decoder needs the "
+    "full polyphase filterbank + Huffman machinery with no stdlib "
+    "shortcut and no codec library ships in this container — plug "
+    "soundfile/librosa here. WAV PCM, FLAC "
+    "(linref_ray.kernels.flac, pure-spec) and the LRAU container decode."
+)
 
 
 # -- fake containers (deterministic; the stub decode target) ----------------
@@ -66,11 +76,16 @@ def decode_video(data: bytes) -> np.ndarray:
 
 
 def encode_audio(samples: np.ndarray, sample_rate: int, acodec: str = "pcm16") -> bytes:
-    """int16 PCM samples → fake container bytes."""
+    """int16 PCM samples → audio bytes (LRAU container, or real FLAC via
+    ``acodec='flac'`` — the pure-spec codec in
+    :mod:`linref_ray.kernels.flac`)."""
+    if acodec == "flac":
+        from linref_ray.kernels.flac import flac_encode
+
+        return flac_encode(np.asarray(samples, dtype=np.int16), sample_rate)
     if acodec not in _ACODEC:
         raise NotImplementedError(
-            f"audio codec {acodec!r}: real encoders (mp3/flac) are not in "
-            "this container — plug soundfile/librosa here"
+            f"audio codec {acodec!r}: " + _MP3_MSG
         )
     s = np.asarray(samples, dtype=np.int16)
     return (
@@ -83,22 +98,26 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Audio bytes → (mono int16 samples, sample_rate).
 
     Dispatches on magic: real RIFF/WAVE PCM (pure-stdlib parser,
-    :func:`wav_decode`) or the deterministic ``LRAU`` container.
-    Compressed formats (mp3/flac) remain stubbed — no codec library here.
+    :func:`wav_decode`), real FLAC (pure-spec decoder,
+    :mod:`linref_ray.kernels.flac` — multi-channel streams downmix to mono
+    by averaging), or the deterministic ``LRAU`` container. mp3 is
+    explicitly out of scope (see ``_MP3_MSG``).
     """
     if data[:4] == b"RIFF":
         return wav_decode(data)
+    if data[:4] == b"fLaC":
+        from linref_ray.kernels.flac import flac_decode
+
+        s, sr = flac_decode(data)
+        mono = s[:, 0] if s.shape[1] == 1 else np.round(
+            s.mean(axis=1)
+        ).astype(np.int64)
+        return np.clip(mono, -32768, 32767).astype(np.int16), sr
     if len(data) < _AUD_HEADER.size or data[:4] != AUD_MAGIC:
-        raise NotImplementedError(
-            "compressed audio decode (mp3/flac via soundfile) is stubbed "
-            "in this container; WAV PCM and the LRAU container decode"
-        )
+        raise NotImplementedError(_MP3_MSG)
     magic, sr, n, code, _ = _AUD_HEADER.unpack_from(data, 0)
     if magic != AUD_MAGIC:
-        raise NotImplementedError(
-            "compressed audio decode (mp3/flac via soundfile) is stubbed "
-            "in this container; WAV PCM and the LRAU container decode"
-        )
+        raise NotImplementedError(_MP3_MSG)
     s = np.frombuffer(data, dtype=np.int16, offset=_AUD_HEADER.size)[:n]
     return s.copy(), sr
 

@@ -320,11 +320,14 @@ def make_videos(
 
 
 def make_audio(
-    n: int = 20, seconds: float = 1.0, sample_rate: int = 8000
+    n: int = 20, seconds: float = 1.0, sample_rate: int = 8000,
+    acodec: str = "pcm16",
 ) -> pa.Table:
-    """Deterministic audio corpus in the fake LRAU container: clip i is a
-    pure tone at (100 + 50*i) Hz plus seeded noise — spectral features have
-    known expected ordering for tests."""
+    """Deterministic audio corpus: clip i is a pure tone at (100 + 50*i)
+    Hz plus seeded noise — spectral features have known expected ordering
+    for tests. ``acodec='pcm16'`` emits the fake LRAU container;
+    ``'flac'`` emits REAL lossless FLAC (pure-spec codec), bit-identical
+    samples after decode."""
     from linref_ray.media import encode_audio
 
     ids, blobs, tones = [], [], []
@@ -335,7 +338,7 @@ def make_audio(
         x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.002 * rng.normal(size=len(t))
         s = np.clip(x * 32767, -32768, 32767).astype(np.int16)
         ids.append(f"aud-{i:06d}")
-        blobs.append(encode_audio(s, sample_rate))
+        blobs.append(encode_audio(s, sample_rate, acodec=acodec))
         tones.append(freq)
     return pa.table(
         {
