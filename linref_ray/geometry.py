@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from linref_ray.errors import GeometryMeasureError
 from linref_ray.kernels.geometry import (
     cumdist,
     interpolate_at_m,
@@ -44,13 +45,13 @@ def parse_wkt_m(wkt: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """``LINESTRING M (x y m, …)`` → (xs, ys, ms)."""
     m = _WKT_RE.match(wkt)
     if not m:
-        raise ValueError(f"not a LINESTRING M WKT: {wkt[:60]!r}")
+        raise GeometryMeasureError(f"not a LINESTRING M WKT: {wkt[:60]!r}")
     triples = [
         [float(v) for v in part.split()] for part in m.group(1).split(",")
     ]
     arr = np.asarray(triples, dtype=np.float64)
     if arr.shape[1] != 3:
-        raise ValueError("LINESTRING M requires x y m per vertex")
+        raise GeometryMeasureError("LINESTRING M requires x y m per vertex")
     return arr[:, 0], arr[:, 1], arr[:, 2]
 
 
@@ -164,20 +165,20 @@ def coords_from_shapely_m(geom, reverse: bool = False):
     """
     coords = np.asarray(list(geom.coords), dtype=np.float64)
     if coords.ndim != 2 or coords.shape[1] not in (3, 4):
-        raise ValueError(
+        raise GeometryMeasureError(
             "geometry coords must be (x, y, m) or (x, y, z, m) tuples; "
             f"got shape {coords.shape}"
         )
     xs, ys, ms = coords[:, 0], coords[:, 1], coords[:, -1]
     if np.any(np.diff(ms) < 0):
         if not reverse:
-            raise ValueError(
+            raise GeometryMeasureError(
                 "M values must be monotonic non-decreasing; pass "
                 "reverse=True to accept reversed geometries"
             )
         xs, ys, ms = xs[::-1].copy(), ys[::-1].copy(), ms[::-1].copy()
         if np.any(np.diff(ms) < 0):
-            raise ValueError(
+            raise GeometryMeasureError(
                 "M values are not monotonic in either direction"
             )
     return xs, ys, ms

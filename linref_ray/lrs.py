@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
+from linref_ray.errors import LRSConfigurationError
 from linref_ray.kernels.intervals import CLOSED_OPTIONS
 
 KEY = "route_id"
@@ -37,7 +38,9 @@ class LRS:
 
     def __post_init__(self):
         if self.closed not in CLOSED_OPTIONS:
-            raise ValueError(f"closed must be one of {CLOSED_OPTIONS}")
+            raise LRSConfigurationError(
+                f"closed must be one of {CLOSED_OPTIONS}"
+            )
         if isinstance(self.key_col, str):
             object.__setattr__(self, "key_col", (self.key_col,))
         else:
@@ -86,7 +89,7 @@ class LRS:
         """Check all mapped columns exist (the ``LRS.study`` role)."""
         missing = [c for c in self.required_cols() if c not in schema.names]
         if missing:
-            raise ValueError(
+            raise LRSConfigurationError(
                 f"LRS columns missing from schema: {missing}; have {schema.names}"
             )
 

@@ -9,6 +9,7 @@ the same ergonomics as the reference's ``linref.options.default_lrs`` /
 
 from __future__ import annotations
 
+from linref_ray.errors import LRSConfigurationError
 from linref_ray.lrs import LRS
 
 
@@ -27,7 +28,9 @@ class _Options:
     @default_lrs.setter
     def default_lrs(self, value: LRS) -> None:
         if not isinstance(value, LRS):
-            raise ValueError("default_lrs must be an LRS instance")
+            raise LRSConfigurationError(
+                "default_lrs must be an LRS instance"
+            )
         self._default_lrs = value
 
     def reset(self) -> None:

@@ -52,6 +52,7 @@ from linref_ray.kernels.intervals import (
 )
 from linref_ray.kernels.profile import resolve_profile
 from linref_ray.lrs import LRS
+from linref_ray.errors import LRSCompatibilityError
 from linref_ray.partition import (
     BUCKET,
     DEFAULT_NUM_PARTITIONS,
@@ -459,7 +460,9 @@ class Relation:
     def overlay(self, normalize=True, norm_by="right", profile=None):
         """Pair table with overlay weights (``relate.py:588-651``)."""
         if self.left_lrs.is_point or self.right_lrs.is_point:
-            raise ValueError("overlay requires linear events on both sides")
+            raise LRSCompatibilityError(
+            "overlay requires linear events on both sides"
+        )
         return self._build(
             "overlay", normalize=normalize, norm_by=norm_by, profile=profile
         )
