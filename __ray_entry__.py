@@ -1367,7 +1367,7 @@ def _q_image_invariants_jpeg(sf_dir: str):
     from linref_ray import synth
     from linref_ray.images import verify_invariants
 
-    base = synth.make_images_jpeg(1000, wrong_pixel_mod=100)
+    base = synth.make_images_jpeg_stream(1000, wrong_pixel_mod=100)
 
     def corrupt_captions(t: pa.Table) -> pa.Table:
         idxs = [int(s.rsplit("-", 1)[1]) for s in t["image_id"].to_pylist()]
@@ -1379,10 +1379,11 @@ def _q_image_invariants_jpeg(sf_dir: str):
             t.schema.get_field_index("caption"), "caption", pa.array(caps)
         )
 
+    # small batches: the per-row entropy decode is the unit of work, so
+    # 128-image batches fan the sequential Huffman decode across tasks
     out = verify_invariants(
-        rd.from_arrow(base).map_batches(
-            corrupt_captions, batch_format="pyarrow"
-        )
+        base.map_batches(corrupt_captions, batch_format="pyarrow"),
+        batch_size=128,
     )
     return (
         out.groupby(["fmt", "invariant_ok"])

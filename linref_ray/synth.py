@@ -237,6 +237,35 @@ def make_images(
     return _images_table(ids, w, h)
 
 
+def _images_table_jpeg(
+    ids: list[str], w: int, h: int, wrong_pixel_mod: int | None = None
+) -> pa.Table:
+    from linref_ray.kernels.jpeg import jpeg_encode
+
+    n = len(ids)
+    px = codec.reference_pixels_batch(codec.id_seeds(ids), w, h).copy()
+    phashes = _ahash_batch(px)
+    blobs = []
+    for j, pid in enumerate(ids):
+        i = int(pid.rsplit("-", 1)[1])
+        if wrong_pixel_mod and i % wrong_pixel_mod == 57 % wrong_pixel_mod:
+            wrong = codec.reference_pixels(pid + "~corrupt", w, h)
+            blobs.append(jpeg_encode(wrong, quality=100))
+        else:
+            blobs.append(jpeg_encode(px[j], quality=100))
+    return pa.table(
+        {
+            "image_id": pa.array(ids),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array([w] * n, pa.int32()),
+            "h": pa.array([h] * n, pa.int32()),
+            "fmt": pa.array(["jpeg"] * n),
+            "caption": pa.array([caption_for(i) for i in ids]),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
 def make_images_jpeg(
     n: int = 1000,
     w: int = 16,
@@ -254,29 +283,31 @@ def make_images_jpeg(
     a perfectly valid JPEG whose decode mismatches the reference (~8 dB),
     the JPEG analog of the raw-corpus bit-inversion (entropy-coded bytes
     cannot be bit-flipped without breaking the Huffman stream)."""
-    from linref_ray.kernels.jpeg import jpeg_encode
-
     ids = [f"{seed_prefix}-{i:08d}" for i in range(n)]
-    px = codec.reference_pixels_batch(codec.id_seeds(ids), w, h).copy()
-    phashes = _ahash_batch(px)
-    blobs = []
-    for i, pid in enumerate(ids):
-        if wrong_pixel_mod and i % wrong_pixel_mod == 57 % wrong_pixel_mod:
-            wrong = codec.reference_pixels(pid + "~corrupt", w, h)
-            blobs.append(jpeg_encode(wrong, quality=100))
-        else:
-            blobs.append(jpeg_encode(px[i], quality=100))
-    return pa.table(
-        {
-            "image_id": pa.array(ids),
-            "bytes": pa.array(blobs, pa.binary()),
-            "w": pa.array([w] * n, pa.int32()),
-            "h": pa.array([h] * n, pa.int32()),
-            "fmt": pa.array(["jpeg"] * n),
-            "caption": pa.array([caption_for(i) for i in ids]),
-            "phash": pa.array(phashes, pa.int64()),
-        }
-    )
+    return _images_table_jpeg(ids, w, h, wrong_pixel_mod)
+
+
+def make_images_jpeg_stream(
+    n: int,
+    w: int = 16,
+    h: int = 16,
+    seed_prefix: str = "jpg",
+    wrong_pixel_mod: int | None = None,
+    num_blocks: int = 16,
+):
+    """Distributed variant of :func:`make_images_jpeg`: generation (and
+    the sequential entropy coding it entails) runs inside ``map_batches``
+    tasks keyed only by row index — content is partitioning-independent,
+    same contract as :func:`make_images_stream`."""
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=num_blocks)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [f"{seed_prefix}-{int(i):08d}" for i in t["id"].to_pylist()]
+        return _images_table_jpeg(ids, w, h, wrong_pixel_mod)
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=128)
 
 
 def _ahash_batch(px: np.ndarray) -> np.ndarray:

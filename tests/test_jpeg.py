@@ -149,3 +149,34 @@ class TestDispatch:
         assert out["invariant_ok"].all()
         assert (out["psnr_db"] >= 40.0).all()
         assert (out["fmt"] == "jpeg").all()
+
+    def test_flagship_pipeline_format_agnostic(self, ray_session):
+        # the SAME image ids as a raw/qz corpus but with real JPEG bytes
+        # must produce identical per-event counts and tiles: geocoding is
+        # a pure function of image_id, and every jpeg row passes the
+        # decoded-pixel invariant
+        import pandas.testing as pdt
+        import ray.data as rd
+
+        from linref_ray import synth
+        from linref_ray.images import image_pipeline
+
+        routes = synth.make_routes(8, seed=42)
+        events = rd.from_arrow(synth.make_events(routes, density=0.08))
+        kw = dict(buffer=6.0, cell_res=6, num_partitions=8,
+                  snap_concurrency=2)
+        pe_a, ti_a, _ = image_pipeline(
+            rd.from_arrow(synth.make_images(120)), routes, events, **kw
+        )
+        pe_b, ti_b, _ = image_pipeline(
+            rd.from_arrow(
+                synth.make_images_jpeg(120, seed_prefix="img")
+            ),
+            routes, events, **kw,
+        )
+        a = pe_a.to_pandas().sort_values("event_id").reset_index(drop=True)
+        b = pe_b.to_pandas().sort_values("event_id").reset_index(drop=True)
+        pdt.assert_frame_equal(a, b[a.columns], check_dtype=False)
+        ta = ti_a.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        tb = ti_b.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        pdt.assert_frame_equal(ta, tb[ta.columns], check_dtype=False)
