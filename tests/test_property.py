@@ -293,3 +293,70 @@ class TestPngRoundtripProperty:
         out, fmt = codec.decode_image(codec.png_encode(px))
         assert fmt == "png"
         np.testing.assert_array_equal(out, px)
+
+
+class TestJpegRoundtripProperty:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.booleans(),
+    )
+    def test_jpeg_q100_psnr_bound(self, w, h, seed, subsample):
+        # quality=100 bounds round-trip error by color-convert + DCT
+        # rounding on the LUMA path; chroma subsampling adds loss, so the
+        # 40 dB invariant bound is asserted only for 4:4:4
+        from linref_ray.kernels import codec
+        from linref_ray.kernels.jpeg import jpeg_decode, jpeg_encode
+
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        dec = jpeg_decode(jpeg_encode(px, quality=100, subsample=subsample))
+        assert dec.shape == px.shape
+        if not subsample:
+            assert codec.psnr(px, dec) >= 40.0
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=0, max_value=6),
+    )
+    def test_jpeg_restart_intervals(self, seed, rst):
+        from linref_ray.kernels import codec
+        from linref_ray.kernels.jpeg import jpeg_decode, jpeg_encode
+
+        px = np.random.default_rng(seed).integers(
+            0, 256, (24, 24, 3), dtype=np.uint8
+        )
+        dec = jpeg_decode(
+            jpeg_encode(px, quality=100, restart_interval=rst)
+        )
+        assert codec.psnr(px, dec) >= 40.0
+
+
+class TestFlacRoundtripProperty:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=10000),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from([16, 64, 4096]),
+        st.sampled_from(["noise", "tone", "ramp", "const"]),
+    )
+    def test_flac_lossless(self, n, seed, block_size, shape):
+        from linref_ray.kernels.flac import flac_decode, flac_encode
+
+        rng = np.random.default_rng(seed)
+        if shape == "noise":
+            x = rng.integers(-32768, 32768, n, dtype=np.int16)
+        elif shape == "tone":
+            t = np.arange(n)
+            x = (10000 * np.sin(t * 0.05)).astype(np.int16)
+        elif shape == "ramp":
+            x = (np.arange(n) % 65536 - 32768).astype(np.int16)
+        else:
+            x = np.full(n, int(rng.integers(-32768, 32768)), dtype=np.int16)
+        dec, sr = flac_decode(flac_encode(x, 8000, block_size=block_size))
+        assert sr == 8000
+        np.testing.assert_array_equal(dec[:, 0], x.astype(np.int32))
