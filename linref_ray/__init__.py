@@ -26,6 +26,10 @@ def __getattr__(name):
         from linref_ray.relate import Relation
 
         return Relation
+    if name == "errors":
+        import linref_ray.errors as errors
+
+        return errors
     raise AttributeError(name)
 
 
@@ -34,6 +38,7 @@ __all__ = [
     "DEFAULT_LRS",
     "Events",
     "Relation",
+    "errors",
     "options",
     "set_default_lrs",
     "get_default_lrs",
