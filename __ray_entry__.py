@@ -744,6 +744,36 @@ def _q_knn_graph_pq(sf_dir: str):
     return knn_graph_pq(emb, k=5, m=8, n_codes=64, sample=4096)
 
 
+def _q_knn_graph_pq_planted(sf_dir: str):
+    """Closed-form oracle twin for the PQ kNN graph: 100 families of 5
+    BYTE-IDENTICAL 64-d unit vectors (near-orthogonal across families, so
+    cross-family squared distance ≈ 2 while a family mate's asymmetric
+    distance equals the query's own tiny quantization error) — the top-4
+    of every vector is exactly its 4 family mates at ANY sane codebook,
+    making the approximate operator's edge set closed-form. The
+    approximate cosine column is dropped (it is PQ-reconstruction-
+    dependent by construction); the oracle checks the graph edges."""
+    from linref_ray.similarity import knn_graph_pq
+
+    rng = np.random.Generator(np.random.PCG64(20260818))
+    base = rng.normal(size=(100, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = np.repeat(base, 5, axis=0)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+                "embedding": pa.array(
+                    list(vecs.astype(np.float64)),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    out = knn_graph_pq(emb, k=4, m=8, n_codes=64, sample=500)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher document-quality rules (Rae et al. 2021 §A1.1) — integer /
     boolean verdicts per document, bit-exact against the SQL oracle."""
@@ -2132,12 +2162,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # never-receipted query (knn_graph_pq) + the three oracle-typing
     # re-verifications (repetition/pack_sequences/curation_pipeline) +
     # the stalest receipts (r02 then r03); everything receipted green in
-    # r04 rotates to the tail, so r04 ∪ r05 covers 97 of 108 queries and
-    # the 11 deferred ones all hold green r03 receipts.
+    # r04 rotates to the tail, so r04 ∪ r05 covers 97 of 109 queries and
+    # the 12 deferred ones all hold green r03 receipts.
     return {
         "image_invariants_jpeg": _q_image_invariants_jpeg,
         "audio_features_flac": _q_audio_features_flac,
         "knn_graph_pq": _q_knn_graph_pq,
+        "knn_graph_pq_planted": _q_knn_graph_pq_planted,
         "repetition": _q_repetition,
         "pack_sequences": _q_pack_sequences,
         "curation_pipeline": _q_curation_pipeline,
@@ -3096,6 +3127,13 @@ select printf('aud-%06d', i) as audio_id,
        cast(100 + 50 * i as bigint) as tone_zcr,
        cast(100 + 50 * i as bigint) as tone_rolloff
 from i
+"""
+    oracles["knn_graph_pq_planted"] = """
+with f as (select unnest(generate_series(0, 99)) as fam),
+     m as (select unnest(generate_series(0, 4)) as m),
+     v as (select fam, fam * 5 + m as id from f, m)
+select a.id as query_id, b.id as vec_id
+from v a join v b on a.fam = b.fam and a.id <> b.id
 """
     oracles["audio_features_flac"] = """
 with i as (select unnest(generate_series(0, 39)) as i)
