@@ -180,3 +180,30 @@ class TestDispatch:
         ta = ti_a.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
         tb = ti_b.to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
         pdt.assert_frame_equal(ta, tb[ta.columns], check_dtype=False)
+
+    def test_stream_corpus_partitioning_independent(self, ray_session):
+        # make_images_jpeg_stream content must be a pure function of row
+        # index — identical bytes at any block count (the resume contract)
+        from linref_ray import synth
+
+        a = (
+            synth.make_images_jpeg_stream(60, num_blocks=2, wrong_pixel_mod=100)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            synth.make_images_jpeg_stream(60, num_blocks=7, wrong_pixel_mod=100)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert (a["image_id"] == b["image_id"]).all()
+        assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
+        driver = (
+            synth.make_images_jpeg(60, wrong_pixel_mod=100)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert all(x == y for x, y in zip(a["bytes"], driver["bytes"]))
