@@ -80,14 +80,24 @@ class VerifyInvariants:
         return out.append_column("invariant_ok", pa.array(ok))
 
     def _psnr_rowwise(self, batch: pa.Table, seeds: np.ndarray) -> np.ndarray:
-        # Fallback for non-uniform record sizes: per-row decode.
+        # Fallback for non-uniform record sizes: per-row decode. A row
+        # whose bytes do not decode AT ALL (truncated JPEG, garbage
+        # container — the realistic corruption mode of a web-scale crawl)
+        # must flag that row, not kill the task: any decoder exception
+        # maps to psnr = -inf → invariant_ok False (strict mode then
+        # raises with the ids, same as every other violation).
         blobs = batch["bytes"].to_pylist()
         n = len(blobs)
         flat_px = []
         sizes = np.empty(n, dtype=np.int64)
         whs: list[tuple[int, int]] = []
+        failed = np.zeros(n, dtype=bool)
         for i in range(n):
-            px, _fmt = codec.decode_image(blobs[i])
+            try:
+                px, _fmt = codec.decode_image(blobs[i])
+            except Exception:
+                failed[i] = True
+                px = np.zeros((1, 1, 3), dtype=np.uint8)
             flat_px.append(px.ravel())
             sizes[i] = px.size
             whs.append((px.shape[1], px.shape[0]))
@@ -105,10 +115,13 @@ class VerifyInvariants:
                     for i, (w, h) in enumerate(whs)
                 ]
             ) if n else np.empty(0, dtype=np.uint8)
-        return codec.psnr_batch(
+        psnr = codec.psnr_batch(
             np.concatenate(flat_px) if flat_px else np.empty(0, np.uint8),
             flat_ref, sizes,
         )
+        if failed.any():
+            psnr = np.where(failed, -np.inf, psnr)
+        return psnr
 
 
 def verify_invariants(

@@ -551,6 +551,16 @@ def _decode_scan(frame, scomps, qtables, htables, segments,
     mcuy = -(-fh // (8 * vmax))
     total_mcus = mcux * mcuy
 
+    # Guard untrusted inputs: a corrupted SOF can claim 65535x65535 and
+    # drive a multi-TB coefficient allocation BEFORE entropy decode would
+    # fail — bound the per-component coefficient memory instead (512 MiB
+    # covers any plausible baseline image at 8 bytes/coefficient).
+    if total_mcus * hmax * vmax * 64 * 8 > 512 << 20:
+        raise ValueError(
+            f"implausible JPEG dimensions {fw}x{fh} (coefficient store "
+            "over 512 MiB)"
+        )
+
     order = []  # (comp index, hs, vs, dc table, ac table, blocks per row)
     coef_store: list[np.ndarray] = []
     for ci, (cs, td, ta) in enumerate(scomps):

@@ -207,3 +207,36 @@ class TestDispatch:
             .reset_index(drop=True)
         )
         assert all(x == y for x, y in zip(a["bytes"], driver["bytes"]))
+
+    def test_undecodable_rows_flagged_not_fatal(self, ray_session):
+        # truncated JPEG / garbage bytes must flag the row, not kill the
+        # job — the realistic corruption mode of a web-scale crawl
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray.images import verify_invariants
+        from linref_ray.synth import make_images_jpeg
+
+        base = make_images_jpeg(30)
+        blobs = base["bytes"].to_pylist()
+        blobs[3] = blobs[3][: len(blobs[3]) // 2]   # truncated JPEG
+        blobs[17] = b"\x00garbage-not-an-image"     # no known magic
+        bad = base.set_column(
+            base.schema.get_field_index("bytes"), "bytes",
+            pa.array(blobs, pa.binary()),
+        )
+        out = (
+            verify_invariants(rd.from_arrow(bad))
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 30
+        flagged = set(out.index[~out["invariant_ok"]])
+        assert flagged == {3, 17}
+        assert np.isneginf(out.loc[3, "psnr_db"])
+        # strict mode still raises with the offending ids
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="invariant violated"):
+            verify_invariants(rd.from_arrow(bad), strict=True).to_pandas()

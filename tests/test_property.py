@@ -360,3 +360,58 @@ class TestFlacRoundtripProperty:
         dec, sr = flac_decode(flac_encode(x, 8000, block_size=block_size))
         assert sr == 8000
         np.testing.assert_array_equal(dec[:, 0], x.astype(np.int32))
+
+
+class TestCodecCorruptionRobustness:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_jpeg_decode_never_hangs_on_corruption(self, seed, mutseed):
+        # a decode stage over untrusted bytes must terminate with a clean
+        # result or a Python exception on ANY corruption
+        from linref_ray.kernels.jpeg import jpeg_decode, jpeg_encode
+
+        rng = np.random.default_rng(seed)
+        blob = bytearray(
+            jpeg_encode(
+                rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+                quality=100,
+            )
+        )
+        mrng = np.random.default_rng(mutseed)
+        for _ in range(int(mrng.integers(1, 8))):
+            blob[int(mrng.integers(2, len(blob)))] = int(
+                mrng.integers(0, 256)
+            )
+        try:
+            out = jpeg_decode(bytes(blob))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except Exception:
+            pass  # clean rejection is fine; hanging / native crash is not
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_flac_decode_never_hangs_on_corruption(self, seed, mutseed):
+        from linref_ray.kernels.flac import flac_decode, flac_encode
+
+        rng = np.random.default_rng(seed)
+        blob = bytearray(
+            flac_encode(
+                rng.integers(-5000, 5000, 2000, dtype=np.int16), 8000
+            )
+        )
+        mrng = np.random.default_rng(mutseed)
+        for _ in range(int(mrng.integers(1, 8))):
+            blob[int(mrng.integers(4, len(blob)))] = int(
+                mrng.integers(0, 256)
+            )
+        try:
+            out, sr = flac_decode(bytes(blob))
+            assert out.ndim == 2
+        except Exception:
+            pass
