@@ -33,6 +33,12 @@ _VID_HEADER = struct.Struct("<4sHHHB3s")  # magic, w, h, n_frames, codec, pad
 _AUD_HEADER = struct.Struct("<4sIIB3s")   # magic, sample_rate, n_samples, codec, pad
 VID_MAGIC = b"LRVD"
 AUD_MAGIC = b"LRAU"
+def _check_on_error(on_error: str) -> str:
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    return on_error
+
+
 _VCODEC = {"rawv": 0}
 _ACODEC = {"pcm16": 0}
 _MP3_MSG = (
@@ -187,9 +193,11 @@ class SampleFrames:
     codec context would init once per actor) in ``__init__``; per-batch work
     in ``__call__``."""
 
-    def __init__(self, k: int = 4, fmt: str = "raw"):
+    def __init__(self, k: int = 4, fmt: str = "raw",
+                 on_error: str = "raise"):
         self.k = k
         self.fmt = fmt
+        self.on_error = _check_on_error(on_error)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         vids = t["video_id"].to_pylist()
@@ -203,7 +211,12 @@ class SampleFrames:
         out_w, out_h = [], []
         sampled: list[np.ndarray] = []
         for i, blob in enumerate(blobs):
-            frames = decode_video(blob)
+            try:
+                frames = decode_video(blob)
+            except Exception:
+                if self.on_error == "skip":
+                    continue  # undecodable video: emit no frames
+                raise
             n = len(frames)
             take = np.unique(
                 np.linspace(0, n - 1, num=min(self.k, n)).round().astype(int)
@@ -268,13 +281,16 @@ def sample_frames(
     fmt: str = "raw",
     concurrency: int = 4,
     batch_size: int = 64,
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Uniform k-frame sampling as an actor-pool stage. Batches are SMALL
     (64 videos) because each row fans out to k wide frame rows — the
-    memory-aware sizing rule for large binary payloads."""
+    memory-aware sizing rule for large binary payloads.
+    ``on_error='skip'`` drops undecodable videos instead of failing the
+    job (the web-scale default posture; see VerifyInvariants)."""
     return videos.map_batches(
         SampleFrames,
-        fn_constructor_kwargs=dict(k=k, fmt=fmt),
+        fn_constructor_kwargs=dict(k=k, fmt=fmt, on_error=on_error),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
@@ -288,8 +304,9 @@ class AudioFeatures:
     zero-crossing rate, spectral centroid and rolloff (85%). The wide
     payload column is dropped — only the slim feature sidecar continues."""
 
-    def __init__(self, n_fft: int = 1024):
+    def __init__(self, n_fft: int = 1024, on_error: str = "raise"):
         self.n_fft = n_fft
+        self.on_error = _check_on_error(on_error)
         # Hann window (built once per actor): a rectangular window's slow
         # sidelobe falloff smears tones across the spectrum and biases the
         # centroid high by hundreds of Hz.
@@ -308,8 +325,17 @@ class AudioFeatures:
         # the identical per-row transform along axis=-1.
         segs = np.zeros((n, self.n_fft), dtype=np.float64)
         srs = np.empty(n, dtype=np.float64)
+        ok = np.ones(n, dtype=bool)
         for i, blob in enumerate(blobs):
-            s, sr = decode_audio(blob)
+            try:
+                s, sr = decode_audio(blob)
+            except Exception:
+                if self.on_error == "skip":
+                    ok[i] = False
+                    srs[i] = 0.0
+                    rms[i] = zcr[i] = 0.0
+                    continue
+                raise
             srs[i] = sr
             x = s.astype(np.float64) / 32768.0
             if len(x) == 0:
@@ -341,6 +367,8 @@ class AudioFeatures:
             ("spectral_centroid", centroid), ("spectral_rolloff", rolloff),
         ):
             out = out.append_column(name, pa.array(arr))
+        if not ok.all():
+            out = out.filter(pa.array(ok))  # drop undecodable rows
         return out
 
 
@@ -349,12 +377,14 @@ def extract_audio_features(
     n_fft: int = 1024,
     concurrency: int = 4,
     batch_size: int = 256,
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Audio feature-extract as an actor-pool stage (decoder/FFT plan state
-    lives per actor)."""
+    lives per actor). ``on_error='skip'`` drops undecodable rows instead
+    of failing the job."""
     return audios.map_batches(
         AudioFeatures,
-        fn_constructor_kwargs=dict(n_fft=n_fft),
+        fn_constructor_kwargs=dict(n_fft=n_fft, on_error=on_error),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
@@ -368,7 +398,8 @@ class VideoSignatures:
     combine by strict per-bit majority into a 64-bit video signature.
     No frame re-encode, no second decode; only (video_id, sig) leaves."""
 
-    def __init__(self, k: int = 4, method: str = "phash"):
+    def __init__(self, k: int = 4, method: str = "phash",
+                 on_error: str = "raise"):
         from linref_ray.kernels.phash import (
             ahash64_batch,
             phash64_batch,
@@ -376,6 +407,7 @@ class VideoSignatures:
 
         if method not in ("ahash", "phash"):
             raise ValueError(f"unknown signature method: {method!r}")
+        self.on_error = _check_on_error(on_error)
         self.k = k
         self.batch_fn = ahash64_batch if method == "ahash" else phash64_batch
 
@@ -388,9 +420,16 @@ class VideoSignatures:
         # shape group (mixed shapes hash per group, still batched).
         grays: list[np.ndarray] = []
         owner: list[int] = []
-        n_take = np.empty(n_vid, dtype=np.int64)
+        n_take = np.zeros(n_vid, dtype=np.int64)
+        ok = np.ones(n_vid, dtype=bool)
         for i, blob in enumerate(t["bytes"].to_pylist()):
-            frames = decode_video(blob)
+            try:
+                frames = decode_video(blob)
+            except Exception:
+                if self.on_error == "skip":
+                    ok[i] = False
+                    continue
+                raise
             n = len(frames)
             take = np.unique(
                 np.linspace(0, n - 1, num=min(self.k, n)).round().astype(int)
@@ -426,9 +465,10 @@ class VideoSignatures:
         sigs = (
             (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
         ).astype(np.int64)
-        return pa.table(
-            {"video_id": pa.array(vids), "sig": pa.array(sigs)}
+        out = pa.table(
+            {"video_id": pa.array(vids, pa.string()), "sig": pa.array(sigs)}
         )
+        return out.filter(pa.array(ok)) if not ok.all() else out
 
 
 def video_near_duplicates(
@@ -440,17 +480,19 @@ def video_near_duplicates(
     max_bucket: int = 4096,
     concurrency: int = 4,
     batch_size: int = 64,
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Near-duplicate video pairs (id_a < id_b, hamming ≤ ``max_hamming``)
     via frame-sampled majority-bit perceptual signatures, verified by the
     generic prefix-bucketed Hamming stage shared with text SimHash and
     image near-dup (:func:`linref_ray.dedup.hash_near_duplicates`).
-    Wide video payloads never leave the signature stage."""
+    Wide video payloads never leave the signature stage.
+    ``on_error='skip'`` drops undecodable videos instead of failing."""
     from linref_ray.dedup import hash_near_duplicates
 
     sigs = videos.map_batches(
         VideoSignatures,
-        fn_constructor_kwargs=dict(k=k, method=method),
+        fn_constructor_kwargs=dict(k=k, method=method, on_error=on_error),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
@@ -476,11 +518,21 @@ class AudioSignatures:
     _WINDOWS = 9
     _BANDS = 8
 
+    def __init__(self, on_error: str = "raise"):
+        self.on_error = _check_on_error(on_error)
+
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["audio_id"].to_pylist()
-        sigs = np.empty(len(t), dtype=np.int64)
+        sigs = np.zeros(len(t), dtype=np.int64)
+        ok = np.ones(len(t), dtype=bool)
         for i, blob in enumerate(t["bytes"].to_pylist()):
-            samples, _sr = decode_audio(blob)
+            try:
+                samples, _sr = decode_audio(blob)
+            except Exception:
+                if self.on_error == "skip":
+                    ok[i] = False
+                    continue
+                raise
             x = samples.astype(np.float64)
             w, b = self._WINDOWS, self._BANDS
             n = max(len(x) // w, 1)
@@ -496,7 +548,10 @@ class AudioSignatures:
             for j in np.flatnonzero(bits):
                 val |= np.uint64(1) << np.uint64(int(j))
             sigs[i] = np.int64(val.astype(np.int64))
-        return pa.table({"audio_id": pa.array(ids), "sig": pa.array(sigs)})
+        out = pa.table(
+            {"audio_id": pa.array(ids, pa.string()), "sig": pa.array(sigs)}
+        )
+        return out.filter(pa.array(ok)) if not ok.all() else out
 
 
 def audio_near_duplicates(
@@ -506,6 +561,7 @@ def audio_near_duplicates(
     max_bucket: int = 4096,
     concurrency: int = 4,
     batch_size: int = 128,
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Near-duplicate audio pairs (id_a < id_b, hamming ≤ ``max_hamming``)
     via the spectral-difference fingerprint, verified by the generic
@@ -514,6 +570,7 @@ def audio_near_duplicates(
 
     sigs = audio.map_batches(
         AudioSignatures,
+        fn_constructor_kwargs=dict(on_error=on_error),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),

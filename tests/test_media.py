@@ -236,3 +236,75 @@ class TestWavCodec:
 
         with _pytest.raises(NotImplementedError):
             decode_audio(b"\xff\xfbMP3FRAMEDATA")
+
+
+class TestOnErrorPolicy:
+    """Undecodable media rows: on_error='skip' drops them and streams on;
+    the default 'raise' preserves fail-fast semantics."""
+
+    def _bad_audio_table(self):
+        import pyarrow as pa
+
+        from linref_ray import synth
+
+        base = synth.make_audio(6, seconds=0.25)
+        blobs = base["bytes"].to_pylist()
+        blobs[2] = b"\xff\xfb\x90\x00" + b"\x00" * 32  # mp3-ish garbage
+        return base.set_column(
+            base.schema.get_field_index("bytes"), "bytes",
+            pa.array(blobs, pa.binary()),
+        )
+
+    def test_audio_features_skip_and_raise(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from linref_ray.media import extract_audio_features
+
+        bad = self._bad_audio_table()
+        out = extract_audio_features(
+            rd.from_arrow(bad), concurrency=1, on_error="skip"
+        ).to_pandas()
+        assert len(out) == 5
+        assert "aud-000002" not in set(out["audio_id"])
+        with _pytest.raises(Exception):
+            extract_audio_features(
+                rd.from_arrow(bad), concurrency=1
+            ).to_pandas()
+
+    def test_audio_neardup_skip(self, ray_session):
+        import ray.data as rd
+
+        from linref_ray.media import audio_near_duplicates
+
+        bad = self._bad_audio_table()
+        # with the bad row skipped the remaining tones are all distinct
+        out = audio_near_duplicates(
+            rd.from_arrow(bad), concurrency=1, on_error="skip"
+        ).to_pandas()
+        assert "aud-000002" not in set(out.get("id_a", []))
+
+    def test_frame_sample_and_video_sig_skip(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray import synth
+        from linref_ray.media import sample_frames, video_near_duplicates
+
+        base = synth.make_videos(4, frames=6)
+        blobs = base["bytes"].to_pylist()
+        blobs[1] = b"MP4\x00not-a-real-container" + b"\x00" * 64
+        bad = base.set_column(
+            base.schema.get_field_index("bytes"), "bytes",
+            pa.array(blobs, pa.binary()),
+        )
+        frames = sample_frames(
+            rd.from_arrow(bad), k=2, concurrency=1, on_error="skip"
+        ).to_pandas()
+        assert set(frames["video_id"]) == {
+            "vid-000000", "vid-000002", "vid-000003"
+        }
+        pairs = video_near_duplicates(
+            rd.from_arrow(bad), concurrency=1, on_error="skip"
+        ).to_pandas()
+        assert "vid-000001" not in set(pairs.get("id_a", []))
