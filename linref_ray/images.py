@@ -532,11 +532,16 @@ def image_pipeline_checkpointed(
 
 
 def resize_images(
-    images: ray.data.Dataset, out_w: int, out_h: int, batch_size: int = 2048
+    images: ray.data.Dataset, out_w: int, out_h: int, batch_size: int = 2048,
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Real (not stubbed) nearest-neighbor resize stage: decode → index-map
     subsample → re-encode, vectorized per batch. The plumbing pattern for any
-    heavier resampler (bilinear/Lanczos would drop into the same stage)."""
+    heavier resampler (bilinear/Lanczos would drop into the same stage).
+    ``on_error='skip'`` drops undecodable rows instead of failing the job
+    (same per-row tolerance posture as VerifyInvariants)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def fn(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -553,14 +558,23 @@ def resize_images(
             blobs = codec.encode_batch_arrow(small, fmt_codes)
         except ValueError:
             out_blobs = []
-            for blob in t["bytes"].to_pylist():
-                px1, fmt = codec.decode_image(blob)
+            ok = np.ones(n, dtype=bool)
+            for i, blob in enumerate(t["bytes"].to_pylist()):
+                try:
+                    px1, fmt = codec.decode_image(blob)
+                except Exception:
+                    if on_error == "skip":
+                        ok[i] = False
+                        continue
+                    raise
                 h, w = px1.shape[:2]
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)
                 small1 = np.ascontiguousarray(px1[yi][:, xi])
                 out_blobs.append(codec.encode_image(small1, fmt))
             blobs = pa.array(out_blobs, pa.binary())
+            if not ok.all():
+                t = t.filter(pa.array(ok))
         out = t.set_column(
             t.schema.get_field_index("bytes"), "bytes", blobs
         )
@@ -577,10 +591,14 @@ def resize_images(
 
 
 def extract_features(
-    images: ray.data.Dataset, batch_size: int = 2048
+    images: ray.data.Dataset, batch_size: int = 2048,
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Feature-extract stage: decode → per-channel means + luma std + aHash,
-    dropping the wide bytes column (the classic embed-then-discard shape)."""
+    dropping the wide bytes column (the classic embed-then-discard shape).
+    ``on_error='skip'`` drops undecodable rows instead of failing."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def fn(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -597,14 +615,27 @@ def extract_features(
             stds[:] = gray.reshape(n, -1).std(axis=1)
             hashes[:] = ahash64_batch(gray).astype(np.int64)
         except ValueError:
+            ok = np.ones(n, dtype=bool)
             for i, blob in enumerate(t["bytes"].to_pylist()):
-                px1, _ = codec.decode_image(blob)
+                try:
+                    px1, _ = codec.decode_image(blob)
+                except Exception:
+                    if on_error == "skip":
+                        ok[i] = False
+                        means[i] = 0.0
+                        stds[i] = 0.0
+                        hashes[i] = 0
+                        continue
+                    raise
                 means[i] = px1.reshape(-1, 3).mean(axis=0)
                 gray = px1.astype(np.float32).mean(axis=2)
                 stds[i] = gray.std()
                 hashes[i] = np.int64(
                     np.uint64(ahash64(gray)).astype(np.int64)
                 )
+            if not ok.all():
+                t = t.filter(pa.array(ok))
+                means, stds, hashes = means[ok], stds[ok], hashes[ok]
         out = t.drop_columns(["bytes"])
         out = out.append_column("mean_r", pa.array(means[:, 0]))
         out = out.append_column("mean_g", pa.array(means[:, 1]))
@@ -619,12 +650,16 @@ def image_signatures(
     images: ray.data.Dataset,
     method: str = "ahash",
     batch_size: int = 2048,
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Slim per-image perceptual signatures ``(image_id, sig)``.
 
     ``method``: 'ahash' (8×8 mean threshold) or 'phash' (32×32 DCT
     median threshold — robust to brightness/contrast edits). Decode and
-    hashing run in one pre-shuffle batch stage; bytes never leave it."""
+    hashing run in one pre-shuffle batch stage; bytes never leave it.
+    ``on_error='skip'`` drops undecodable rows instead of failing."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     from linref_ray.kernels.phash import (
         ahash64,
         ahash64_batch,
@@ -649,11 +684,25 @@ def image_signatures(
             )
             sigs = batch_fn(gray).astype(np.int64)
         except ValueError:
-            sigs = np.empty(n, dtype=np.int64)
+            sigs = np.zeros(n, dtype=np.int64)
+            ok = np.ones(n, dtype=bool)
             for i, blob in enumerate(t["bytes"].to_pylist()):
-                px, _ = codec.decode_image(blob)
+                try:
+                    px, _ = codec.decode_image(blob)
+                except Exception:
+                    if on_error == "skip":
+                        ok[i] = False
+                        continue
+                    raise
                 gray = px.astype(np.float32).mean(axis=2)
                 sigs[i] = np.int64(np.uint64(hash_fn(gray)).astype(np.int64))
+            if not ok.all():
+                return pa.table(
+                    {
+                        "image_id": t["image_id"].filter(pa.array(ok)),
+                        "sig": pa.array(sigs[ok]),
+                    }
+                )
         return pa.table({"image_id": t["image_id"], "sig": pa.array(sigs)})
 
     return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
@@ -666,6 +715,7 @@ def image_near_duplicates(
     max_bucket: int = 4096,
     batch_size: int = 2048,
     method: str = "ahash",
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Perceptual near-duplicate image pairs (id_a < id_b, hamming ≤
     ``max_hamming``) via a 64-bit perceptual hash ('ahash' or 'phash').
@@ -678,7 +728,8 @@ def image_near_duplicates(
     from linref_ray.dedup import hash_near_duplicates
 
     return hash_near_duplicates(
-        image_signatures(images, method=method, batch_size=batch_size),
+        image_signatures(images, method=method, batch_size=batch_size,
+                         on_error=on_error),
         max_hamming=max_hamming,
         prefix_bits=prefix_bits,
         max_bucket=max_bucket,

@@ -240,3 +240,38 @@ class TestDispatch:
 
         with _pytest.raises(Exception, match="invariant violated"):
             verify_invariants(rd.from_arrow(bad), strict=True).to_pandas()
+
+    def test_resize_features_signatures_skip(self, ray_session):
+        # undecodable rows drop out of resize / feature / signature stages
+        # under on_error='skip' instead of killing the job
+        import pyarrow as pa
+        import ray.data as rd
+
+        from linref_ray.images import (
+            extract_features,
+            image_signatures,
+            resize_images,
+        )
+        from linref_ray.synth import make_images_jpeg
+
+        base = make_images_jpeg(12)
+        blobs = base["bytes"].to_pylist()
+        blobs[5] = b"\x00not-an-image"
+        bad = rd.from_arrow(
+            base.set_column(
+                base.schema.get_field_index("bytes"), "bytes",
+                pa.array(blobs, pa.binary()),
+            )
+        )
+        bad_id = base["image_id"][5].as_py()
+        r = resize_images(bad, 8, 8, on_error="skip").to_pandas()
+        assert len(r) == 11 and bad_id not in set(r["image_id"])
+        f = extract_features(bad, on_error="skip").to_pandas()
+        assert len(f) == 11 and bad_id not in set(f["image_id"])
+        s = image_signatures(bad, on_error="skip").to_pandas()
+        assert len(s) == 11 and bad_id not in set(s["image_id"])
+        # default stays fail-fast
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            resize_images(bad, 8, 8).to_pandas()
